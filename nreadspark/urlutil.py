@@ -1,0 +1,93 @@
+"""URL helpers mirroring the reference's System.Uri-based logic.
+
+Reference: NReadability/NReadabilityTranscoder.cs
+  * ResolveElementUrl  (:1641-1674)  -- absolute-ize img@src / a@href
+  * FindBaseUrl        (:619-695)    -- clean a page URL into an article base
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlsplit
+
+_MAILTO_RE = re.compile(r"^\s*mailto\s*:", re.I)
+# .NET Uri.TryCreate(s, UriKind.Absolute) for web-ish URIs demands
+# scheme :// authority; bare "http:host" or schemeless strings fail.
+_ABSOLUTE_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+")
+_PAGE_NUM_SEGMENT_RE = re.compile(r"((_|-)?p[a-z]*|(_|-))[0-9]{1,2}$", re.I)
+_PURE_PAGE_NUM_RE = re.compile(r"^[\d]{1,2}$")
+_ALPHA_RE = re.compile(r"[a-z]", re.I)
+_NON_ALPHA_RE = re.compile(r"[^a-zA-Z]")
+
+
+def is_absolute_url(url: str | None) -> bool:
+    return bool(url) and _ABSOLUTE_RE.match(url) is not None
+
+
+def get_host(url: str) -> str | None:
+    try:
+        return (urlsplit(url).hostname or None)
+    except ValueError:
+        return None
+
+
+def resolve_element_url(url: str, article_url: str | None) -> str:
+    """NReadabilityTranscoder.ResolveElementUrl (:1641-1674): mailto passes
+    through; invalid base leaves the value unchanged; a bare ?query string is
+    appended to the page path; otherwise standard RFC 3986 resolution."""
+    if url is None:
+        raise ValueError("url is required")
+    if _MAILTO_RE.match(url):
+        return url
+    if not is_absolute_url(article_url):
+        return url
+    if url.startswith("?"):
+        sp = urlsplit(article_url)
+        return f"{sp.scheme}://{sp.netloc}{sp.path or '/'}{url}"
+    try:
+        return urljoin(article_url, url)
+    except ValueError:
+        return url
+
+
+def find_base_url(url: str) -> str:
+    """NReadabilityTranscoder.FindBaseUrl (:619-695), segment by segment."""
+    if not is_absolute_url(url):
+        return url
+    sp = urlsplit(url)
+    protocol = sp.scheme
+    hostname = sp.hostname or ""
+    no_url_params = (sp.path or "/") + "/"
+    url_slashes = list(reversed(no_url_params.split("/")))
+    cleaned_segments = []
+
+    for i, segment in enumerate(url_slashes):
+        # split off anything that looks like a file type (keeps only the stem
+        # when the *second* dot-piece is alpha-only, as the reference does)
+        if "." in segment:
+            pieces = segment.split(".")
+            possible_type = pieces[1]
+            if not _NON_ALPHA_RE.search(possible_type):
+                segment = pieces[0]
+
+        # EW-CMS-specific ",00" suffix hack
+        if ",00" in segment:
+            segment = segment.replace(",00", "")
+
+        # first/second segment that looks like a page number: strip it
+        if _PAGE_NUM_SEGMENT_RE.search(segment) and i in (0, 1):
+            segment = _PAGE_NUM_SEGMENT_RE.sub("", segment)
+
+        delete = i < 2 and _PURE_PAGE_NUM_RE.match(segment) is not None
+        if i == 0 and segment.lower() == "index":
+            delete = True
+        # NOTE: the reference checks url_slashes[0] here (a long-standing
+        # readability.js quirk), not the current segment -- keep it.
+        if i < 2 and len(segment) < 3 and not _ALPHA_RE.search(url_slashes[0]):
+            delete = True
+
+        if not delete:
+            cleaned_segments.append(segment)
+
+    cleaned_segments.reverse()
+    return f"{protocol}://{hostname}" + "/".join(cleaned_segments)
