@@ -1,38 +1,491 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship interleaved-document extraction at
+sf0.001.  ``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 plus the training-data ops (dedup / similarity / text analysis /
+multimodal); ``oracle_sql()`` carries the DuckDB-checkable ANSI-SQL twins
+(non-SQL-expressible kernels -- the DOM extraction, MinHash/SimHash/LSH,
+stubbed decoders -- are rows-only checked by design).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically wrap the plain-text documents table into the
+    north-rule interleaved span shape (doc_id, spans) -- JVM-side only."""
+    docs = _table(spark, sf_dir, "documents")
+    head = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" | Synthetic Corpus</title></head><body><div id='content' class='post'><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+    )
+    para2 = F.concat(F.lit("<p>"), F.col("text"), F.lit(", extended for sibling merge.</p>"))
+    tail = F.lit("</div></body></html>")
+    mk = lambda kind, text, ref, off: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"),
+        text.alias("text"),
+        ref.alias("media_ref"),
+        F.lit(off).cast("int").alias("offset"),
+    )
+    null_s = F.lit(None).cast("string")
+    spans = F.array(
+        mk("text", head, null_s, 0),
+        mk("image", F.lit(""), F.concat(F.lit("img://doc/"), F.col("doc_id").cast("string")), 1),
+        mk("text", para2, null_s, 2),
+        mk("text", tail, null_s, 3),
+    )
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved-span extraction over sf0.001 documents."""
+    from nreadspark.pipeline import extract
+
+    df = _interleaved_docs(spark, DEFAULT_SF_DIR)
+    out = extract(df)
+    return out.select(
+        "doc_id",
+        "title",
+        "content_extracted",
+        F.size("spans").cast("bigint").alias("n_spans"),
+        F.col("metrics.in_bytes").alias("in_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries(): operator battery.  Every callable takes (spark, sf_dir).
+# ---------------------------------------------------------------------------
+
+
+def _q_extract_interleaved(spark, sf_dir):
+    from nreadspark.pipeline import extract
+
+    df = _interleaved_docs(spark, sf_dir)
+    out = extract(df)
+    return out.select(
+        "doc_id",
+        "title",
+        "content_extracted",
+        F.size("spans").cast("bigint").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("image")))
+        .cast("bigint")
+        .alias("n_image_spans"),
+    )
+
+
+def _q_a1_comma_segments(spark, sf_dir):
+    from nreadspark.ops.textstats import comma_segments
+
+    return comma_segments(_table(spark, sf_dir, "documents"))
+
+
+def _q_a2_normalize_text(spark, sf_dir):
+    from nreadspark.ops.textstats import normalize_text
+
+    return normalize_text(_table(spark, sf_dir, "documents"))
+
+
+def _q_a3_paragraph_score(spark, sf_dir):
+    from nreadspark.ops.textstats import paragraph_score
+
+    return paragraph_score(_table(spark, sf_dir, "documents"))
+
+
+def _q_a4_hierarchical_rollup(spark, sf_dir):
+    from nreadspark.ops.textstats import hierarchical_rollup
+
+    return hierarchical_rollup(_table(spark, sf_dir, "documents"))
+
+
+def _q_a6_class_weight(spark, sf_dir):
+    from nreadspark.ops.textstats import class_weight
+
+    return class_weight(_table(spark, sf_dir, "documents"))
+
+
+def _q_t1_top_doc_per_lang(spark, sf_dir):
+    from nreadspark.ops.textstats import top_doc_per_group
+
+    return top_doc_per_group(_table(spark, sf_dir, "documents"), "lang")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from nreadspark.ops.dedup import exact_duplicates
+
+    # plant duplicates: union the table with its 50 first rows re-keyed
+    docs = _table(spark, sf_dir, "documents")
+    dupes = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return exact_duplicates(docs.unionByName(dupes))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    from nreadspark.ops.dedup import ngram_jaccard_adjacent
+
+    return ngram_jaccard_adjacent(_table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from nreadspark.ops.dedup import minhash_lsh_candidates, verify_jaccard
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant near-duplicates: copies with one token appended
+    near = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    corpus = docs.unionByName(near)
+    candidates = minhash_lsh_candidates(corpus)
+    return verify_jaccard(corpus, candidates, threshold=0.7).orderBy("doc_id_a", "doc_id_b")
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from nreadspark.ops.dedup import simhash
+
+    return simhash(_table(spark, sf_dir, "documents").limit(200))
+
+
+def _q_dedup_embedding_cosine(spark, sf_dir):
+    from nreadspark.ops.dedup import embedding_near_duplicates
+
+    return embedding_near_duplicates(
+        _table(spark, sf_dir, "embeddings"), threshold=0.8
+    )
+
+
+def _q_ann_bruteforce_topk(spark, sf_dir):
+    from nreadspark.ops.similarity import brute_force_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return brute_force_topk(emb, queries, k=5)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    from nreadspark.ops.similarity import lsh_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return lsh_topk(emb, queries, dim=64, k=5, n_bits=16, n_bands=8)
+
+
+def _q_text_token_count(spark, sf_dir):
+    from nreadspark.ops.textstats import token_count
+
+    return token_count(_table(spark, sf_dir, "documents"))
+
+
+def _q_text_quality(spark, sf_dir):
+    from nreadspark.ops.textstats import quality_score
+
+    return quality_score(_table(spark, sf_dir, "documents"))
+
+
+def _q_text_lang_id(spark, sf_dir):
+    from nreadspark.ops.textstats import lang_id
+
+    return lang_id(_table(spark, sf_dir, "documents"))
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    from nreadspark.ops.textstats import fingerprint
+
+    return fingerprint(_table(spark, sf_dir, "documents"))
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from nreadspark.ops.multimodal import extract_media_features, synthesize_media_df
+
+    docs = _table(spark, sf_dir, "documents").limit(100)
+    media = synthesize_media_df(spark, docs)
+    return extract_media_features(media).select(
+        "media_ref", "media_kind", "n_bytes", "sha256", "decoder"
+    )
+
+
+def _q_tpch_q1_like(spark, sf_dir):
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def _q_join_revenue_by_segment(spark, sf_dir):
+    orders = _table(spark, sf_dir, "orders")
+    customer = _table(spark, sf_dir, "customer")
+    # dimension side broadcast: no shuffle of the fact table
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
+def _q_events_daily(spark, sf_dir):
+    ev = _table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type"), F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def _q_events_top_per_type(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", F.round("value", 6).alias("value"), F.col("rn").cast("bigint").alias("rn"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # flagship kernel (non-SQL-expressible; rows-only check)
+        "extract_interleaved": _q_extract_interleaved,
+        # extraction-operator relational analogues (SURVEY §2.3/§2.4)
+        "a1_comma_segments": _q_a1_comma_segments,
+        "a2_normalize_text": _q_a2_normalize_text,
+        "a3_paragraph_score": _q_a3_paragraph_score,
+        "a4_hierarchical_rollup": _q_a4_hierarchical_rollup,
+        "a6_class_weight": _q_a6_class_weight,
+        "t1_top_doc_per_lang": _q_t1_top_doc_per_lang,
+        # dedup suite
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        # similarity search
+        "ann_bruteforce_topk": _q_ann_bruteforce_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        # text analysis
+        "text_token_count": _q_text_token_count,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprint": _q_text_fingerprint,
+        # multimodal plumbing (stubbed decode; rows-only)
+        "multimodal_features": _q_multimodal_features,
+        # relational breadth over the TPC-H-ish tables
+        "tpch_q1_like": _q_tpch_q1_like,
+        "join_revenue_by_segment": _q_join_revenue_by_segment,
+        "events_daily": _q_events_daily,
+        "events_top_per_type": _q_events_top_per_type,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle_sql(): DuckDB twins.  Tables are pre-registered views.
+# ---------------------------------------------------------------------------
+
+_POSITIVE = "article|body|content|entry|hentry|main|page|pagination|post|text|blog|story"
+_NEGATIVE = (
+    "combx|comment|com-|contact|foot|footer|footnote|masthead|media|meta|outbrain|"
+    "promo|related|scroll|shoutbox|sidebar|side|sponsor|shopping|tags|tool|widget"
+)
+
+_LANG_SCORES_SQL = """
+SELECT doc_id, lang AS actual_lang,
+       CAST(length(regexp_extract_all(text, '\\b(the|and|of|fast|slow)\\b')) AS BIGINT) AS score_en,
+       CAST(length(regexp_extract_all(text, '\\b(el|la|de|que|los)\\b')) AS BIGINT) AS score_es,
+       CAST(length(regexp_extract_all(text, '\\b(le|la|les|des|est)\\b')) AS BIGINT) AS score_fr,
+       CAST(length(regexp_extract_all(text, '\\b(der|die|und|das|ist)\\b')) AS BIGINT) AS score_de,
+       CAST(length(regexp_extract_all(text, '\\b(的|是|了|在|我)\\b')) AS BIGINT) AS score_zh
+FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "a1_comma_segments": """
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ',', '')) + 1 AS BIGINT) AS comma_segments
+            FROM documents
+        """,
+        "a2_normalize_text": r"""
+            SELECT doc_id,
+                   regexp_replace(trim(text), '\s{2,}', ' ', 'g') AS normalized_text
+            FROM documents
+        """,
+        "a3_paragraph_score": """
+            SELECT doc_id,
+                   CAST(1 + (length(text) - length(replace(text, ',', '')) + 1)
+                          + least(CAST(floor(length(text) / 100) AS BIGINT), 3) AS BIGINT) AS score
+            FROM documents
+        """,
+        "a4_hierarchical_rollup": """
+            WITH scored AS (
+              SELECT doc_id, source, lang,
+                     1 + (length(text) - length(replace(text, ',', '')) + 1)
+                       + least(CAST(floor(length(text) / 100) AS BIGINT), 3) AS score
+              FROM documents
+            )
+            SELECT 'parent' AS level, source AS group_key,
+                   CAST(sum(score) AS BIGINT) AS rollup_score
+            FROM scored GROUP BY source
+            UNION ALL
+            SELECT 'grandparent' AS level, lang AS group_key,
+                   CAST(sum(CAST(floor(score / 2) AS BIGINT)) AS BIGINT) AS rollup_score
+            FROM scored GROUP BY lang
+        """,
+        "a6_class_weight": f"""
+            SELECT doc_id,
+                   CAST((CASE WHEN regexp_matches(text, '{_POSITIVE}') THEN 25 ELSE 0 END)
+                      + (CASE WHEN regexp_matches(text, '{_NEGATIVE}') THEN -25 ELSE 0 END) AS BIGINT) AS weight
+            FROM documents
+        """,
+        "t1_top_doc_per_lang": """
+            WITH scored AS (
+              SELECT doc_id, lang,
+                     1 + (length(text) - length(replace(text, ',', '')) + 1)
+                       + least(CAST(floor(length(text) / 100) AS BIGINT), 3) AS score
+              FROM documents
+            ), ranked AS (
+              SELECT lang AS group_key, doc_id, CAST(score AS BIGINT) AS score,
+                     row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rn
+              FROM scored
+            )
+            SELECT group_key, doc_id, score FROM ranked WHERE rn = 1
+        """,
+        "dedup_exact": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+            )
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+            FROM corpus GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS token_set
+              FROM documents
+            )
+            SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+                   round(CAST(length(list_intersect(a.token_set, b.token_set)) AS DOUBLE)
+                         / length(list_distinct(list_concat(a.token_set, b.token_set))), 6) AS jaccard_next
+            FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+        """,
+        "text_token_count": r"""
+            SELECT doc_id,
+                   CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+                   CAST(length(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS regex_tokens
+            FROM documents
+        """,
+        "text_quality": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_measured,
+                   round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+                   round(CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+                              w -> w IN ('the', 'a', 'and', 'of', 'in', 'to'))) AS DOUBLE)
+                         / length(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio,
+                   round(CAST(length(text) - length(string_split_regex(trim(text), '\s+')) + 1 AS DOUBLE)
+                         / length(string_split_regex(trim(text), '\s+')), 6) AS mean_word_len
+            FROM documents
+        """,
+        "text_lang_id": f"""
+            WITH scores AS ({_LANG_SCORES_SQL}),
+            best AS (
+              SELECT *, greatest(score_de, score_en, score_es, score_fr, score_zh) AS best_score
+              FROM scores
+            )
+            SELECT doc_id, actual_lang,
+                   CASE WHEN score_de = best_score THEN 'de'
+                        WHEN score_en = best_score THEN 'en'
+                        WHEN score_es = best_score THEN 'es'
+                        WHEN score_fr = best_score THEN 'fr'
+                        ELSE 'zh' END AS predicted_lang,
+                   CAST(best_score AS BIGINT) AS best_score
+            FROM best
+        """,
+        "text_fingerprint": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.8
+        """,
+        "ann_bruteforce_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cosine
+              FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id != q.vec_id
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, corpus_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "tpch_q1_like": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_revenue_by_segment": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "events_daily": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "events_top_per_type": """
+            WITH ranked AS (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id ASC) AS rn
+              FROM events
+            )
+            SELECT event_type, event_id, round(value, 6) AS value, CAST(rn AS BIGINT) AS rn
+            FROM ranked WHERE rn <= 3
+        """,
+    }

@@ -1,0 +1,70 @@
+"""spark-submit entry point: extract main content from an interleaved-docs
+table (parquet/Iceberg) into a parquet output with per-bucket lineage.
+
+    spark-submit --py-files nreadspark.zip jobs/extract.py \
+        --input /path/to/docs --output /path/to/out \
+        [--buckets 256] [--url-col url] [--no-resume] [--synthetic N]
+
+Reference analogue: NReadability.Console/Program.cs:35-50 (file in/file out),
+re-expressed as a distributed, resumable Spark job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", help="input table path (parquet dir)")
+    parser.add_argument("--output", required=True, help="output parquet dir")
+    parser.add_argument("--buckets", type=int, default=64)
+    parser.add_argument("--url-col", default=None)
+    parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument(
+        "--synthetic",
+        type=int,
+        default=0,
+        help="generate N synthetic interleaved docs instead of reading --input",
+    )
+    parser.add_argument("--master", default=None)
+    args = parser.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from nreadspark.lineage import run_extraction
+    from nreadspark.pipeline import configure_session_defaults
+
+    builder = SparkSession.builder.appName("nreadspark-extract")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = configure_session_defaults(builder).getOrCreate()
+
+    if args.synthetic:
+        from nreadspark.corpus import build_corpus_df
+
+        input_df = build_corpus_df(spark, args.synthetic)
+    elif args.input:
+        input_df = spark.read.parquet(args.input)
+    else:
+        parser.error("either --input or --synthetic is required")
+        return
+
+    summary = run_extraction(
+        spark,
+        input_df,
+        args.output,
+        n_buckets=args.buckets,
+        url_col=args.url_col,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

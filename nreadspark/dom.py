@@ -477,11 +477,11 @@ def remove_script_tags(html_content: str) -> str:
     return "".join(out)
 
 
-def build_document(html_content: str, _retrying: bool = False) -> Document:
+def build_document(html_content: str, _retrying: bool = False, stats: dict | None = None) -> Document:
     """Parse a full page into a Document (SgmlDomBuilder.BuildDocument,
     SgmlDomBuilder.cs:43-91): empty input -> empty document; truncate after
     the last </html>; synthesize an <html> root for fragments; retry without
-    scripts if the parser chokes."""
+    scripts if the parser chokes (retries recorded in ``stats``)."""
     if html_content is None:
         raise ValueError("html_content is required")
     if html_content.strip() == "":
@@ -498,7 +498,9 @@ def build_document(html_content: str, _retrying: bool = False) -> Document:
     except Exception:
         if _retrying:
             raise
-        return build_document(remove_script_tags(html_content), _retrying=True)
+        if stats is not None:
+            stats["parse_retried"] = True
+        return build_document(remove_script_tags(html_content), _retrying=True, stats=stats)
 
     if not nodes:
         return Document(None)

@@ -1078,7 +1078,10 @@ def transcode(html_content: str, url: str | None = None, opts: Options | None = 
         raise ValueError("html_content is required")
     opts = opts or Options()
     started = time.perf_counter()
-    result = _transcode_once(html_content, url, opts, dont_strip=opts.dont_strip_unlikelys)
+    parse_stats: dict = {}
+    result = _transcode_once(
+        html_content, url, opts, dont_strip=opts.dont_strip_unlikelys, parse_stats=parse_stats
+    )
 
     # E4 fallback: re-run without stripping when little content was extracted
     fallback = False
@@ -1088,15 +1091,24 @@ def transcode(html_content: str, url: str | None = None, opts: Options | None = 
         < MIN_EXTRACTED_CONTENT_LENGTH
     ):
         fallback = True
-        result = _transcode_once(html_content, url, opts, dont_strip=True)
+        result = _transcode_once(
+            html_content, url, opts, dont_strip=True, parse_stats=parse_stats
+        )
 
     result.metrics["fallback_rerun"] = fallback
+    result.metrics["parse_retried"] = bool(parse_stats.get("parse_retried", False))
     result.metrics["in_bytes"] = len(html_content.encode("utf-8", errors="replace"))
     result.metrics["ms"] = (time.perf_counter() - started) * 1000.0
     return result
 
 
-def _transcode_once(html_content: str, url: str | None, opts: Options, dont_strip: bool) -> TranscodeResult:
+def _transcode_once(
+    html_content: str,
+    url: str | None,
+    opts: Options,
+    dont_strip: bool,
+    parse_stats: dict | None = None,
+) -> TranscodeResult:
     run_opts = Options(
         dont_strip_unlikelys=dont_strip,
         dont_normalize_spaces=opts.dont_normalize_spaces,
@@ -1104,7 +1116,7 @@ def _transcode_once(html_content: str, url: str | None, opts: Options, dont_stri
         image_source_transformer=opts.image_source_transformer,
         anchor_href_transformer=opts.anchor_href_transformer,
     )
-    document = build_document(html_content)
+    document = build_document(html_content, stats=parse_stats)
     prepare_document(document, run_opts)
 
     if url:

@@ -1,0 +1,121 @@
+"""Per-partition checkpointed lineage + resumable runs.
+
+North-rule requirement: "resumable from checkpoint with per-partition lineage
++ metrics".  Mechanism:
+
+* every document is deterministically assigned a **bucket** =
+  ``pmod(xxhash64(doc_id), n_buckets)`` -- stable across runs and cluster
+  sizes, so resume never depends on Spark partitioning;
+* output parquet is written ``partitionBy("bucket")`` with dynamic partition
+  overwrite, so re-running a bucket **replaces** any partial data from a
+  crashed attempt (idempotent);
+* after the write, one JSON **manifest** per bucket is committed atomically
+  (tmp file + rename) under ``<output>/_lineage/`` with that bucket's metrics
+  (docs in/out, extraction/fallback/retry/failure counts, bytes, kernel ms);
+* resume = anti-join of the input against the set of committed manifests:
+  only buckets without a manifest are recomputed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from .pipeline import extract
+
+LINEAGE_DIR = "_lineage"
+
+
+def bucket_col(n_buckets: int, doc_id_col: str = "doc_id"):
+    return F.pmod(F.xxhash64(doc_id_col), F.lit(n_buckets)).cast("int")
+
+
+def completed_buckets(output_path: str) -> set[int]:
+    lineage_path = os.path.join(output_path, LINEAGE_DIR)
+    if not os.path.isdir(lineage_path):
+        return set()
+    done = set()
+    for name in os.listdir(lineage_path):
+        if name.startswith("bucket=") and name.endswith(".json"):
+            try:
+                done.add(int(name[len("bucket=") : -len(".json")]))
+            except ValueError:
+                continue
+    return done
+
+
+def _write_manifest(output_path: str, bucket: int, payload: dict) -> None:
+    lineage_path = os.path.join(output_path, LINEAGE_DIR)
+    os.makedirs(lineage_path, exist_ok=True)
+    final = os.path.join(lineage_path, f"bucket={bucket}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, final)  # atomic commit
+
+
+def run_extraction(
+    spark,
+    input_df: DataFrame,
+    output_path: str,
+    n_buckets: int = 64,
+    url_col: str | None = None,
+    resume: bool = True,
+) -> dict:
+    """Run (or resume) the extraction job with per-bucket lineage.
+
+    Returns a run summary dict (buckets computed/skipped, doc counts, ms).
+    """
+    started = time.perf_counter()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    done = completed_buckets(output_path) if resume else set()
+    df = input_df.withColumn("bucket", bucket_col(n_buckets))
+    todo_df = df.filter(~F.col("bucket").isin(list(done))) if done else df
+
+    extracted = extract(todo_df, url_col=url_col)
+    # bucket is deterministic from doc_id: recompute on the output side so it
+    # survives the mapInPandas schema boundary without widening the kernel IO
+    extracted = extracted.withColumn("bucket", bucket_col(n_buckets))
+
+    (
+        extracted.write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(output_path)
+    )
+
+    # per-bucket metrics from the committed output (bucket is the parquet
+    # partition column), then atomic manifests
+    out_df = spark.read.parquet(output_path)
+    new_buckets = out_df.filter(~F.col("bucket").isin(list(done))) if done else out_df
+    stats = (
+        new_buckets.groupBy("bucket")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("content_extracted").cast("int")).alias("docs_extracted"),
+            F.sum(F.col("metrics.fallback_rerun").cast("int")).alias("fallback_reruns"),
+            F.sum(F.col("metrics.parse_retried").cast("int")).alias("parse_retries"),
+            F.sum((F.col("metrics.n_candidates") < 0).cast("int")).alias("kernel_failures"),
+            F.sum("metrics.in_bytes").alias("in_bytes"),
+            F.sum("metrics.ms").alias("kernel_ms"),
+            F.max("metrics.ms").alias("max_doc_ms"),
+        )
+        .collect()
+    )
+    for row in stats:
+        payload = row.asDict()
+        payload["committed_at"] = time.time()
+        _write_manifest(output_path, int(row["bucket"]), payload)
+
+    return {
+        "n_buckets": n_buckets,
+        "buckets_skipped": len(done),
+        "buckets_computed": len(stats),
+        "docs_computed": int(sum(r["docs"] for r in stats)),
+        "wall_ms": (time.perf_counter() - started) * 1000.0,
+    }

@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes (the point of doing this in Spark):
+* exact dedup is a single hash aggregation with map-side combine;
+* MinHash signatures are computed entirely JVM-side (higher-order array
+  functions over shingles -- no Python), then LSH banding turns the O(n^2)
+  pair problem into an explode + groupBy on band keys: only docs sharing a
+  band bucket are ever compared;
+* candidate verification joins back to token sets and computes exact Jaccard
+  with array_intersect/array_union (still JVM);
+* embedding near-dup brute force is for small/verification scale -- the LSH
+  path in similarity.py is the 100TB route.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# MinHash parameters: h_j(x) = (a_j * x + b_j) mod p, p Mersenne-ish prime
+_MINHASH_PRIME = (1 << 61) - 1
+_N_HASHES = 16
+_N_BANDS = 4  # 4 rows per band
+
+
+def _seeds(n: int, salt: int):
+    """Deterministic hash-family coefficients (no RNG at plan-build time)."""
+    out = []
+    a, b = 0x9E3779B97F4A7C15, salt * 0x517CC1B727220A95 + 1
+    for i in range(n):
+        a = (a * 6364136223846793005 + 1442695040888963407) % _MINHASH_PRIME
+        b = (b * 2862933555777941757 + 3037000493) % _MINHASH_PRIME
+        out.append((a | 1, b))
+    return out
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on the normalized-text md5: returns one row per duplicate
+    group (hash, group size, canonical doc_id = min)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.md5(normalized).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
+        )
+    )
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("__tokens", F.split(F.trim(F.col(text_col)), r"\s+"))
+
+
+def shingles_col(tokens_col: str, k: int = 3):
+    """k-token shingles via JVM higher-order functions: for each start
+    position, slice k tokens and join."""
+    return F.when(
+        F.size(F.col(tokens_col)) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col(tokens_col)) - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col(tokens_col), i, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col(tokens_col))))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", k: int = 3, n_hashes: int = _N_HASHES
+) -> DataFrame:
+    """(doc_id, signature array<bigint>): MinHash over k-token shingles,
+    all JVM-side (xxhash64 + aggregate over the shingle array)."""
+    seeds = _seeds(n_hashes, salt=k)
+    with_shingles = tokenize(df, text_col).withColumn(
+        "__shingles", shingles_col("__tokens", k)
+    )
+
+    def min_hash_merge(a: int, b: int):
+        # closure factory: pyspark introspects lambda arity, so the hash
+        # coefficients must be captured here, not as default args.
+        # xxhash64 is folded into 31 bits before the multiply so
+        # (2^31 * 2^31 + b) stays inside a signed 64-bit long (ANSI mode).
+        def merge(acc, s):
+            h31 = F.pmod(F.xxhash64(s), F.lit(1 << 31))
+            return F.least(
+                acc,
+                F.pmod(
+                    h31 * F.lit(a % (1 << 31)) + F.lit(b % (1 << 31)),
+                    F.lit(_MINHASH_PRIME),
+                ),
+            )
+
+        return merge
+
+    sig = F.array(
+        *[
+            F.aggregate(
+                "__shingles",
+                F.lit(_MINHASH_PRIME).cast("bigint"),
+                min_hash_merge(a, b),
+            )
+            for (a, b) in seeds
+        ]
+    )
+    return with_shingles.select("doc_id", sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = _N_HASHES,
+    n_bands: int = _N_BANDS,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: docs sharing any band
+    bucket.  Returns (doc_id_a, doc_id_b) with a < b, distinct."""
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures(df, text_col, k, n_hashes)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", *[F.col("signature")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_id_a"), "band", "band_key"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_id_b"), "band", "band_key"
+    )
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    df: DataFrame, candidates: DataFrame, text_col: str = "text", threshold: float = 0.7
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs (JVM set functions)."""
+    toks = tokenize(df, text_col).select(
+        "doc_id", F.array_distinct("__tokens").alias("token_set")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_id_a"), F.col("token_set").alias("set_a"))
+    b = toks.select(F.col("doc_id").alias("doc_id_b"), F.col("token_set").alias("set_b"))
+    joined = candidates.join(a, "doc_id_a").join(b, "doc_id_b")
+    jaccard = F.size(F.array_intersect("set_a", "set_b")) / F.size(
+        F.array_union("set_a", "set_b")
+    )
+    return (
+        joined.select("doc_id_a", "doc_id_b", F.round(jaccard, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_adjacent(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """SQL-checkable n-gram Jaccard: similarity of each doc with its
+    successor (doc_id + 1) over distinct token sets."""
+    toks = tokenize(df, text_col).select(
+        "doc_id", F.array_distinct("__tokens").alias("token_set")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_id_a"), F.col("token_set").alias("set_a"))
+    b = toks.select(
+        (F.col("doc_id") - 1).alias("doc_id_a"), F.col("token_set").alias("set_b")
+    )
+    jaccard = F.size(F.array_intersect("set_a", "set_b")) / F.size(
+        F.array_union("set_a", "set_b")
+    )
+    return (
+        a.join(b, "doc_id_a")
+        .select(
+            F.col("doc_id_a").cast("bigint").alias("doc_id"),
+            F.round(jaccard, 6).alias("jaccard_next"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over tokens, entirely JVM-side: per bit, the sign of
+    the sum of ±1 contributions decided by that bit of xxhash64(token)."""
+    toks = tokenize(df, text_col)
+
+    def bit_merge(i: int):
+        def merge(acc, t):
+            return acc + F.when(
+                F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return merge
+
+    bit_cols = []
+    for i in range(bits):
+        contrib = F.aggregate("__tokens", F.lit(0).cast("bigint"), bit_merge(i))
+        # shiftleft wraps bit 63 into the sign bit instead of overflowing
+        bit_cols.append(
+            F.when(contrib > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    value = bit_cols[0]
+    for c in bit_cols[1:]:
+        value = value + c
+    return toks.select("doc_id", value.alias("simhash"))
+
+
+def embedding_near_duplicates(
+    emb_df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs over an embedding table (the
+    verification-scale path; LSH in similarity.py is the scale path)."""
+    v = emb_df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    dot = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(F.aggregate("vec_a", F.lit(0.0), lambda acc, x: acc + x * x))
+    norm_b = F.sqrt(F.aggregate("vec_b", F.lit(0.0), lambda acc, x: acc + x * x))
+    cos = dot / (norm_a * norm_b)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,167 @@
+"""Text analysis operators over a (doc_id, text, ...) corpus.
+
+Everything here is expressed with built-in ``pyspark.sql.functions`` (JVM
+whole-stage codegen; no Python in the hot path): language-ID marker scoring,
+quality heuristics, token counting, fingerprinting.  Each operator has an
+ANSI-SQL oracle in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# shared with the extraction kernel's class-weight semantics (A6)
+POSITIVE_PATTERN = (
+    "article|body|content|entry|hentry|main|page|pagination|post|text|blog|story"
+)
+NEGATIVE_PATTERN = (
+    "combx|comment|com-|contact|foot|footer|footnote|masthead|media|meta|"
+    "outbrain|promo|related|scroll|shoutbox|sidebar|side|sponsor|shopping|"
+    "tags|tool|widget"
+)
+
+# tiny per-language marker lexicons for the n-gram/lexicon language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "fast", "slow"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+TOKEN_PATTERN = r"\w+|[^\w\s]"  # whitespace words + punctuation, BPE-ish
+
+
+def comma_segments(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """A1 analogue: comma-segment count per document (count + 1,
+    NReadabilityTranscoder.cs:1293-1296)."""
+    return df.select(
+        "doc_id",
+        (
+            F.length(text_col)
+            - F.length(F.regexp_replace(F.col(text_col), ",", ""))
+            + F.lit(1)
+        )
+        .cast("bigint")
+        .alias("comma_segments"),
+    )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """A2 analogue: GetInnerText normalization (trim + collapse \\s{2,})."""
+    return df.select(
+        "doc_id",
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s{2,}", " ").alias("normalized_text"),
+    )
+
+
+def paragraph_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """A3 analogue: 1 + commaSegments + min(len/100, 3) with integer
+    semantics (NReadabilityTranscoder.cs:1053-1059)."""
+    segments = (
+        F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), ",", "")) + F.lit(1)
+    )
+    length_points = F.least(F.floor(F.length(text_col) / 100), F.lit(3))
+    return df.select(
+        "doc_id",
+        (F.lit(1) + segments + length_points).cast("bigint").alias("score"),
+    )
+
+
+def hierarchical_rollup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """A4 analogue: parent (source) gets the full score, grandparent (lang)
+    gets score // 2 -- two-level rollup expressed as a union of grouped
+    aggregations (map-side partial aggregation; one shuffle per level)."""
+    scored = paragraph_score(df, text_col).join(
+        df.select("doc_id", "source", "lang"), "doc_id"
+    )
+    parents = scored.groupBy(F.col("source").alias("group_key")).agg(
+        F.sum("score").cast("bigint").alias("rollup_score")
+    ).withColumn("level", F.lit("parent"))
+    grandparents = scored.groupBy(F.col("lang").alias("group_key")).agg(
+        F.sum(F.floor(F.col("score") / 2)).cast("bigint").alias("rollup_score")
+    ).withColumn("level", F.lit("grandparent"))
+    return parents.unionByName(grandparents).select("level", "group_key", "rollup_score")
+
+
+def class_weight(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """A6 analogue: ±25 regex weighting applied to document text."""
+    pos = F.when(F.col(text_col).rlike(POSITIVE_PATTERN), 25).otherwise(0)
+    neg = F.when(F.col(text_col).rlike(NEGATIVE_PATTERN), -25).otherwise(0)
+    return df.select("doc_id", (pos + neg).cast("bigint").alias("weight"))
+
+
+def top_doc_per_group(df: DataFrame, group_col: str = "lang", text_col: str = "text") -> DataFrame:
+    """T1 analogue: argmax per group with deterministic tie-break
+    (score desc, doc_id asc), as a window top-1."""
+    from pyspark.sql import Window
+
+    scored = paragraph_score(df, text_col).join(df.select("doc_id", group_col), "doc_id")
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(group_col).alias("group_key"), "doc_id", "score")
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count (JVM regexp)."""
+    return df.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0))
+        .cast("bigint")
+        .alias("regex_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: length, punctuation ratio, stopword ratio, mean
+    word length -- all rounded to stable precision."""
+    length = F.length(text_col)
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin("the", "a", "and", "of", "in", "to")))
+    return df.select(
+        "doc_id",
+        length.cast("bigint").alias("n_chars_measured"),
+        F.round(punct / length, 6).alias("punct_ratio"),
+        F.round(stop_hits / n_words, 6).alias("stopword_ratio"),
+        F.round((length - n_words + 1) / n_words, 6).alias("mean_word_len"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lexicon-marker language heuristic: count marker-word hits per language
+    (word-boundary regex), predict the argmax with deterministic tie-break on
+    language code.  Pure JVM: one regexp per language."""
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        pattern = r"\b(" + "|".join(markers) + r")\b"
+        score_cols.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).alias(
+                f"score_{lang}"
+            )
+        )
+    scored = df.select("doc_id", F.col("lang").alias("actual_lang"), *score_cols)
+    langs = sorted(LANG_MARKERS.keys())
+    # argmax with tie-break on language code order
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    predicted = F.coalesce(
+        *[F.when(F.col(f"score_{lang}") == best, F.lit(lang)) for lang in langs]
+    )
+    return scored.select(
+        "doc_id",
+        "actual_lang",
+        predicted.alias("predicted_lang"),
+        best.cast("bigint").alias("best_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the case-folded, whitespace-normalized
+    text (md5 agrees across Spark and DuckDB, making this oracle-checkable)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select("doc_id", F.md5(normalized).alias("fingerprint"))
