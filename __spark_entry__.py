@@ -440,14 +440,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.8
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.8
         """,
         "ann_bruteforce_topk": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-                     round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cosine
+                     round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
               FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id != q.vec_id
             ), ranked AS (
               SELECT *, row_number() OVER (PARTITION BY query_id

@@ -74,34 +74,25 @@ def minhash_signatures(
         "__shingles", shingles_col("__tokens", k)
     )
 
-    def min_hash_merge(a: int, b: int):
-        # closure factory: pyspark introspects lambda arity, so the hash
-        # coefficients must be captured here, not as default args.
-        # xxhash64 is folded into 31 bits before the multiply so
-        # (2^31 * 2^31 + b) stays inside a signed 64-bit long (ANSI mode).
-        def merge(acc, s):
-            h31 = F.pmod(F.xxhash64(s), F.lit(1 << 31))
-            return F.least(
-                acc,
-                F.pmod(
-                    h31 * F.lit(a % (1 << 31)) + F.lit(b % (1 << 31)),
-                    F.lit(_MINHASH_PRIME),
-                ),
-            )
+    # hash each shingle ONCE (xxhash64 folded to 31 bits so a*h+b stays inside
+    # a signed 64-bit long under ANSI mode), then take the min of each affine
+    # permutation over the precomputed hash array: one pass of expensive
+    # hashing + n_hashes cheap passes, instead of n_hashes * hashing
+    hashed = F.transform("__shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
 
-        return merge
+    def perm(a: int, b: int):
+        # closure factory: pyspark introspects lambda arity, so the
+        # coefficients must be captured here, not as default args
+        return lambda h: F.pmod(
+            h * F.lit(a % (1 << 31)) + F.lit(b % (1 << 31)), F.lit(_MINHASH_PRIME)
+        )
 
     sig = F.array(
-        *[
-            F.aggregate(
-                "__shingles",
-                F.lit(_MINHASH_PRIME).cast("bigint"),
-                min_hash_merge(a, b),
-            )
-            for (a, b) in seeds
-        ]
+        *[F.array_min(F.transform("__h31", perm(a, b))) for (a, b) in seeds]
     )
-    return with_shingles.select("doc_id", sig.alias("signature"))
+    return with_shingles.withColumn("__h31", hashed).select(
+        "doc_id", sig.alias("signature")
+    )
 
 
 def minhash_lsh_candidates(
@@ -212,26 +203,92 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
 
 
 def embedding_near_duplicates(
-    emb_df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 512,
 ) -> DataFrame:
-    """Brute-force cosine near-dup pairs over an embedding table (the
-    verification-scale path; LSH in similarity.py is the scale path)."""
-    v = emb_df.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    """All-pairs cosine near-dup via blocked matrix multiply.
+
+    Row-at-a-time ``zip_with``/``aggregate`` cosine over an exploded n^2 join
+    is O(n^2 * d) scalar ops in codegen -- unusable past a few thousand rows.
+    Instead we tile: pack vectors into ~block_size blocks (bigint-hash of the
+    id => deterministic, uniform), cross-join the upper-triangular block
+    pairs, and compute each tile's full cosine matrix with one numpy float64
+    GEMM inside an Arrow-batched ``mapInPandas``.  Shuffle volume is one copy
+    of the packed table per block-pair side; at 100TB the LSH path
+    (similarity.py) prunes candidates first and this kernel verifies tiles.
+    """
+    import math
+
+    n = emb_df.count()  # one cheap metadata-ish job to size the tiling
+    n_blocks = max(1, math.ceil(n / block_size))
+    packed = (
+        emb_df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+            F.pmod(F.xxhash64(F.col(id_col).cast("bigint")), F.lit(n_blocks)).alias("blk"),
+        )
+        .groupBy("blk")
+        .agg(
+            F.collect_list("id").alias("ids"),
+            F.collect_list("vec").alias("vecs"),
+        )
     )
-    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
-    dot = F.aggregate(
-        F.zip_with("vec_a", "vec_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    a = packed.select(
+        F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
     )
-    norm_a = F.sqrt(F.aggregate("vec_a", F.lit(0.0), lambda acc, x: acc + x * x))
-    norm_b = F.sqrt(F.aggregate("vec_b", F.lit(0.0), lambda acc, x: acc + x * x))
-    cos = dot / (norm_a * norm_b)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    b = packed.select(
+        F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"), F.col("vecs").alias("vecs_b")
+    )
+    tiles = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score_tiles(iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in iterator:
+            ids_a_out, ids_b_out, cos_out = [], [], []
+            for row in pdf.itertuples(index=False):
+                ia = np.asarray(row.ids_a, dtype=np.int64)
+                ib = np.asarray(row.ids_b, dtype=np.int64)
+                ma = np.asarray([np.asarray(v) for v in row.vecs_a], dtype=np.float64)
+                mb = np.asarray([np.asarray(v) for v in row.vecs_b], dtype=np.float64)
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                sim = (ma @ mb.T) / np.outer(na, nb)
+                np.round(sim, 6, out=sim)
+                ii, jj = np.nonzero(sim >= threshold)
+                pa, pb = ia[ii], ib[jj]
+                # canonical orientation + strict upper triangle by id
+                lo = np.minimum(pa, pb)
+                hi = np.maximum(pa, pb)
+                keep = lo < hi
+                pairs = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+                if len(pairs) == 0:
+                    continue
+                # recover cosines for the deduped canonical pairs
+                cmap = {}
+                for x, y, c in zip(pa, pb, sim[ii, jj]):
+                    key = (min(x, y), max(x, y))
+                    cmap[key] = c
+                for x, y in pairs:
+                    ids_a_out.append(int(x))
+                    ids_b_out.append(int(y))
+                    cos_out.append(float(cmap[(x, y)]))
+            yield pd.DataFrame({"id_a": ids_a_out, "id_b": ids_b_out, "cosine": cos_out})
+
+    return tiles.mapInPandas(score_tiles, out_schema).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
