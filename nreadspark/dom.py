@@ -213,9 +213,14 @@ class Node:
         """Descendant elements with the given (lowercase) tag, doc order.
         Reference: DomExtensions.GetElementsByTagName (DomExtensions.cs:269-283)."""
         tag = tag.lower()
-        for node in self.iter_descendants():
-            if node.is_element and node.tag == tag:
-                yield node
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if node.is_element:
+                if node.tag == tag:
+                    yield node
+                if node.children:
+                    stack.extend(reversed(node.children))
 
     def children_by_tag_name(self, tag):
         tag = tag.lower()

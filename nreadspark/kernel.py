@@ -190,44 +190,67 @@ def traverse_elements(root: Node, visitor) -> None:
     (pure optimization, same observable behaviour).  Iterative to survive
     arbitrarily deep documents."""
     visitor(root)
-    # frames: (parent_element, captured_next_node)
+    # frames: (parent_element, captured_next_node, index_hint)
     stack = []
     element = root
     child = element.children[0] if element.children else None
+    hint = 0
     while True:
         while child is not None:
-            parent = element
+            ch = element.children
             # capture next before visiting (removal-safe; nodes inserted
-            # before the current child are never visited, like the reference)
-            try:
-                idx = parent.children.index(child)
-                nxt = parent.children[idx + 1] if idx + 1 < len(parent.children) else None
-            except ValueError:
+            # before the current child are never visited, like the reference).
+            # The index hint makes the common no-mutation case O(1) instead
+            # of O(width) -- crucial for mega-documents with hundreds of
+            # sibling paragraphs.
+            if hint < len(ch) and ch[hint] is child:
+                idx = hint
+            else:
+                try:
+                    idx = ch.index(child)
+                except ValueError:
+                    idx = -1
+            if idx >= 0:
+                nxt = ch[idx + 1] if idx + 1 < len(ch) else None
+            else:
                 nxt = None
             if child.is_element:
                 had_parent = child.parent
                 visitor(child)
                 if child.parent is not None or had_parent is None:
-                    stack.append((element, nxt))
+                    stack.append((element, nxt, idx + 1))
                     element = child
                     child = element.children[0] if element.children else None
+                    hint = 0
                     continue
+                # child was removed: nxt now sits where child was
+                hint = idx
+            else:
+                hint = idx + 1
             child = nxt
         if not stack:
             return
-        element, child = stack.pop()
+        element, child, hint = stack.pop()
 
 
 def traverse_child_nodes(element: Node, visitor) -> None:
     """Visit direct child nodes with next captured before the visit."""
     child = element.children[0] if element.children else None
+    hint = 0
     while child is not None:
-        try:
-            idx = element.children.index(child)
-            nxt = element.children[idx + 1] if idx + 1 < len(element.children) else None
-        except ValueError:
-            nxt = None
+        ch = element.children
+        if hint < len(ch) and ch[hint] is child:
+            idx = hint
+        else:
+            try:
+                idx = ch.index(child)
+            except ValueError:
+                idx = -1
+        nxt = ch[idx + 1] if 0 <= idx + 1 < len(ch) else None
         visitor(child)
+        # if the visitor removed/replaced the child, nxt slid into its slot
+        ch = element.children
+        hint = idx + 1 if (0 <= idx < len(ch) and ch[idx] is child) else max(idx, 0)
         child = nxt
 
 
@@ -258,15 +281,49 @@ def get_segments_count(s: str, ch: str) -> int:
     return s.count(ch) + 1
 
 
+def _normalize_inner(raw: str, dont_normalize_spaces: bool) -> str:
+    raw = raw.strip()
+    if not dont_normalize_spaces:
+        return NORMALIZE_SPACES_RE.sub(" ", raw)
+    return raw
+
+
+def _collect_anchor_texts(element: Node, parts: list, anchor_texts: list) -> None:
+    """One pre-order walk collecting the element's raw text (into ``parts``)
+    and each descendant anchor's raw subtree text (into ``anchor_texts``).
+    Nested anchors double-count their text, exactly like the reference's
+    per-anchor ``GetInnerText`` calls (NReadabilityTranscoder.cs:1275-1291)."""
+    open_bufs: list[list] = []
+    stack: list = [(c, False) for c in reversed(element.children)]
+    while stack:
+        node, is_exit = stack.pop()
+        if is_exit:
+            anchor_texts.append("".join(open_bufs.pop()))
+            continue
+        if node.is_text:
+            v = node.value
+            parts.append(v)
+            for b in open_bufs:
+                b.append(v)
+        elif node.is_element:
+            if node.tag == "a":
+                stack.append((node, True))
+                open_bufs.append([])
+            if node.children:
+                stack.extend((c, False) for c in reversed(node.children))
+
+
 def get_links_density(element: Node, dont_normalize_spaces: bool = False) -> float:
-    """GetLinksDensity (cs:1275-1291)."""
-    text = get_inner_text(element, dont_normalize_spaces)
-    length = len(text)
+    """GetLinksDensity (cs:1275-1291).  Single subtree pass (the reference
+    rescans per anchor; results are identical)."""
+    parts: list = []
+    anchor_texts: list = []
+    _collect_anchor_texts(element, parts, anchor_texts)
+    length = len(_normalize_inner("".join(parts), dont_normalize_spaces))
     if length == 0:
         return 0.0
     links_length = sum(
-        len(get_inner_text(a, dont_normalize_spaces))
-        for a in element.elements_by_tag_name("a")
+        len(_normalize_inner(t, dont_normalize_spaces)) for t in anchor_texts
     )
     return links_length / length
 
@@ -645,9 +702,15 @@ def prepare_article_content_element(article: Node, scores, opts: Options | None 
 
     clean(article, "form")
     clean(article, "object")
-    if sum(1 for _ in article.elements_by_tag_name("h1")) == 1:
+    h1_count = h2_count = 0
+    for el in article.iter_descendant_elements():
+        if el.tag == "h1":
+            h1_count += 1
+        elif el.tag == "h2":
+            h2_count += 1
+    if h1_count == 1:
         clean(article, "h1")
-    if sum(1 for _ in article.elements_by_tag_name("h2")) == 1:
+    if h2_count == 1:
         clean(article, "h2")
     clean(article, "iframe")
     clean_headers(article, opts)
@@ -750,19 +813,56 @@ def clean_conditionally(root: Node, element_name: str, scores, opts: Options | N
         if element_looks_like_paragraph_div(element):
             continue
 
-        text = get_inner_text(element, opts.dont_normalize_spaces)
+        # single fused subtree pass for text, anchor texts, and tag counts
+        # (the reference walks the subtree once per aggregate, cs:1449-1464;
+        # values are identical)
+        parts: list = []
+        anchor_texts: list = []
+        ps_count = imgs_count = lis_count = inputs_count = embeds_count = 0
+        open_bufs: list[list] = []
+        stack: list = [(c, False) for c in reversed(element.children)]
+        while stack:
+            node, is_exit = stack.pop()
+            if is_exit:
+                anchor_texts.append("".join(open_bufs.pop()))
+                continue
+            if node.is_text:
+                v = node.value
+                parts.append(v)
+                for b in open_bufs:
+                    b.append(v)
+            elif node.is_element:
+                tag = node.tag
+                if tag == "p":
+                    ps_count += 1
+                elif tag == "img":
+                    imgs_count += 1
+                elif tag == "li":
+                    lis_count += 1
+                elif tag == "input":
+                    inputs_count += 1
+                elif tag == "embed":
+                    if not VIDEO_RE.search(node.get_attribute("src", "")):
+                        embeds_count += 1
+                elif tag == "a":
+                    stack.append((node, True))
+                    open_bufs.append([])
+                if node.children:
+                    stack.extend((c, False) for c in reversed(node.children))
+
+        text = _normalize_inner("".join(parts), opts.dont_normalize_spaces)
         if get_segments_count(text, ",") < MIN_COMMA_SEGMENTS:
-            ps_count = sum(1 for _ in element.elements_by_tag_name("p"))
-            imgs_count = sum(1 for _ in element.elements_by_tag_name("img"))
-            lis_count = sum(1 for _ in element.elements_by_tag_name("li"))
-            inputs_count = sum(1 for _ in element.elements_by_tag_name("input"))
-            embeds_count = sum(
-                1
-                for e in element.elements_by_tag_name("embed")
-                if not VIDEO_RE.search(e.get_attribute("src", ""))
-            )
-            links_density = get_links_density(element, opts.dont_normalize_spaces)
             text_length = len(text)
+            if text_length == 0:
+                links_density = 0.0
+            else:
+                links_density = (
+                    sum(
+                        len(_normalize_inner(t, opts.dont_normalize_spaces))
+                        for t in anchor_texts
+                    )
+                    / text_length
+                )
             name = element_name.strip().lower()
             remove = (
                 (imgs_count > ps_count)

@@ -6,9 +6,11 @@ Design (Spark-first, not a port of the reference's single-document loop):
   with built-in higher-order functions (``array_sort`` + ``transform`` +
   ``concat_ws``) inside whole-stage codegen -- only ``(doc_id, html[, url])``
   crosses the Arrow boundary, never the span structs.
-* **The kernel runs in Arrow-batched ``mapInPandas``** (no per-row Python
-  UDFs): one Python worker processes a whole record batch per call; regexes
-  are compiled once per worker at module import.
+* **The kernel runs in Arrow-native ``mapInArrow``** (no per-row Python
+  UDFs): one Python worker processes a whole record batch per call; output
+  span sequences are built as flat columnar arrays (``ListArray`` of
+  ``StructArray``) with zero per-span Python objects; regexes are compiled
+  once per worker at module import.
 * **Skew**: mega-documents (FIXTURES.md `mega_doc` family, reference corpus
   max 448KB) are defused by (a) hashing docs uniformly across many more
   partitions than cores (`repartition_for_extraction`), and (b) capping the
@@ -95,71 +97,151 @@ def repartition_for_extraction(df: DataFrame, num_partitions: int | None = None)
     return df.repartition(num_partitions, F.xxhash64("doc_id"))
 
 
+def _arrow_output_schema():
+    import pyarrow as pa
+
+    span = pa.struct(
+        [
+            pa.field("kind", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("media_ref", pa.string()),
+            pa.field("offset", pa.int32()),
+        ]
+    )
+    metrics = pa.struct(
+        [
+            pa.field("n_candidates", pa.int32()),
+            pa.field("top_score", pa.float64()),
+            pa.field("fallback_rerun", pa.bool_()),
+            pa.field("parse_retried", pa.bool_()),
+            pa.field("in_bytes", pa.int64()),
+            pa.field("ms", pa.float64()),
+        ]
+    )
+    return pa.schema(
+        [
+            pa.field("doc_id", pa.string()),
+            pa.field("spans", pa.list_(span)),
+            pa.field("title", pa.string()),
+            pa.field("content_extracted", pa.bool_()),
+            pa.field("next_page_url", pa.string()),
+            pa.field("metrics", metrics),
+        ]
+    )
+
+
 def _extract_batches(iterator):
-    """mapInPandas kernel: (doc_id, __html[, __url]) -> OUTPUT_SCHEMA rows."""
-    import pandas as pd
+    """mapInArrow kernel: (doc_id, __html[, __url]) -> OUTPUT_SCHEMA batches.
+
+    Arrow-native on both sides: the per-document span sequences are written
+    into flat columnar builders (kind/text/media_ref/offset + list offsets)
+    and wrapped as ``ListArray(StructArray)`` directly -- no per-span Python
+    dicts, no pandas block manager.  This halves the Python-side overhead vs
+    a mapInPandas list-of-dict encoding, which matters because the exchange
+    boundary -- not the extraction kernel -- is the hot path at high core
+    counts.
+    """
+    import pyarrow as pa
 
     from .kernel import Options, transcode
-    from .spans import extract_spans
+    from .spans import extract_spans_flat
 
     opts = Options()
-    for pdf in iterator:
-        n = len(pdf)
-        doc_ids = pdf["doc_id"].tolist()
-        htmls = pdf["__html"].tolist()
-        urls = pdf["__url"].tolist() if "__url" in pdf.columns else [None] * n
+    schema = _arrow_output_schema()
+    span_type = schema.field("spans").type.value_type
+    metrics_type = schema.field("metrics").type
 
-        out = {
-            "doc_id": doc_ids,
-            "spans": [None] * n,
-            "title": [None] * n,
-            "content_extracted": [False] * n,
-            "next_page_url": [None] * n,
-            "metrics": [None] * n,
-        }
+    for batch in iterator:
+        names = batch.schema.names
+        n = batch.num_rows
+        doc_ids = batch.column(names.index("doc_id"))
+        htmls = batch.column(names.index("__html")).to_pylist()
+        urls = (
+            batch.column(names.index("__url")).to_pylist()
+            if "__url" in names
+            else [None] * n
+        )
+
+        # flat span builders (one set for the whole batch)
+        s_kind: list = []
+        s_text: list = []
+        s_ref: list = []
+        s_off: list = []
+        list_offsets = [0]
+
+        titles: list = [None] * n
+        extracted = [False] * n
+        next_urls: list = [None] * n
+        m_cand = [0] * n
+        m_top = [0.0] * n
+        m_fall = [False] * n
+        m_retry = [False] * n
+        m_bytes = [0] * n
+        m_ms = [0.0] * n
+
         for i in range(n):
             html = htmls[i]
             started = time.perf_counter()
             if html is None or html.strip() == "":
-                out["spans"][i] = []
-                out["metrics"][i] = {
-                    "n_candidates": 0,
-                    "top_score": 0.0,
-                    "fallback_rerun": False,
-                    "parse_retried": False,
-                    "in_bytes": 0,
-                    "ms": (time.perf_counter() - started) * 1000.0,
-                }
+                list_offsets.append(len(s_kind))
+                m_ms[i] = (time.perf_counter() - started) * 1000.0
                 continue
             try:
                 result = transcode(html, urls[i], opts)
-                out["spans"][i] = extract_spans(result.article_content)
-                out["title"][i] = result.title
-                out["content_extracted"][i] = result.content_extracted
-                out["next_page_url"][i] = result.next_page_url
+                extract_spans_flat(result.article_content, s_kind, s_text, s_ref, s_off)
+                titles[i] = result.title
+                extracted[i] = result.content_extracted
+                next_urls[i] = result.next_page_url
                 m = result.metrics
-                out["metrics"][i] = {
-                    "n_candidates": int(m.get("n_candidates", 0)),
-                    "top_score": float(m.get("top_score", 0.0)),
-                    "fallback_rerun": bool(m.get("fallback_rerun", False)),
-                    "parse_retried": bool(m.get("parse_retried", False)),
-                    "in_bytes": int(m.get("in_bytes", 0)),
-                    "ms": float(m.get("ms", 0.0)),
-                }
+                m_cand[i] = int(m.get("n_candidates", 0))
+                m_top[i] = float(m.get("top_score", 0.0))
+                m_fall[i] = bool(m.get("fallback_rerun", False))
+                m_retry[i] = bool(m.get("parse_retried", False))
+                m_bytes[i] = int(m.get("in_bytes", 0))
+                m_ms[i] = float(m.get("ms", 0.0))
             except Exception:
                 # a poisoned document must never kill a 10^12-doc job: emit an
                 # empty, clearly-flagged row instead (content_extracted=False,
                 # n_candidates=-1 marks kernel failure for the lineage metrics)
-                out["spans"][i] = []
-                out["metrics"][i] = {
-                    "n_candidates": -1,
-                    "top_score": 0.0,
-                    "fallback_rerun": False,
-                    "parse_retried": False,
-                    "in_bytes": len(html.encode("utf-8", errors="replace")),
-                    "ms": (time.perf_counter() - started) * 1000.0,
-                }
-        yield pd.DataFrame(out)
+                m_cand[i] = -1
+                m_bytes[i] = len(html.encode("utf-8", errors="replace"))
+                m_ms[i] = (time.perf_counter() - started) * 1000.0
+            list_offsets.append(len(s_kind))
+
+        span_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(s_kind, pa.string()),
+                pa.array(s_text, pa.string()),
+                pa.array(s_ref, pa.string()),
+                pa.array(s_off, pa.int32()),
+            ],
+            fields=list(span_type),
+        )
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(list_offsets, pa.int32()), span_struct
+        )
+        metrics_arr = pa.StructArray.from_arrays(
+            [
+                pa.array(m_cand, pa.int32()),
+                pa.array(m_top, pa.float64()),
+                pa.array(m_fall, pa.bool_()),
+                pa.array(m_retry, pa.bool_()),
+                pa.array(m_bytes, pa.int64()),
+                pa.array(m_ms, pa.float64()),
+            ],
+            fields=list(metrics_type),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                doc_ids,
+                spans_arr,
+                pa.array(titles, pa.string()),
+                pa.array(extracted, pa.bool_()),
+                pa.array(next_urls, pa.string()),
+                metrics_arr,
+            ],
+            schema=schema,
+        )
 
 
 def extract(
@@ -182,7 +264,7 @@ def extract(
     prepared = df.select(*cols)
     if repartition:
         prepared = repartition_for_extraction(prepared, num_partitions)
-    return prepared.mapInPandas(_extract_batches, OUTPUT_SCHEMA)
+    return prepared.mapInArrow(_extract_batches, OUTPUT_SCHEMA)
 
 
 def extract_from_html(df: DataFrame, html_col: str = "html", url_col: str | None = None) -> DataFrame:
@@ -190,7 +272,7 @@ def extract_from_html(df: DataFrame, html_col: str = "html", url_col: str | None
     cols = [F.col("doc_id"), F.col(html_col).alias("__html")]
     if url_col:
         cols.append(F.col(url_col).alias("__url"))
-    return df.select(*cols).mapInPandas(_extract_batches, OUTPUT_SCHEMA)
+    return df.select(*cols).mapInArrow(_extract_batches, OUTPUT_SCHEMA)
 
 
 def configure_session_defaults(builder):

@@ -92,6 +92,40 @@ def extract_spans(article_content: Node) -> list[dict]:
     return spans
 
 
+def extract_spans_flat(article_content: Node, kinds: list, texts: list, refs: list, offs: list) -> int:
+    """Columnar twin of :func:`extract_spans`: append the span sequence of one
+    document directly onto shared flat builders (kind/text/media_ref/offset).
+    Returns the number of spans appended.  Used by the Arrow-native pipeline
+    so no per-span Python dicts are ever materialized."""
+    base = len(kinds)
+    stack = list(reversed(article_content.children))
+    while stack:
+        node = stack.pop()
+        if node.is_text:
+            kinds.append("text")
+            texts.append(node.value)
+            refs.append(None)
+            offs.append(len(kinds) - 1 - base)
+        elif node.is_element:
+            if node.tag == "img":
+                kinds.append("image")
+                texts.append("")
+                refs.append(node.get_attribute("src", "") or "")
+                offs.append(len(kinds) - 1 - base)
+            elif node.tag in _MEDIA_TAGS:
+                kinds.append("embed")
+                texts.append("")
+                refs.append(node.get_attribute("src") or node.get_attribute("data") or "")
+                offs.append(len(kinds) - 1 - base)
+                # an <object> wrapping its own <embed> should not double-count
+                continue
+            else:
+                if node.children:
+                    stack.extend(reversed(node.children))
+        # comments are dropped
+    return len(kinds) - base
+
+
 def flatten_spans_text(spans) -> str:
     """Concatenated text of a span sequence (probe-matching helper)."""
     return "".join(s["text"] or "" for s in spans if s["kind"] == "text")
