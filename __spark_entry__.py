@@ -221,6 +221,149 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_multipage_extract(spark, sf_dir):
+    """Multi-page chain assembly (SURVEY §2.5 J5/T3): synthesize 3-page
+    article chains from the documents table, resolve + merge (rows-only:
+    the DOM merge kernel is not SQL-expressible)."""
+    from nreadspark.multipage import extract_multipage
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 90)
+    chain = (F.col("doc_id") / 3).cast("bigint")
+    page = F.pmod(F.col("doc_id"), F.lit(3))
+    url = F.concat(F.lit("http://ex.com/s"), chain, F.lit("?page="), page)
+    next_url = F.when(
+        page < 2,
+        F.concat(F.lit("http://ex.com/s"), chain, F.lit("?page="), page + 1),
+    )
+    nav = F.when(
+        next_url.isNotNull(),
+        F.concat(F.lit("<div class='pagination'><a href='"), next_url, F.lit("'>next page</a></div>")),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Story "),
+        chain,
+        F.lit(" | Site</title></head><body><div id='content' class='article'><p>"),
+        F.col("text"),
+        F.lit(", and this paragraph, with commas, is long enough to score as content.</p><p>"),
+        F.col("text"),
+        F.lit(" continued, with more commas, for the sibling merge heuristics.</p></div>"),
+        nav,
+        F.lit("</body></html>"),
+    )
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            html.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )
+    )
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        url.alias("url"),
+        spans.alias("spans"),
+    )
+    out = extract_multipage(pages, "url")
+    return out.select(
+        "doc_id",
+        F.col("n_pages").cast("bigint").alias("n_pages"),
+        F.size("spans").cast("bigint").alias("n_spans"),
+        "content_extracted",
+    ).orderBy("doc_id")
+
+
+def _q_debug_html(spark, sf_dir):
+    """XHTML debug sink (SURVEY §2.1 S4 / §2.7 E2/E6); rows-only."""
+    from nreadspark.serialize import transcode_to_html_column
+
+    docs = _table(spark, sf_dir, "documents").limit(200)
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id"),
+        F.lit(" | Site</title></head><body><div id='content' class='post'><p>"),
+        F.col("text"),
+        F.lit("</p></div></body></html>"),
+    )
+    df = docs.select(F.col("doc_id").cast("string").alias("doc_id"), html.alias("html"))
+    out = transcode_to_html_column(df)
+    return out.select(
+        "doc_id",
+        F.length("debug_html").cast("bigint").alias("html_len"),
+        F.col("debug_html").startswith("<!DOCTYPE").alias("has_doctype"),
+        F.col("debug_html").contains("readability-content").alias("has_content_div"),
+    )
+
+
+def _q_e1_title_rules(spark, sf_dir):
+    """E1 title extraction split rules (cs:773-831) as a vectorized
+    relational op: ' | ' split keep-left, keep-right when <3 words."""
+    docs = _table(spark, sf_dir, "documents")
+    title = F.concat(F.substring("text", 1, 40), F.lit(" | Synthetic Site"))
+    left = F.trim(F.element_at(F.split(title, r"\s\|\s"), 1))
+    right = F.trim(F.element_at(F.split(title, r"\s\|\s"), -1))
+    left_words = F.size(F.split(left, r"\s+"))
+    extracted = F.when(left_words >= 3, left).otherwise(right)
+    return docs.select(
+        "doc_id",
+        title.alias("raw_title"),
+        extracted.alias("extracted_title"),
+        left_words.cast("bigint").alias("left_words"),
+    )
+
+
+def _q_j3_link_score_agg(spark, sf_dir):
+    """J3 next-page link scorer shape (cs:397-614): dedup candidate links by
+    href (hash aggregation) then threshold + top-1 -- modeled over the
+    documents table with deterministic synthetic hrefs."""
+    from pyspark.sql import Window
+
+    docs = _table(spark, sf_dir, "documents")
+    links = docs.select(
+        "doc_id",
+        F.concat(F.lit("http://ex.com/"), F.col("source"), F.lit("/p"), F.pmod("doc_id", F.lit(25))).alias("href"),
+        (
+            F.when(F.col("text").rlike("(?i)next|continue"), 50).otherwise(0)
+            + F.when(F.col("text").rlike("(?i)pag(e|ing|inat)"), 25).otherwise(0)
+            + F.when(F.col("lang") == "en", 12).otherwise(0)
+            - F.when(F.col("text").rlike("(?i)comment|footer"), 65).otherwise(0)
+        ).alias("score"),
+    )
+    agg = links.groupBy("href").agg(
+        F.sum("score").cast("bigint").alias("total_score"),
+        F.count("*").cast("bigint").alias("n_links"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
+    w = Window.orderBy(F.desc("total_score"), F.asc("href"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("total_score") >= 50) & (F.col("rank") <= 10))
+        .select("href", "total_score", "n_links", "first_doc", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def _q_f5_f6_regex_rewrite(spark, sf_dir):
+    """F5 double-<br>-to-<p> + F6 font-to-span regex pre-passes
+    (cs:115-116,763-770) as whole-stage-codegen string rewrites."""
+    docs = _table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<p><font size='3'>"),
+        F.col("text"),
+        F.lit("</font><br /> <br\t/>"),
+        F.col("text"),
+        F.lit("</p>"),
+    )
+    rewritten = F.regexp_replace(
+        F.regexp_replace(html, r"(<br[^>]*>[ \n\r\t]*){2,}", "</p><p>"),
+        r"<(/?)font[^>]*>",
+        r"<$1span>",
+    )
+    return docs.select(
+        "doc_id",
+        F.length(rewritten).cast("bigint").alias("rewritten_len"),
+        F.md5(rewritten).alias("rewritten_md5"),
+    )
+
+
 def _q_tpch_q1_like(spark, sf_dir):
     li = _table(spark, sf_dir, "lineitem")
     return (
@@ -299,6 +442,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         # multimodal plumbing (stubbed decode; rows-only)
         "multimodal_features": _q_multimodal_features,
+        # phase-3 surfaces: multi-page assembly + debug XHTML sink (rows-only)
+        "multipage_extract": _q_multipage_extract,
+        "debug_html": _q_debug_html,
+        # extraction operators as vectorized relational ops (SQL oracles)
+        "e1_title_rules": _q_e1_title_rules,
+        "j3_link_score_agg": _q_j3_link_score_agg,
+        "f5_f6_regex_rewrite": _q_f5_f6_regex_rewrite,
         # relational breadth over the TPC-H-ish tables
         "tpch_q1_like": _q_tpch_q1_like,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
@@ -456,6 +606,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "e1_title_rules": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     substring(text, 1, 40) || ' | Synthetic Site' AS raw_title
+              FROM documents
+            ), s AS (
+              SELECT doc_id, raw_title,
+                     trim(regexp_split_to_array(raw_title, '\s\|\s')[1]) AS lft,
+                     trim(regexp_split_to_array(raw_title, '\s\|\s')[-1]) AS rgt
+              FROM t
+            )
+            SELECT doc_id, raw_title,
+                   CASE WHEN length(regexp_split_to_array(lft, '\s+')) >= 3
+                        THEN lft ELSE rgt END AS extracted_title,
+                   CAST(length(regexp_split_to_array(lft, '\s+')) AS BIGINT) AS left_words
+            FROM s
+        """,
+        "j3_link_score_agg": r"""
+            WITH links AS (
+              SELECT doc_id,
+                     'http://ex.com/' || source || '/p' || CAST(doc_id % 25 AS VARCHAR) AS href,
+                     (CASE WHEN regexp_matches(text, '(?i)next|continue') THEN 50 ELSE 0 END
+                    + CASE WHEN regexp_matches(text, '(?i)pag(e|ing|inat)') THEN 25 ELSE 0 END
+                    + CASE WHEN lang = 'en' THEN 12 ELSE 0 END
+                    - CASE WHEN regexp_matches(text, '(?i)comment|footer') THEN 65 ELSE 0 END) AS score
+              FROM documents
+            ), agg AS (
+              SELECT href,
+                     CAST(sum(score) AS BIGINT) AS total_score,
+                     CAST(count(*) AS BIGINT) AS n_links,
+                     CAST(min(doc_id) AS BIGINT) AS first_doc
+              FROM links GROUP BY href
+            ), ranked AS (
+              SELECT *, row_number() OVER (ORDER BY total_score DESC, href ASC) AS rank
+              FROM agg
+            )
+            SELECT href, total_score, n_links, first_doc, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE total_score >= 50 AND rank <= 10
+        """,
+        "f5_f6_regex_rewrite": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<p><font size=''3''>' || text || '</font><br /> <br' || chr(9) || '/>'
+                       || text || '</p>' AS html
+              FROM documents
+            ), rw AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(html, '(<br[^>]*>[ \n\r\t]*){2,}', '</p><p>', 'g'),
+                       '<(/?)font[^>]*>', '<\1span>', 'g') AS rewritten
+              FROM h
+            )
+            SELECT doc_id,
+                   CAST(length(rewritten) AS BIGINT) AS rewritten_len,
+                   md5(rewritten) AS rewritten_md5
+            FROM rw
         """,
         "tpch_q1_like": """
             SELECT l_returnflag, l_linestatus,

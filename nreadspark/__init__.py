@@ -3,12 +3,16 @@
 A from-scratch, Spark-first reimplementation of the capabilities of
 marek-stoj/NReadability (Arc90 readability): boilerplate stripping, DOM
 heuristics scoring, top-candidate selection and cleaning -- vectorized over an
-Iceberg/parquet table of interleaved text+media documents via Arrow-batched
-``mapInPandas`` kernels, with skew-aware partitioning and per-partition
-checkpointed lineage for resumability.
+Iceberg/parquet table of interleaved text+media documents via Arrow-native
+``mapInArrow`` kernels, with skew-aware partitioning and per-partition
+checkpointed lineage for resumability.  Optional surfaces: multi-page
+assembly (multipage), XHTML debug sink (serialize), Structured Streaming
+wrapper (streaming).
 """
 
 from .kernel import Options, TranscodeResult, transcode
+from .multipage import assemble_pages, transcode_web
+from .serialize import serialize_document, transcode_to_html
 from .spans import extract_spans, flatten_spans_text, spans_to_html
 
 __version__ = "0.1.0"
@@ -21,6 +25,10 @@ __all__ = [
     "flatten_spans_text",
     "spans_to_html",
     "extract_document",
+    "assemble_pages",
+    "transcode_web",
+    "serialize_document",
+    "transcode_to_html",
 ]
 
 

@@ -1,0 +1,76 @@
+"""Structured Streaming surface: the same extraction kernel over a stream.
+
+The reference has no streaming concept (SURVEY.md §2.8); the north rule only
+mandates batch + checkpoint/resume.  This wrapper exists because at ingest
+time a 10^12-document corpus arrives *continuously*: new parquet/Iceberg
+files land in the input table and must be extracted exactly once.
+
+Design: ``readStream`` on the input directory/table -> ``foreachBatch``
+running the identical batch ``extract`` (pipeline.py) -> idempotent append.
+``foreachBatch`` rather than a plain streaming sink because (a) the kernel
+is a mapInArrow transform, fully supported inside it, (b) exactly-once comes
+from the streaming checkpoint's batch-id tracking, and (c) each micro-batch
+can reuse the batch path's skew handling unchanged.  Watermarks/stateful ops
+are unnecessary -- extraction is stateless per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .pipeline import SPAN_TYPE, extract
+
+
+def input_schema():
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("spans", ArrayType(SPAN_TYPE)),
+        ]
+    )
+
+
+def extract_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuously extract newly-landed parquet files.
+
+    Returns the started ``StreamingQuery``.  Exactly-once: the streaming
+    checkpoint records which input files each micro-batch consumed; the
+    parquet sink write inside ``foreachBatch`` is keyed by batch_id via
+    idempotent overwrite of per-batch subdirectories.
+    """
+    reader = spark.readStream.schema(input_schema())
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract(batch_df)
+        # per-batch subdirectory + overwrite => replaying a failed batch
+        # replaces its partial output instead of duplicating it
+        (
+            out.write.mode("overwrite")
+            .parquet(f"{output_path}/batch_id={batch_id}")
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
+    """Read everything the stream has produced so far (all batch dirs)."""
+    return spark.read.option("basePath", output_path).parquet(
+        f"{output_path}/batch_id=*"
+    )
