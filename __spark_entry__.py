@@ -364,6 +364,68 @@ def _q_f5_f6_regex_rewrite(spark, sf_dir):
     )
 
 
+def _q_a5_link_density(spark, sf_dir):
+    """A5 GetLinksDensity (cs:1275-1291) as a relational ratio aggregate:
+    anchor-text chars / total chars, per document (anchor proxy = the
+    stopword tokens 'a'/'the', the link-ish tokens of the synthetic corpus)."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    anchor_len = F.aggregate(
+        F.filter(toks, lambda t: t.isin("a", "the")),
+        F.lit(0),
+        lambda acc, t: acc + F.length(t),
+    )
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    density = F.when(total_len == 0, F.lit(0.0)).otherwise(
+        F.round(anchor_len.cast("double") / total_len, 6)
+    )
+    return docs.select(
+        "doc_id",
+        anchor_len.cast("bigint").alias("anchor_chars"),
+        total_len.cast("bigint").alias("total_chars"),
+        density.alias("link_density"),
+    )
+
+
+def _q_a7_tag_counts(spark, sf_dir):
+    """A7 per-element tag-count aggregates (cs:1456-1464) as substring
+    counting over deterministically synthesized markup."""
+    docs = _table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.expr("repeat('<p>x</p>', cast(doc_id % 5 as int))"),
+        F.expr("repeat('<img />', cast(doc_id % 3 as int))"),
+        F.expr("repeat('<li>y</li>', cast(doc_id % 4 as int))"),
+        F.lit("<input />"),
+    )
+
+    def count_of(pat: str):
+        return (
+            (F.length(html) - F.length(F.replace(html, F.lit(pat), F.lit(""))))
+            / len(pat)
+        ).cast("bigint")
+
+    return docs.select(
+        "doc_id",
+        count_of("<p>").alias("p_count"),
+        count_of("<img />").alias("img_count"),
+        count_of("<li>").alias("li_count"),
+        count_of("<input />").alias("input_count"),
+    )
+
+
+def _q_f7_strip_unlikely(spark, sf_dir):
+    """F7 StripUnlikelyCandidates (cs:921-953) as an anti-join/filter:
+    drop rows whose class+id analogue (source+' '+lang) matches the unlikely
+    pattern and not the ok pattern, with the tag exemption analogue
+    (lang='en' survives like <body>/<a> do)."""
+    docs = _table(spark, sf_dir, "documents")
+    attrs = F.concat_ws(" ", "source", "lang")
+    unlikely = attrs.rlike("(?i)src1[0-9]")
+    ok = attrs.rlike("(?i)src1[57]|de")
+    keep = ~(unlikely & ~ok & (F.col("lang") != "en"))
+    return docs.filter(keep).select("doc_id", "source", "lang")
+
+
 def _q_tpch_q1_like(spark, sf_dir):
     li = _table(spark, sf_dir, "lineitem")
     return (
@@ -424,7 +486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_normalize_text": _q_a2_normalize_text,
         "a3_paragraph_score": _q_a3_paragraph_score,
         "a4_hierarchical_rollup": _q_a4_hierarchical_rollup,
+        "a5_link_density": _q_a5_link_density,
         "a6_class_weight": _q_a6_class_weight,
+        "a7_tag_counts": _q_a7_tag_counts,
+        "f7_strip_unlikely": _q_f7_strip_unlikely,
         "t1_top_doc_per_lang": _q_t1_top_doc_per_lang,
         # dedup suite
         "dedup_exact": _q_dedup_exact,
@@ -606,6 +671,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "a5_link_density": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(coalesce(list_sum(list_transform(
+                         list_filter(t, x -> x IN ('a', 'the')), x -> length(x))), 0) AS BIGINT) AS anchor_chars,
+                     CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS total_chars
+              FROM toks
+            )
+            SELECT doc_id, anchor_chars, total_chars,
+                   CASE WHEN total_chars = 0 THEN 0.0
+                        ELSE round(CAST(anchor_chars AS DOUBLE) / total_chars, 6) END AS link_density
+            FROM agg
+        """,
+        "a7_tag_counts": """
+            WITH h AS (
+              SELECT doc_id,
+                     repeat('<p>x</p>', CAST(doc_id % 5 AS INT))
+                       || repeat('<img />', CAST(doc_id % 3 AS INT))
+                       || repeat('<li>y</li>', CAST(doc_id % 4 AS INT))
+                       || '<input />' AS html
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST((length(html) - length(replace(html, '<p>', ''))) / 3 AS BIGINT) AS p_count,
+                   CAST((length(html) - length(replace(html, '<img />', ''))) / 7 AS BIGINT) AS img_count,
+                   CAST((length(html) - length(replace(html, '<li>', ''))) / 4 AS BIGINT) AS li_count,
+                   CAST((length(html) - length(replace(html, '<input />', ''))) / 9 AS BIGINT) AS input_count
+            FROM h
+        """,
+        "f7_strip_unlikely": """
+            SELECT doc_id, source, lang
+            FROM documents
+            WHERE NOT (regexp_matches(source || ' ' || lang, '(?i)src1[0-9]')
+                       AND NOT regexp_matches(source || ' ' || lang, '(?i)src1[57]|de')
+                       AND lang != 'en')
         """,
         "e1_title_rules": r"""
             WITH t AS (
