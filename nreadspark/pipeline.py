@@ -15,8 +15,8 @@ Design (Spark-first, not a port of the reference's single-document loop):
   max 448KB) are defused by (a) hashing docs uniformly across many more
   partitions than cores (`repartition_for_extraction`), and (b) capping the
   Arrow batch size so a single huge batch cannot monopolize a worker --
-  set ``spark.sql.execution.arrow.maxRecordsPerBatch`` (64 is a good
-  default for web-page-sized docs).
+  set ``spark.sql.execution.arrow.maxRecordsPerBatch`` (256 balances
+  per-batch overhead against batch-size skew for web-page-sized docs).
 * At cluster scale the same plan runs unchanged: the shuffle key is
   ``xxhash64(doc_id)`` (uniform, deterministic), AQE coalesces small
   partitions, and lineage bucketing (lineage.py) gives idempotent resume.
@@ -279,6 +279,6 @@ def configure_session_defaults(builder):
     """Recommended session config for the extraction workload."""
     return (
         builder.config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.adaptive.enabled", "true")
     )
