@@ -50,7 +50,9 @@ def main() -> None:
 
         input_df = build_corpus_df(spark, args.synthetic)
     elif args.input:
-        input_df = spark.read.parquet(args.input)
+        from nreadspark.sources import load_documents
+
+        input_df = load_documents(spark, args.input)
     else:
         parser.error("either --input or --synthetic is required")
         return

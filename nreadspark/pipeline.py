@@ -275,6 +275,24 @@ def extract_from_html(df: DataFrame, html_col: str = "html", url_col: str | None
     return df.select(*cols).mapInArrow(_extract_batches, OUTPUT_SCHEMA)
 
 
+def extraction_metrics(df: DataFrame) -> DataFrame:
+    """Corpus-level rollup of the per-document kernel metrics (one row):
+    throughput accounting, failure/fallback/retry counts, byte volume.
+    Feed it the OUTPUT_SCHEMA frame; runs entirely in codegen."""
+    return df.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("content_extracted").cast("int")).alias("docs_extracted"),
+        F.sum((F.col("metrics.n_candidates") < 0).cast("int")).alias("kernel_failures"),
+        F.sum(F.col("metrics.fallback_rerun").cast("int")).alias("fallback_reruns"),
+        F.sum(F.col("metrics.parse_retried").cast("int")).alias("parse_retries"),
+        F.sum("metrics.in_bytes").alias("in_bytes"),
+        F.round(F.sum("metrics.ms") / 1000.0, 3).alias("kernel_cpu_sec"),
+        F.round(F.avg("metrics.ms"), 3).alias("avg_ms_per_doc"),
+        F.round(F.expr("percentile_approx(metrics.ms, 0.95)"), 3).alias("p95_ms_per_doc"),
+        F.round(F.max("metrics.ms"), 3).alias("max_ms_per_doc"),
+    )
+
+
 def configure_session_defaults(builder):
     """Recommended session config for the extraction workload."""
     return (

@@ -53,13 +53,32 @@ def extract_stream(
     stream = reader.parquet(input_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+        import os
+        import time as _time
+
+        from .pipeline import extraction_metrics
+
+        started = _time.time()
         out = extract(batch_df)
         # per-batch subdirectory + overwrite => replaying a failed batch
         # replaces its partial output instead of duplicating it
-        (
-            out.write.mode("overwrite")
-            .parquet(f"{output_path}/batch_id={batch_id}")
-        )
+        batch_dir = f"{output_path}/batch_id={batch_id}"
+        out.write.mode("overwrite").parquet(batch_dir)
+        # per-batch metrics manifest (the streaming twin of the batch
+        # pipeline's per-bucket lineage manifests)
+        try:
+            row = extraction_metrics(
+                batch_df.sparkSession.read.parquet(batch_dir)
+            ).collect()[0]
+            manifest = {**row.asDict(), "batch_id": batch_id, "wall_sec": round(_time.time() - started, 3)}
+            os.makedirs(f"{output_path}/_metrics", exist_ok=True)
+            tmp = f"{output_path}/_metrics/.batch_{batch_id}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, f"{output_path}/_metrics/batch_{batch_id}.json")
+        except Exception:
+            pass  # metrics are advisory; never fail the batch for them
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path

@@ -1,0 +1,61 @@
+"""sources.py resolution + extraction_metrics rollup."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    from nreadspark.pipeline import configure_session_defaults
+
+    s = configure_session_defaults(
+        SparkSession.builder.master("local[4]")
+        .appName("sources-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    yield s
+    s.stop()
+
+
+def test_load_documents_parquet_path(spark, tmp_path):
+    from nreadspark.corpus import build_corpus_df
+    from nreadspark.sources import load_documents, write_documents
+
+    p = str(tmp_path / "docs")
+    write_documents(build_corpus_df(spark, 10), p, mode="overwrite")
+    df = load_documents(spark, p)
+    assert df.count() == 10
+    assert set(df.columns) == {"doc_id", "spans"}
+
+
+def test_load_documents_catalog_table(spark):
+    from nreadspark.corpus import build_corpus_df
+    from nreadspark.sources import load_documents
+
+    build_corpus_df(spark, 5).createOrReplaceTempView("docs_view")
+    assert load_documents(spark, "docs_view").count() == 5
+
+
+def test_iceberg_detection_is_honest(spark):
+    from nreadspark.sources import iceberg_available
+
+    # the sandbox has no Iceberg jars; the probe must say so, not crash
+    assert iceberg_available(spark) is False
+
+
+def test_extraction_metrics_rollup(spark):
+    from nreadspark.corpus import build_corpus_df
+    from nreadspark.pipeline import extract, extraction_metrics
+
+    out = extract(build_corpus_df(spark, 40))
+    row = extraction_metrics(out).collect()[0]
+    assert row["docs"] == 40
+    assert row["docs_extracted"] >= 35  # empty_article family may not extract
+    assert row["kernel_failures"] == 0
+    assert row["in_bytes"] > 0
+    assert row["kernel_cpu_sec"] > 0
+    assert row["max_ms_per_doc"] >= row["p95_ms_per_doc"] >= 0
