@@ -176,20 +176,24 @@ def ngram_jaccard_adjacent(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash over tokens, entirely JVM-side: per bit, the sign of
-    the sum of ±1 contributions decided by that bit of xxhash64(token)."""
-    toks = tokenize(df, text_col)
+    the sum of ±1 contributions decided by that bit of xxhash64(token).
+    Tokens are hashed ONCE into an int array; the per-bit aggregates then
+    run over cached longs (hashing per bit would cost 64x)."""
+    toks = tokenize(df, text_col).withColumn(
+        "__h", F.transform("__tokens", lambda t: F.xxhash64(t))
+    )
 
     def bit_merge(i: int):
-        def merge(acc, t):
+        def merge(acc, h):
             return acc + F.when(
-                F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
 
         return merge
 
     bit_cols = []
     for i in range(bits):
-        contrib = F.aggregate("__tokens", F.lit(0).cast("bigint"), bit_merge(i))
+        contrib = F.aggregate("__h", F.lit(0).cast("bigint"), bit_merge(i))
         # shiftleft wraps bit 63 into the sign bit instead of overflowing
         bit_cols.append(
             F.when(contrib > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(
