@@ -19,6 +19,7 @@ cannot blow the Python stack inside an executor.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 __all__ = [
@@ -356,9 +357,11 @@ class Document:
 # --------------------------------------------------------------------------
 
 
-class _TreeBuilder(HTMLParser):
+class _TreeSink:
+    """Tree-construction state shared by both parser front-ends (the fast
+    single-pass tokenizer and the stdlib html.parser fallback)."""
+
     def __init__(self):
-        super().__init__(convert_charrefs=True)
         self.top = Node("#fragment")
         self.stack = [self.top]
         self._pending_text = []
@@ -446,19 +449,241 @@ class _TreeBuilder(HTMLParser):
         self._flush_text()
 
     def finish(self):
-        self.close()
         self._flush_text()
         return self.top
 
 
-def _parse_nodes(html_content: str):
-    """Parse markup into a list of top-level nodes."""
+class _TreeBuilder(_TreeSink, HTMLParser):
+    """stdlib front-end: exact html.parser tokenization feeding the sink.
+    _TreeSink is first in the MRO so its handler methods shadow HTMLParser's
+    no-op defaults."""
+
+    def __init__(self):
+        HTMLParser.__init__(self, convert_charrefs=True)
+        _TreeSink.__init__(self)
+
+    def finish(self):
+        self.close()
+        return _TreeSink.finish(self)
+
+
+# ---------------------------------------------------------------------------
+# Fast single-pass tokenizer
+# ---------------------------------------------------------------------------
+#
+# Replicates html.parser's *observable* tokenization (same tolerant regexes,
+# same recovery rules, same CDATA/bogus-comment semantics) without the
+# incremental-buffer machinery -- we always hold the whole document, so the
+# "wait for more data" paths collapse into EOF recovery.  Anything exotic
+# (marked sections ``<![...``) raises _FastUnsupported and the document is
+# re-parsed with the stdlib front-end, guaranteeing behavioral equality.
+# Parity is enforced by tests/test_fast_parser.py (A/B tree comparison over
+# all vendored fixtures + fuzzed documents).
+
+from html import unescape as _unescape  # noqa: E402
+from html import parser as _hp  # noqa: E402  (tolerant regexes reused verbatim)
+
+_CDATA_CLOSE = {
+    t: re.compile(r"</\s*%s\s*>" % t, re.I) for t in ("script", "style")
+}
+_LETTERS_EQ_SLASH = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
+
+
+class _FastUnsupported(Exception):
+    pass
+
+
+def _fp_recover(sink, rawdata, i):
+    """goahead's k<0 EOF recovery (html/parser.py:176-189)."""
+    k = rawdata.find(">", i + 1)
+    if k < 0:
+        k = rawdata.find("<", i + 1)
+        if k < 0:
+            k = i + 1
+    else:
+        k += 1
+    sink.handle_data(_unescape(rawdata[i:k]))
+    return k
+
+
+def _fp_starttag(sink, rawdata, i):
+    """parse_starttag + check_for_whole_start_tag (html/parser.py:300-377).
+    Returns (next_pos, cdata_tag_or_None); next_pos < 0 means incomplete."""
+    m = _hp.locatestarttagend_tolerant.match(rawdata, i)
+    j = m.end()
+    nxt = rawdata[j : j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/":
+        if rawdata.startswith("/>", j):
+            endpos = j + 2
+        else:
+            return -1, None
+    elif nxt == "":
+        return -1, None
+    elif nxt in _LETTERS_EQ_SLASH:
+        return -1, None
+    else:
+        endpos = j if j > i else i + 1
+
+    match = _hp.tagfind_tolerant.match(rawdata, i + 1)
+    if match is None:
+        return -1, None
+    k = match.end()
+    tag = match.group(1).lower()
+    attrs = []
+    while k < endpos:
+        am = _hp.attrfind_tolerant.match(rawdata, k)
+        if not am:
+            break
+        attrname, rest, attrvalue = am.group(1, 2, 3)
+        if not rest:
+            attrvalue = None
+        elif attrvalue[:1] == "'" == attrvalue[-1:] or attrvalue[:1] == '"' == attrvalue[-1:]:
+            attrvalue = attrvalue[1:-1]
+        if attrvalue:
+            attrvalue = _unescape(attrvalue)
+        attrs.append((attrname.lower(), attrvalue))
+        k = am.end()
+
+    end = rawdata[k:endpos].strip()
+    if end not in (">", "/>"):
+        sink.handle_data(rawdata[i:endpos])  # junk start tag -> raw data
+        return endpos, None
+    if end.endswith("/>"):
+        sink.handle_startendtag(tag, attrs)
+        return endpos, None
+    sink.handle_starttag(tag, attrs)
+    return endpos, (tag if tag in ("script", "style") else None)
+
+
+def _fp_endtag(sink, rawdata, i):
+    """parse_endtag outside CDATA mode (html/parser.py:379-420)."""
+    m = _hp.endendtag.search(rawdata, i + 1)
+    if not m:
+        return -1
+    gtpos = m.end()
+    m2 = _hp.endtagfind.match(rawdata, i)
+    if not m2:
+        nm = _hp.tagfind_tolerant.match(rawdata, i + 2)
+        if not nm:
+            if rawdata[i : i + 3] == "</>":
+                return i + 3
+            pos = rawdata.find(">", i + 2)  # bogus comment
+            if pos == -1:
+                return -1
+            sink.handle_comment(rawdata[i + 2 : pos])
+            return pos + 1
+        tagname = nm.group(1).lower()
+        gt = rawdata.find(">", nm.end())
+        sink.handle_endtag(tagname)
+        return (gt + 1) if gt != -1 else gtpos
+    sink.handle_endtag(m2.group(1).lower())
+    return gtpos
+
+
+def _fast_feed(sink, rawdata: str) -> None:
+    i, n = 0, len(rawdata)
+    cdata_elem = None
+    while i < n:
+        if cdata_elem is None:
+            j = rawdata.find("<", i)
+            if j < 0:
+                j = n
+        else:
+            m = _CDATA_CLOSE[cdata_elem].search(rawdata, i)
+            if m is None:
+                return  # unterminated rawtext: dropped, like goahead(end=1)
+            j = m.start()
+        if i < j:
+            seg = rawdata[i:j]
+            sink.handle_data(seg if cdata_elem else _unescape(seg))
+        i = j
+        if i >= n:
+            break
+
+        if cdata_elem is not None:
+            # the CDATA close regex guarantees endtagfind matches here
+            m = _hp.endtagfind.match(rawdata, i)
+            sink.handle_endtag(m.group(1).lower())
+            cdata_elem = None
+            i = m.end()
+            continue
+
+        if _hp.starttagopen.match(rawdata, i):
+            k, opened = _fp_starttag(sink, rawdata, i)
+            if k < 0:
+                i = _fp_recover(sink, rawdata, i)
+                continue
+            cdata_elem = opened
+            i = k
+        elif rawdata.startswith("</", i):
+            k = _fp_endtag(sink, rawdata, i)
+            if k < 0:
+                i = _fp_recover(sink, rawdata, i)
+                continue
+            i = k
+        elif rawdata.startswith("<!--", i):
+            m = _hp.commentclose.search(rawdata, i + 4)
+            if not m:
+                i = _fp_recover(sink, rawdata, i)
+                continue
+            sink.handle_comment(rawdata[i + 4 : m.start()])
+            i = m.end()
+        elif rawdata.startswith("<?", i):
+            pos = rawdata.find(">", i + 2)
+            if pos == -1:
+                i = _fp_recover(sink, rawdata, i)
+                continue
+            sink.handle_pi("")  # dropped, but flushes pending text like stdlib
+            i = pos + 1
+        elif rawdata.startswith("<!", i):
+            if rawdata.startswith("<![", i):
+                raise _FastUnsupported("marked section")
+            if rawdata[i : i + 9].lower() == "<!doctype":
+                pos = rawdata.find(">", i + 9)
+                if pos == -1:
+                    i = _fp_recover(sink, rawdata, i)
+                    continue
+                sink.handle_decl("")  # dropped, but flushes pending text
+                i = pos + 1
+            else:
+                pos = rawdata.find(">", i + 2)  # bogus comment
+                if pos == -1:
+                    i = _fp_recover(sink, rawdata, i)
+                    continue
+                sink.handle_comment(rawdata[i + 2 : pos])
+                i = pos + 1
+        else:
+            sink.handle_data("<")
+            i += 1
+
+
+def _parse_nodes_stdlib(html_content: str):
     builder = _TreeBuilder()
     builder.feed(html_content)
     top = builder.finish()
     for child in top.children:
         child.parent = None
     return top.children
+
+
+def _parse_nodes_fast(html_content: str):
+    sink = _TreeSink()
+    _fast_feed(sink, html_content)
+    top = sink.finish()
+    for child in top.children:
+        child.parent = None
+    return top.children
+
+
+def _parse_nodes(html_content: str):
+    """Parse markup into a list of top-level nodes: fast tokenizer first,
+    stdlib front-end for constructs the fast path doesn't model."""
+    try:
+        return _parse_nodes_fast(html_content)
+    except _FastUnsupported:
+        return _parse_nodes_stdlib(html_content)
 
 
 def remove_script_tags(html_content: str) -> str:
