@@ -187,6 +187,20 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, dim=64, k=5, n_bits=16, n_bands=8)
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    from nreadspark.ops.similarity import ivf_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = ivf_topk(emb, queries, dim=64, k=5, n_lists=16, n_probe=4)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("corpus_id").cast("bigint").alias("corpus_id"),
+        "cosine",
+        "rank",
+    )
+
+
 def _q_text_token_count(spark, sf_dir):
     from nreadspark.ops.textstats import token_count
 
@@ -500,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_bruteforce_topk": _q_ann_bruteforce_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         # text analysis
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,

@@ -106,6 +106,153 @@ def lsh_signatures(
     )
 
 
+def _train_ivf_centroids(corpus, n_lists, sample_size, id_col, vec_col, iters=8):
+    """Deterministic spherical k-means on a hash-ordered sample (driver-side
+    numpy; the sample is tiny).  Farthest-point init from the first sample
+    vector, fixed iteration count -- fully reproducible, no RNG."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sample = (
+        corpus.select(
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    # farthest-point (maximin) init
+    cents = [X[0]]
+    for _ in range(min(n_lists, len(X)) - 1):
+        sims = np.max(np.stack([X @ c for c in cents]), axis=0)
+        cents.append(X[int(np.argmin(sims))])
+    C = np.stack(cents)
+
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    C[j] = m / n
+    return C
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: spherical-k-means coarse quantizer, corpus
+    partitioned into n_lists inverted lists, queries probe their n_probe
+    nearest lists, exact cosine rerank inside the probed lists.
+
+    The 100TB shape: centroids are a driver-side broadcast (KBs), list
+    assignment is one Arrow-batched GEMM pass over the corpus (writable as a
+    list_id-partitioned table for reuse), and each query touches
+    n_probe/n_lists of the data.  Recall is tunable via n_probe.
+    """
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    C = _train_ivf_centroids(corpus, n_lists, sample_size, id_col, vec_col)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(C.tolist())
+
+    assign_schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("vec", ArrayType(DoubleType())),
+            StructField("list_id", IntegerType()),
+        ]
+    )
+
+    def assign_batches(top_n):
+        def fn(iterator):
+            import numpy as np
+
+            cents = np.asarray(bc.value, dtype=np.float64)
+            for batch in iterator:
+                ids = batch.column(0).to_pylist()
+                vecs = batch.column(1).to_pylist()
+                if not ids:
+                    continue
+                X = np.asarray(vecs, dtype=np.float64)
+                X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+                sims = X @ cents.T
+                # top_n nearest lists per row (1 for corpus, n_probe for queries)
+                order = np.argsort(-sims, axis=1)[:, :top_n]
+                out_ids, out_vecs, out_lists = [], [], []
+                for i, row_lists in enumerate(order):
+                    for lid in row_lists:
+                        out_ids.append(ids[i])
+                        out_vecs.append(vecs[i])
+                        out_lists.append(int(lid))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_ids, pa.string()),
+                        pa.array(out_vecs, pa.list_(pa.float64())),
+                        pa.array(out_lists, pa.int32()),
+                    ],
+                    names=["id", "vec", "list_id"],
+                )
+
+        return fn
+
+    def prep(df):
+        return df.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+
+    corpus_lists = prep(corpus).mapInArrow(assign_batches(1), assign_schema)
+    query_probes = prep(queries).mapInArrow(assign_batches(n_probe), assign_schema)
+
+    c = corpus_lists.select(
+        F.col("id").alias("corpus_id"), F.col("vec").alias("corpus_vec"), "list_id"
+    )
+    q = query_probes.select(
+        F.col("id").alias("query_id"), F.col("vec").alias("query_vec"), "list_id"
+    )
+    joined = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", "query_vec", "corpus_vec")
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    scored = joined.select(
+        "query_id",
+        "corpus_id",
+        F.round(_cosine(F.col("query_vec"), F.col("corpus_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

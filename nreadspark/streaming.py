@@ -93,3 +93,40 @@ def read_extracted(spark: SparkSession, output_path: str) -> DataFrame:
     return spark.read.option("basePath", output_path).parquet(
         f"{output_path}/batch_id=*"
     )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream --
+    the standard late-data-tolerant shape (SURVEY §2.8: the reference has no
+    streaming; this is the engine's windowed-agg surface for ingest-side
+    monitoring, e.g. docs/sec per source while a 10^12-doc extraction runs).
+
+    Returns (window.start, window.end, <key>, n_events, total_value); state
+    for windows older than the watermark is dropped, so memory is bounded
+    regardless of stream length.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        # watermarks need TIMESTAMP (with local tz); parquet often carries NTZ
+        events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )

@@ -120,3 +120,20 @@ def test_ann_lsh_recall_against_bruteforce(spark):
     assert lsh_pairs, "LSH returned nothing"
     recall = len(bf_pairs & lsh_pairs) / len(bf_pairs)
     assert recall > 0.05, f"suspiciously low LSH recall: {recall}"
+
+
+def test_ann_ivf_recall_against_bruteforce(spark):
+    bf = ALL_QUERIES["ann_bruteforce_topk"](spark, SF_DIR).collect()
+    ivf = ALL_QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()
+    bf_pairs = {(r["query_id"], r["corpus_id"]) for r in bf}
+    ivf_pairs = {(r["query_id"], r["corpus_id"]) for r in ivf}
+    assert ivf_pairs, "IVF returned nothing"
+    recall = len(bf_pairs & ivf_pairs) / len(bf_pairs)
+    # 4/16 lists probed: decent recall expected on clustered synthetic data
+    assert recall > 0.3, f"suspiciously low IVF recall: {recall}"
+
+
+def test_ann_ivf_deterministic(spark):
+    a = sorted(map(tuple, ALL_QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()))
+    b = sorted(map(tuple, ALL_QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()))
+    assert a == b
