@@ -123,22 +123,27 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # --- flagship: materialized synthetic interleaved corpus -> spans ------
     corpus_path = materialize_corpus(spark, N_DOCS)
     corpus = spark.read.parquet(corpus_path)
-    runs = [_timed(lambda: _force(extract(corpus))) for _ in range(2)]
+    runs = [_timed(lambda: _force(extract(corpus))) for _ in range(3)]
     timings["extract_synthetic"] = min(runs)
 
     # --- the driver-contract battery over the sf tables --------------------
     qs = entry_mod.queries()
     headline = [
         "extract_interleaved",
+        "multipage_extract",
+        "debug_html",
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_cosine",
         "ann_bruteforce_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "text_token_count",
         "text_quality",
         "text_lang_id",
+        "e1_title_rules",
+        "f5_f6_regex_rewrite",
         "tpch_q1_like",
         "join_revenue_by_segment",
         "events_daily",
