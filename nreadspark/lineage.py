@@ -47,16 +47,65 @@ def completed_buckets(output_path: str) -> set[int]:
     return done
 
 
-def _write_manifest(output_path: str, bucket: int, payload: dict) -> None:
-    lineage_path = os.path.join(output_path, LINEAGE_DIR)
-    os.makedirs(lineage_path, exist_ok=True)
-    final = os.path.join(lineage_path, f"bucket={bucket}.json")
-    tmp = final + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(payload, fh, sort_keys=True)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, final)  # atomic commit
+def _is_local_path(path: str) -> bool:
+    return "://" not in path or path.startswith("file:")
+
+
+def _hadoop_fs(spark, path_str: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path, jvm
+
+
+def completed_buckets_fs(spark, output_path: str) -> set[int]:
+    """completed_buckets over any Hadoop-compatible filesystem (hdfs://,
+    s3a://, gs://, ...) via the JVM FileSystem API; local paths use the
+    cheaper os.listdir."""
+    if _is_local_path(output_path):
+        return completed_buckets(output_path.removeprefix("file:"))
+    fs, _, jvm = _hadoop_fs(spark, output_path)
+    lineage = jvm.org.apache.hadoop.fs.Path(output_path + "/" + LINEAGE_DIR)
+    if not fs.exists(lineage):
+        return set()
+    done = set()
+    for status in fs.listStatus(lineage):
+        name = status.getPath().getName()
+        if name.startswith("bucket=") and name.endswith(".json"):
+            try:
+                done.add(int(name[len("bucket=") : -len(".json")]))
+            except ValueError:
+                continue
+    return done
+
+
+def _write_manifest(output_path: str, bucket: int, payload: dict, spark=None) -> None:
+    data = json.dumps(payload, sort_keys=True)
+    if spark is None or _is_local_path(output_path):
+        lineage_path = os.path.join(output_path.removeprefix("file:"), LINEAGE_DIR)
+        os.makedirs(lineage_path, exist_ok=True)
+        final = os.path.join(lineage_path, f"bucket={bucket}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, final)  # atomic commit
+        return
+    # remote store: write tmp object then rename (atomic on HDFS; the
+    # standard best-effort commit on object stores)
+    fs, _, jvm = _hadoop_fs(spark, output_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    final = Path(f"{output_path}/{LINEAGE_DIR}/bucket={bucket}.json")
+    tmp = Path(f"{output_path}/{LINEAGE_DIR}/.bucket={bucket}.json.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(data, "utf-8"))
+    finally:
+        out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)
 
 
 def run_extraction(
@@ -74,7 +123,7 @@ def run_extraction(
     started = time.perf_counter()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    done = completed_buckets(output_path) if resume else set()
+    done = completed_buckets_fs(spark, output_path) if resume else set()
     df = input_df.withColumn("bucket", bucket_col(n_buckets))
     todo_df = df.filter(~F.col("bucket").isin(list(done))) if done else df
 
@@ -110,7 +159,7 @@ def run_extraction(
     for row in stats:
         payload = row.asDict()
         payload["committed_at"] = time.time()
-        _write_manifest(output_path, int(row["bucket"]), payload)
+        _write_manifest(output_path, int(row["bucket"]), payload, spark=spark)
 
     return {
         "n_buckets": n_buckets,

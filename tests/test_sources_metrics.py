@@ -59,3 +59,18 @@ def test_extraction_metrics_rollup(spark):
     assert row["in_bytes"] > 0
     assert row["kernel_cpu_sec"] > 0
     assert row["max_ms_per_doc"] >= row["p95_ms_per_doc"] >= 0
+
+
+def test_lineage_manifests_via_hadoop_fs(spark, tmp_path, monkeypatch):
+    """The remote-store manifest branch (JVM FileSystem API) round-trips;
+    Hadoop LocalFileSystem stands in for hdfs/s3a in the sandbox."""
+    import json
+
+    import nreadspark.lineage as L
+
+    monkeypatch.setattr(L, "_is_local_path", lambda p: False)
+    out = "file://" + str(tmp_path)
+    L._write_manifest(out, 7, {"docs": 3}, spark=spark)
+    L._write_manifest(out, 7, {"docs": 4}, spark=spark)  # overwrite-safe
+    assert L.completed_buckets_fs(spark, out) == {7}
+    assert json.load(open(tmp_path / "_lineage" / "bucket=7.json"))["docs"] == 4
