@@ -440,6 +440,28 @@ def _q_f7_strip_unlikely(spark, sf_dir):
     return docs.filter(keep).select("doc_id", "source", "lang")
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    from nreadspark.ops.multimodal import resize_images, synthesize_media_df
+
+    docs = _table(spark, sf_dir, "documents").limit(100)
+    media = synthesize_media_df(spark, docs)
+    out = resize_images(media, 224, 224)
+    return out.select(
+        "media_ref", "width", "height", F.length("payload").cast("bigint").alias("n_bytes")
+    )
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    from nreadspark.ops.multimodal import sample_video_frames, synthesize_media_df
+
+    docs = _table(spark, sf_dir, "documents").limit(100)
+    media = synthesize_media_df(spark, docs)
+    out = sample_video_frames(media, every_ms=2000, max_frames=8)
+    return out.select(
+        "media_ref", "frame_idx", "ts_ms", F.length("frame_payload").cast("bigint").alias("n_bytes")
+    )
+
+
 def _q_tpch_q1_like(spark, sf_dir):
     li = _table(spark, sf_dir, "lineitem")
     return (
@@ -524,6 +546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         # phase-3 surfaces: multi-page assembly + debug XHTML sink (rows-only)
         "multipage_extract": _q_multipage_extract,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
         "debug_html": _q_debug_html,
         # extraction operators as vectorized relational ops (SQL oracles)
         "e1_title_rules": _q_e1_title_rules,
