@@ -184,9 +184,13 @@ def resolve_chains(extracted, url_col: str = "url", max_pages: int = MAX_PAGES):
     """
     from pyspark.sql import functions as F
 
+    # materialize the edge table once and truncate its lineage: every
+    # iteration below joins against it, and without the checkpoint each
+    # round would re-run the (expensive) extraction pass that produced
+    # next_page_url, with cost growing per generation
     pages = extracted.select(
         F.col("doc_id"), F.col(url_col).alias("url"), F.col("next_page_url")
-    )
+    ).localCheckpoint(eager=True)
     # roots: pages that are nobody's next page
     targets = pages.select(F.col("next_page_url").alias("url")).where(
         F.col("url").isNotNull()
@@ -199,7 +203,7 @@ def resolve_chains(extracted, url_col: str = "url", max_pages: int = MAX_PAGES):
         F.col("next_page_url"),
         F.lit(1).alias("page_num"),
         F.array(F.col("url")).alias("visited"),
-    )
+    ).localCheckpoint(eager=True)
     assignments = [frontier.select("root_doc_id", "doc_id", "page_num")]
 
     nxt_pages = pages.select(
@@ -227,6 +231,9 @@ def resolve_chains(extracted, url_col: str = "url", max_pages: int = MAX_PAGES):
                 (F.col("page_num") + 1).alias("page_num"),
                 F.array_append("visited", F.col("next_page_url")).alias("visited"),
             )
+            # truncate lineage each generation: otherwise round k re-runs
+            # all k-1 previous joins when the final union materializes
+            .localCheckpoint(eager=True)
         )
         assignments.append(frontier.select("root_doc_id", "doc_id", "page_num"))
 
