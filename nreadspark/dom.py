@@ -716,6 +716,10 @@ def build_document(html_content: str, _retrying: bool = False, stats: dict | Non
         raise ValueError("html_content is required")
     if html_content.strip() == "":
         return Document(None)
+    # a leading BOM is an encoding artifact, not content: .NET's decoder
+    # consumes it before SgmlReader ever sees the text, so a BOM'd page must
+    # not grow a synthetic wrapper root around its real <html>
+    html_content = html_content.lstrip("\ufeff")
 
     idx = html_content.rfind("</html")
     if idx != -1:
