@@ -753,14 +753,19 @@ def prepare_article_content_element(article: Node, scores, opts: Options | None 
 
 
 def clean_styles(root: Node) -> None:
-    """CleanStyles (cs:1515-1530)."""
-
-    def visitor(element: Node) -> None:
-        if READABILITY_STYLED_CLASS in element.get_class():
-            return
-        element.set_attribute("style", None)
-
-    traverse_elements(root, visitor)
+    """CleanStyles (cs:1515-1530).  Attribute-only mutation: a plain
+    pre-order iteration visits the same element set as the removal-safe
+    traverser (nothing is detached), without its per-step bookkeeping."""
+    if READABILITY_STYLED_CLASS not in root.get_class():
+        root.attrs.pop("style", None)
+    stack = list(root.children)
+    while stack:
+        node = stack.pop()
+        if node.is_element:
+            if READABILITY_STYLED_CLASS not in node.get_class():
+                node.attrs.pop("style", None)
+            if node.children:
+                stack.extend(node.children)
 
 
 def _subtree_has_tag(element: Node, tag: str) -> bool:
