@@ -104,7 +104,23 @@ def generate_document(doc_index: int, seed: int = 42) -> tuple[str, list[dict], 
             {"kind": "media", "text": "", "media_ref": ref, "offset": len(spans)}
         )
 
-    title = f"Doc {doc_index} Deep Dive Into Engines | Synthetic Site"
+    if family == "title_variants":
+        # exercise every E1 split rule (cs:773-831): pipe/dash split,
+        # colon split, short-left keep-right, overlong title, Unicode
+        variants = [
+            f"Deep Dive Into Engines {doc_index} | Synthetic Site",
+            f"Engines Deep Dive {doc_index} - Synthetic Site",
+            f"Site: All About Engines Number {doc_index}",
+            f"X | A Very Much Longer Right Hand Side Title {doc_index}",
+            f"Silniki ąęłóżźńć {doc_index} | Świadomie o maszynach",
+            "An Extremely Long Title That Just Keeps Going And Going "
+            "With Far Too Many Words To Be A Reasonable Headline For Any "
+            f"Article Page Number {doc_index} In This Synthetic Corpus "
+            "Which Should Trigger The Length Fallback Rule",
+        ]
+        title = variants[doc_index % len(variants)]
+    else:
+        title = f"Doc {doc_index} Deep Dive Into Engines | Synthetic Site"
 
     if family == "empty_article":
         text("<html><head><title>empty</title></head><body></body></html>")
