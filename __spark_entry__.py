@@ -184,7 +184,13 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
     emb = _table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return lsh_topk(emb, queries, dim=64, k=5, n_bits=16, n_bands=8)
+    out = lsh_topk(emb, queries, dim=64, k=5, n_bits=16, n_bands=8)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("corpus_id").cast("bigint").alias("corpus_id"),
+        "cosine",
+        "rank",
+    )
 
 
 def _q_ann_ivf_topk(spark, sf_dir):

@@ -80,30 +80,69 @@ def lsh_signatures(
 ) -> DataFrame:
     """Random-hyperplane sign bits grouped into OR-amplified bands: one
     output row per (vector, band) with a short string bucket key.  A pair is
-    a candidate if ANY band key collides -- the standard recall amplifier."""
+    a candidate if ANY band key collides -- the standard recall amplifier.
+
+    All n_bits dot products happen in ONE Arrow-batched float64 GEMM
+    (vectors x planes^T) instead of n_bits codegen'd ``aggregate`` passes
+    over the array column -- the expression-tree form compiled to a
+    multi-second whole-stage-codegen unit and rescanned the vector per bit."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     planes = _hyperplanes(dim, n_bits)
-    vec = _as_double_vec(F.col(vec_col))
-    bits = []
-    for plane in planes:
-        plane_arr = F.array(*[F.lit(v) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, plane_arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     rows_per_band = n_bits // n_bands
-    band_keys = F.array(
-        *[
-            F.concat(
-                F.lit(f"{b}:"), *bits[b * rows_per_band : (b + 1) * rows_per_band]
-            )
-            for b in range(n_bands)
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+
+    out_schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("vec", ArrayType(DoubleType())),
+            StructField("bucket", StringType()),
         ]
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(band_keys).alias("bucket"),
+
+    def batches(iterator):
+        import numpy as np
+
+        P = np.asarray(bc.value, dtype=np.float64)  # (n_bits, dim)
+        for batch in iterator:
+            ids = batch.column(0).to_pylist()
+            vecs = batch.column(1).to_pylist()
+            if not ids:
+                continue
+            X = np.asarray(vecs, dtype=np.float64)
+            bits = (X @ P.T) >= 0  # (n, n_bits) sign bits
+            out_ids, out_vecs, out_buckets = [], [], []
+            for i in range(len(ids)):
+                row = bits[i]
+                for b in range(n_bands):
+                    key = "".join(
+                        "1" if row[j] else "0"
+                        for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    )
+                    out_ids.append(ids[i])
+                    out_vecs.append(vecs[i])
+                    out_buckets.append(f"{b}:{key}")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, pa.string()),
+                    pa.array(out_vecs, pa.list_(pa.float64())),
+                    pa.array(out_buckets, pa.string()),
+                ],
+                names=["id", "vec", "bucket"],
+            )
+
+    prepared = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
     )
+    return prepared.mapInArrow(batches, out_schema)
 
 
 def _train_ivf_centroids(corpus, n_lists, sample_size, id_col, vec_col, iters=8):
