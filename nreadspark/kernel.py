@@ -288,6 +288,24 @@ def _normalize_inner(raw: str, dont_normalize_spaces: bool) -> str:
     return raw
 
 
+def _normalized_length(raw: str, dont_normalize_spaces: bool) -> int:
+    """len(_normalize_inner(raw, ...)) without building the string.
+
+    Equality proof: str.split()/str.strip() and the regex ``\\s`` agree on
+    the whitespace set, and every interior whitespace run contributes
+    exactly one character after collapse (a run of one keeps its char, a
+    run of 2+ becomes one space) -- so the normalized length is
+    sum(token lengths) + (token count - 1).  The scoring/cleaning paths
+    only consume lengths and comma counts (both normalization-invariant),
+    which lets them skip the regex entirely."""
+    if dont_normalize_spaces:
+        return len(raw.strip())
+    parts = raw.split()
+    if not parts:
+        return 0
+    return sum(map(len, parts)) + len(parts) - 1
+
+
 def _collect_anchor_texts(element: Node, parts: list, anchor_texts: list) -> None:
     """One pre-order walk collecting the element's raw text (into ``parts``)
     and each descendant anchor's raw subtree text (into ``anchor_texts``).
@@ -315,15 +333,16 @@ def _collect_anchor_texts(element: Node, parts: list, anchor_texts: list) -> Non
 
 def get_links_density(element: Node, dont_normalize_spaces: bool = False) -> float:
     """GetLinksDensity (cs:1275-1291).  Single subtree pass (the reference
-    rescans per anchor; results are identical)."""
+    rescans per anchor; results are identical); only normalized LENGTHS are
+    needed, so the collapse regex is never run."""
     parts: list = []
     anchor_texts: list = []
     _collect_anchor_texts(element, parts, anchor_texts)
-    length = len(_normalize_inner("".join(parts), dont_normalize_spaces))
+    length = _normalized_length("".join(parts), dont_normalize_spaces)
     if length == 0:
         return 0.0
     links_length = sum(
-        len(_normalize_inner(t, dont_normalize_spaces)) for t in anchor_texts
+        _normalized_length(t, dont_normalize_spaces) for t in anchor_texts
     )
     return links_length / length
 
@@ -593,14 +612,17 @@ def find_candidates_for_article_content(
 
     candidates: dict[int, Node] = {}
     for para in list(document.elements_by_tag_name("p")):
-        inner_text = get_inner_text(para, opts.dont_normalize_spaces)
-        if len(inner_text) < MIN_PARAGRAPH_LENGTH:
+        # only the normalized LENGTH and the comma count (normalization-
+        # invariant) feed the score -- skip building the normalized string
+        raw = para.value
+        text_length = _normalized_length(raw, opts.dont_normalize_spaces)
+        if text_length < MIN_PARAGRAPH_LENGTH:
             continue
         parent = para.parent
         grandparent = parent.parent if parent is not None else None
         score = 1  # a point for the paragraph itself
-        score += get_segments_count(inner_text, ",")
-        score += min(len(inner_text) // PARAGRAPH_SEGMENT_LENGTH, MAX_POINTS_FOR_SEGMENTS_COUNT)
+        score += get_segments_count(raw, ",")
+        score += min(text_length // PARAGRAPH_SEGMENT_LENGTH, MAX_POINTS_FOR_SEGMENTS_COUNT)
 
         if parent is not None and parent.tag != "html":
             candidates.setdefault(id(parent), parent)
@@ -886,15 +908,16 @@ def clean_conditionally(root: Node, element_name: str, scores, opts: Options | N
                 if node.children:
                     stack.extend((c, False) for c in reversed(node.children))
 
-        text = _normalize_inner("".join(parts), opts.dont_normalize_spaces)
-        if get_segments_count(text, ",") < MIN_COMMA_SEGMENTS:
-            text_length = len(text)
+        # segments + lengths are normalization-invariant: no regex needed
+        raw_text = "".join(parts)
+        if get_segments_count(raw_text, ",") < MIN_COMMA_SEGMENTS:
+            text_length = _normalized_length(raw_text, opts.dont_normalize_spaces)
             if text_length == 0:
                 links_density = 0.0
             else:
                 links_density = (
                     sum(
-                        len(_normalize_inner(t, opts.dont_normalize_spaces))
+                        _normalized_length(t, opts.dont_normalize_spaces)
                         for t in anchor_texts
                     )
                     / text_length
@@ -1223,7 +1246,7 @@ def transcode(html_content: str, url: str | None = None, opts: Options | None = 
     fallback = False
     if (
         not opts.dont_strip_unlikelys
-        and len(get_inner_text(result.article_content, opts.dont_normalize_spaces))
+        and _normalized_length(result.article_content.value, opts.dont_normalize_spaces)
         < MIN_EXTRACTED_CONTENT_LENGTH
     ):
         fallback = True
