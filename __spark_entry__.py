@@ -293,10 +293,15 @@ def _q_multipage_extract(spark, sf_dir):
 
 
 def _q_debug_html(spark, sf_dir):
-    """XHTML debug sink (SURVEY §2.1 S4 / §2.7 E2/E6); rows-only."""
+    """XHTML debug sink (SURVEY §2.1 S4 / §2.7 E2/E6).
+
+    Oracle-able closed form: the glue wrapper around the synthetic page is a
+    fixed 763-byte template plus the doc text once and the doc_id twice
+    (<title> and injected h1), so html_len = 763 + len(text) + 2*len(doc_id).
+    """
     from nreadspark.serialize import transcode_to_html_column
 
-    docs = _table(spark, sf_dir, "documents").limit(200)
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     html = F.concat(
         F.lit("<html><head><title>Doc "),
         F.col("doc_id"),
@@ -590,6 +595,40 @@ FROM documents
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # flagship: the synthetic interleaved wrap is closed-form -- the
+        # kernel keeps the full <title> (E1 split yields 'Synthetic Corpus'
+        # < 3 words on the left so the right side is taken, but the final
+        # <15-char rule restores the original), extraction always succeeds
+        # (two >25-char scoring paragraphs), and sibling merge emits exactly
+        # (text, image, text) = 3 spans with 1 image span per document.
+        "extract_interleaved": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'Doc ' || doc_id || ' | Synthetic Corpus' AS title,
+                   true AS content_extracted,
+                   CAST(3 AS BIGINT) AS n_spans,
+                   CAST(1 AS BIGINT) AS n_image_spans
+            FROM documents
+        """,
+        # the glue-document wrapper is a fixed 763-char template + the text
+        # once + the doc_id twice (<title> and injected h1)
+        "debug_html": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(763 + length(text) + 2*length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS html_len,
+                   true AS has_doctype,
+                   true AS has_content_div
+            FROM documents WHERE doc_id < 200
+        """,
+        # 3-page chains over doc_id < 90: roots are doc_id % 3 = 0; each
+        # chain assembles page 1 (2 merged paragraphs) + 2 follow pages
+        # (separator + 2 paragraphs each) = 8 spans
+        "multipage_extract": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(3 AS BIGINT) AS n_pages,
+                   CAST(8 AS BIGINT) AS n_spans,
+                   true AS content_extracted
+            FROM documents
+            WHERE doc_id < 90 AND doc_id % 3 = 0
+        """,
         "a1_comma_segments": """
             SELECT doc_id,
                    CAST(length(text) - length(replace(text, ',', '')) + 1 AS BIGINT) AS comma_segments
