@@ -153,7 +153,10 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" extra")).alias("text"),
     )
     corpus = docs.unionByName(near)
-    candidates = minhash_lsh_candidates(corpus)
+    # md5 shingle hashing: same algorithm, SQL-replicable hash so the DuckDB
+    # oracle reproduces the exact signatures/bands (xxhash64 stays the
+    # default for production scale)
+    candidates = minhash_lsh_candidates(corpus, hash_fn="md5")
     return verify_jaccard(corpus, candidates, threshold=0.7).orderBy("doc_id_a", "doc_id_b")
 
 
@@ -582,6 +585,66 @@ _NEGATIVE = (
     "promo|related|scroll|shoutbox|sidebar|side|sponsor|shopping|tags|tool|widget"
 )
 
+def _minhash_oracle_sql() -> str:
+    """Full SQL replication of the md5-mode MinHash+LSH+verify pipeline:
+    identical shingles, 31-bit md5 hash, affine permutations, 4-row band
+    keys, bucket self-join candidates, exact-Jaccard verification.  The
+    hot-bucket star guard never triggers at this scale (max bucket = 5,
+    guard threshold 256), so the plain self-join is the exact semantics."""
+    from nreadspark.ops.dedup import _MINHASH_PRIME, _seeds
+
+    seeds = _seeds(16, salt=3)
+    sig_exprs = ",\n                     ".join(
+        f"list_min(list_transform(h31, x -> (x * {a % (1 << 31)} + {b % (1 << 31)}) % {_MINHASH_PRIME}))"
+        for a, b in seeds
+    )
+    band_keys = ",\n                   ".join(
+        "array_to_string(sig[{}:{}], ':') AS k{}".format(b * 4 + 1, b * 4 + 4, b)
+        for b in range(4)
+    )
+    band_union = "\n              UNION ALL\n              ".join(
+        f"SELECT doc_id, {b} AS band, k{b} AS band_key FROM keys" for b in range(4)
+    )
+    return rf"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text || ' extra' FROM documents WHERE doc_id < 50
+            ), toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus
+            ), sh AS (
+              SELECT doc_id, CASE WHEN length(t) >= 3
+                 THEN list_transform(generate_series(1, length(t)-2), i -> array_to_string(t[i:i+2], ' '))
+                 ELSE [array_to_string(t, ' ')] END AS shingles
+              FROM toks
+            ), h AS (
+              SELECT doc_id,
+                     list_transform(shingles, s -> ('0x'||substring(md5(s),1,8))::BIGINT % 2147483648) AS h31
+              FROM sh
+            ), sigs AS (
+              SELECT doc_id, [{sig_exprs}] AS sig FROM h
+            ), keys AS (
+              SELECT doc_id, {band_keys} FROM sigs
+            ), banded AS (
+              {band_union}
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+            ), sets AS (
+              SELECT doc_id, list_distinct(t) AS token_set FROM toks
+            ), verified AS (
+              SELECT c.doc_id_a, c.doc_id_b,
+                     round(CAST(length(list_intersect(a.token_set, b.token_set)) AS DOUBLE)
+                           / length(list_distinct(list_concat(a.token_set, b.token_set))), 6) AS jaccard
+              FROM cand c
+              JOIN sets a ON a.doc_id = c.doc_id_a
+              JOIN sets b ON b.doc_id = c.doc_id_b
+            )
+            SELECT doc_id_a, doc_id_b, jaccard FROM verified WHERE jaccard >= 0.7
+        """
+
+
 _LANG_SCORES_SQL = """
 SELECT doc_id, lang AS actual_lang,
        CAST(length(regexp_extract_all(text, '\\b(the|and|of|fast|slow)\\b')) AS BIGINT) AS score_en,
@@ -690,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
             FROM corpus GROUP BY 1
         """,
+        "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_ngram_jaccard": r"""
             WITH toks AS (
               SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS token_set

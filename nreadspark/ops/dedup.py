@@ -65,20 +65,38 @@ def shingles_col(tokens_col: str, k: int = 3):
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", k: int = 3, n_hashes: int = _N_HASHES
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = _N_HASHES,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, signature array<bigint>): MinHash over k-token shingles,
-    all JVM-side (xxhash64 + aggregate over the shingle array)."""
+    all JVM-side (shingle hash + aggregate over the shingle array).
+
+    ``hash_fn``: 'xxhash64' (default -- fastest, JVM-native) or 'md5'
+    (first 8 hex chars of md5, SQL-replicable so an external engine like
+    DuckDB can reproduce the exact signatures for correctness oracles).
+    Both fold to 31 bits so a*h+b stays inside a signed 64-bit long."""
     seeds = _seeds(n_hashes, salt=k)
     with_shingles = tokenize(df, text_col).withColumn(
         "__shingles", shingles_col("__tokens", k)
     )
 
-    # hash each shingle ONCE (xxhash64 folded to 31 bits so a*h+b stays inside
+    # hash each shingle ONCE (folded to 31 bits so a*h+b stays inside
     # a signed 64-bit long under ANSI mode), then take the min of each affine
     # permutation over the precomputed hash array: one pass of expensive
     # hashing + n_hashes cheap passes, instead of n_hashes * hashing
-    hashed = F.transform("__shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+    if hash_fn == "md5":
+        hashed = F.transform(
+            "__shingles",
+            lambda s: F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+                F.lit(1 << 31),
+            ),
+        )
+    else:
+        hashed = F.transform("__shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
 
     def perm(a: int, b: int):
         # closure factory: pyspark introspects lambda arity, so the
@@ -95,18 +113,13 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    k: int = 3,
-    n_hashes: int = _N_HASHES,
-    n_bands: int = _N_BANDS,
+def _banded_signatures(
+    df: DataFrame, text_col: str, k: int, n_hashes: int, n_bands: int, hash_fn: str
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via LSH banding: docs sharing any band
-    bucket.  Returns (doc_id_a, doc_id_b) with a < b, distinct."""
+    """(doc_id, band, band_key): one row per (doc, band)."""
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures(df, text_col, k, n_hashes)
-    banded = sigs.select(
+    sigs = minhash_signatures(df, text_col, k, n_hashes, hash_fn)
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -119,17 +132,80 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_key"),
     )
-    left = banded.select(
-        F.col("doc_id").alias("doc_id_a"), "band", "band_key"
-    )
-    right = banded.select(
-        F.col("doc_id").alias("doc_id_b"), "band", "band_key"
-    )
-    return (
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = _N_HASHES,
+    n_bands: int = _N_BANDS,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: docs sharing any band
+    bucket.  Returns (doc_id_a, doc_id_b) with a < b, distinct.
+
+    Skew guard: a boilerplate-heavy web corpus puts millions of
+    near-identical docs into ONE band bucket, and a naive self-join makes
+    O(k^2) candidate pairs on that key.  Buckets larger than
+    ``max_bucket_size`` therefore switch from all-pairs to a *star* pattern:
+    every member is paired with the bucket's canonical (minimum) doc_id only
+    -- O(k) pairs, and every member still gets verified against a
+    near-identical representative, so dedup coverage survives.  Use
+    ``lsh_bucket_overflow`` for the monitoring metric.
+    """
+    banded = _banded_signatures(df, text_col, k, n_hashes, n_bands, hash_fn)
+
+    if max_bucket_size is not None:
+        # per-bucket size + canonical doc: partial-aggregated (map-side
+        # combine), so the hot key never concentrates raw rows anywhere
+        counts = banded.groupBy("band", "band_key").agg(
+            F.count("*").alias("__n"), F.min("doc_id").alias("__canon")
+        )
+        hot = counts.filter(F.col("__n") > max_bucket_size)
+        # hot-bucket list is tiny by construction -> broadcast both uses
+        normal = banded.join(
+            F.broadcast(hot.select("band", "band_key")), ["band", "band_key"], "left_anti"
+        )
+        star = (
+            banded.join(F.broadcast(hot), ["band", "band_key"])
+            .filter(F.col("doc_id") != F.col("__canon"))
+            .select(
+                F.col("__canon").alias("doc_id_a"), F.col("doc_id").alias("doc_id_b")
+            )
+        )
+    else:
+        normal, star = banded, None
+
+    left = normal.select(F.col("doc_id").alias("doc_id_a"), "band", "band_key")
+    right = normal.select(F.col("doc_id").alias("doc_id_b"), "band", "band_key")
+    pairs = (
         left.join(right, ["band", "band_key"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .select("doc_id_a", "doc_id_b")
-        .distinct()
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
+def lsh_bucket_overflow(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = _N_HASHES,
+    n_bands: int = _N_BANDS,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """Monitoring metric for the hot-bucket guard: one row per oversized
+    band bucket with its member count (empty when no bucket overflows)."""
+    banded = _banded_signatures(df, text_col, k, n_hashes, n_bands, hash_fn)
+    return (
+        banded.groupBy("band", "band_key")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
     )
 
 

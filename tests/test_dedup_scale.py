@@ -1,0 +1,87 @@
+"""Hot-bucket skew guard for MinHash LSH: a boilerplate corpus (thousands of
+near-identical docs landing in one band bucket) must produce O(k) candidate
+pairs via the star pattern, not the O(k^2) self-join blowup, while keeping
+every member paired with a verified near-identical representative."""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("dedup-scale-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def _boilerplate_corpus(spark, n=10_000):
+    from pyspark.sql import functions as F
+
+    # identical boilerplate text for every doc: all MinHash signatures (and
+    # therefore all band buckets) collide
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "this is the same cookie banner boilerplate text repeated on "
+            "every single page of the site with no variation at all"
+        ).alias("text"),
+    )
+
+
+def test_hot_bucket_star_bounds_candidates(spark):
+    from nreadspark.ops.dedup import minhash_lsh_candidates
+
+    n = 10_000
+    corpus = _boilerplate_corpus(spark, n)
+    cands = minhash_lsh_candidates(corpus, max_bucket_size=64)
+    n_pairs = cands.count()
+    # star pattern: every non-canonical doc pairs with doc 0, once
+    assert n_pairs == n - 1, f"expected {n - 1} star pairs, got {n_pairs}"
+    rows = cands.limit(5).collect()
+    assert all(r["doc_id_a"] == 0 for r in rows)
+
+
+def test_hot_bucket_overflow_metric(spark):
+    from nreadspark.ops.dedup import lsh_bucket_overflow
+
+    corpus = _boilerplate_corpus(spark, 1_000)
+    stats = lsh_bucket_overflow(corpus, max_bucket_size=64).collect()
+    # 4 bands, all 1000 docs share every bucket
+    assert len(stats) == 4
+    assert all(r["n_docs"] == 1_000 for r in stats)
+
+
+def test_no_overflow_on_diverse_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.dedup import lsh_bucket_overflow
+
+    # every token is doc-specific: all shingles (hence signatures) differ
+    word = lambda salt: F.md5(F.concat(F.col("id").cast("string"), F.lit(salt)))  # noqa: E731
+    corpus = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[word(str(i)) for i in range(8)]).alias("text"),
+    )
+    assert lsh_bucket_overflow(corpus, max_bucket_size=64).isEmpty()
+
+
+def test_star_guard_keeps_planted_near_dups(spark):
+    """Near-dups planted inside an oversized bucket still verify: star pairs
+    connect every member to the canonical doc at jaccard ~1."""
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.dedup import minhash_lsh_candidates, verify_jaccard
+
+    corpus = _boilerplate_corpus(spark, 500)
+    cands = minhash_lsh_candidates(corpus, max_bucket_size=64)
+    verified = verify_jaccard(corpus, cands, threshold=0.9)
+    assert verified.count() == 499
