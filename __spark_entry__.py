@@ -163,7 +163,11 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
 def _q_dedup_simhash(spark, sf_dir):
     from nreadspark.ops.dedup import simhash
 
-    return simhash(_table(spark, sf_dir, "documents").limit(200))
+    # 60-bit md5 variant: identical bit math, SQL-replicable token hash so
+    # the DuckDB oracle reproduces the exact fingerprints (64-bit xxhash64
+    # stays the production default)
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash(docs.select("doc_id", "text"), bits=60, hash_fn="md5")
 
 
 def _q_dedup_embedding_cosine(spark, sf_dir):
@@ -645,6 +649,30 @@ def _minhash_oracle_sql() -> str:
         """
 
 
+def _simhash_oracle_sql(bits: int = 60) -> str:
+    """Per-bit replication of the md5-mode SimHash: 60-bit md5-prefix token
+    hash, sign of the summed ±1 contributions per bit, bits re-assembled
+    into one BIGINT."""
+    bit_terms = "\n                 + ".join(
+        f"(CASE WHEN list_sum(list_transform(h, x -> CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0"
+        f" THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return rf"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE doc_id < 200
+            ), hashed AS (
+              SELECT doc_id,
+                     list_transform(t, x -> ('0x'||substring(md5(x),1,15))::BIGINT) AS h
+              FROM toks
+            )
+            SELECT doc_id,
+                   {bit_terms} AS simhash
+            FROM hashed
+        """
+
+
 _LANG_SCORES_SQL = """
 SELECT doc_id, lang AS actual_lang,
        CAST(length(regexp_extract_all(text, '\\b(the|and|of|fast|slow)\\b')) AS BIGINT) AS score_en,
@@ -754,6 +782,7 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus GROUP BY 1
         """,
         "dedup_minhash_lsh": _minhash_oracle_sql(),
+        "dedup_simhash": _simhash_oracle_sql(),
         "dedup_ngram_jaccard": r"""
             WITH toks AS (
               SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS token_set

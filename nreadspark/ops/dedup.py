@@ -250,14 +250,45 @@ def ngram_jaccard_adjacent(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash over tokens, entirely JVM-side: per bit, the sign of
-    the sum of ±1 contributions decided by that bit of xxhash64(token).
-    Tokens are hashed ONCE into an int array; the per-bit aggregates then
-    run over cached longs (hashing per bit would cost 64x)."""
-    toks = tokenize(df, text_col).withColumn(
-        "__h", F.transform("__tokens", lambda t: F.xxhash64(t))
+def _simhash_token_hashes(df: DataFrame, text_col: str, hash_fn: str) -> DataFrame:
+    """(doc_id, __h array<bigint>): per-token hashes computed ONCE, JVM-side."""
+    if hash_fn == "md5":
+        # 60-bit md5 prefix: SQL-replicable (('0x'||substring(md5(t),1,15))
+        # in DuckDB), always non-negative
+        h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")  # noqa: E731
+    else:
+        h = lambda t: F.xxhash64(t)  # noqa: E731
+    return tokenize(df, text_col).select(
+        "doc_id", F.transform("__tokens", h).alias("__h")
     )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+    engine: str = "arrow",
+) -> DataFrame:
+    """SimHash over tokens: per bit, the sign of the sum of ±1 contributions
+    decided by that bit of hash(token).
+
+    Token hashing is one JVM pass (xxhash64 default; 'md5' = 60-bit md5
+    prefix, SQL-replicable for oracles -- use bits<=60 with it).  The bit
+    math then runs either as
+
+    * ``engine='arrow'`` (default): ONE vectorized numpy pass inside
+      ``mapInArrow`` -- (tokens x bits) sign matrix + segment-sum per doc.
+      The expression form below compiles a 64-aggregate Catalyst tree whose
+      whole-stage-codegen unit takes seconds to JIT and rescans the hash
+      array per bit; the GEMM-shaped kernel replaces that with Arrow batch
+      transfer + O(tokens*bits) SIMD work.
+    * ``engine='expr'``: the all-JVM expression form (no Python workers
+      needed; useful where Arrow transfer is undesirable).
+    """
+    toks = _simhash_token_hashes(df, text_col, hash_fn)
+    if engine == "arrow":
+        return _simhash_arrow(toks, bits)
 
     def bit_merge(i: int):
         def merge(acc, h):
@@ -280,6 +311,49 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     for c in bit_cols[1:]:
         value = value + c
     return toks.select("doc_id", value.alias("simhash"))
+
+
+def _simhash_arrow(toks: DataFrame, bits: int) -> DataFrame:
+    """Vectorized SimHash bit math over pre-hashed tokens."""
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_field = toks.schema["doc_id"]
+    out_schema = StructType(
+        [StructField("doc_id", id_field.dataType), StructField("simhash", LongType())]
+    )
+
+    def batches(iterator):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        shifts = np.arange(bits, dtype=np.uint64)
+        for batch in iterator:
+            doc_ids = batch.column(0)
+            harr = batch.column(1)
+            n = len(doc_ids)
+            if n == 0:
+                continue
+            lengths = pc.list_value_length(harr).to_numpy(zero_copy_only=False)
+            values = (
+                pc.list_flatten(harr)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64, copy=False)
+            )
+            # (tokens, bits) sign matrix; tokenize() never yields an empty
+            # token list (split of '' is ['']), so every segment is non-empty
+            signs = (((values[:, None] >> shifts) & 1).astype(np.int64) * 2) - 1
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lengths[:-1], out=starts[1:])
+            totals = np.add.reduceat(signs, starts, axis=0)
+            value = ((totals > 0).astype(np.uint64) << shifts).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pa.RecordBatch.from_arrays(
+                [doc_ids, pa.array(value.view(np.int64))], names=["doc_id", "simhash"]
+            )
+
+    return toks.mapInArrow(batches, out_schema)
 
 
 def embedding_near_duplicates(

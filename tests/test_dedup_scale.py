@@ -85,3 +85,25 @@ def test_star_guard_keeps_planted_near_dups(spark):
     cands = minhash_lsh_candidates(corpus, max_bucket_size=64)
     verified = verify_jaccard(corpus, cands, threshold=0.9)
     assert verified.count() == 499
+
+
+def test_simhash_arrow_matches_expr(spark):
+    """The vectorized Arrow bit kernel and the all-JVM expression form must
+    produce identical fingerprints (both hash families, incl. bit 63)."""
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.dedup import simhash
+
+    corpus = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.md5(F.col("id").cast("string")),
+            F.lit("shared words between docs"),
+            F.sha2(F.col("id").cast("string"), 256),
+        ).alias("text"),
+    )
+    for bits, hash_fn in ((64, "xxhash64"), (60, "md5")):
+        a = dict(simhash(corpus, bits=bits, hash_fn=hash_fn, engine="arrow").collect())
+        e = dict(simhash(corpus, bits=bits, hash_fn=hash_fn, engine="expr").collect())
+        assert a == e, f"engine mismatch for bits={bits}, hash_fn={hash_fn}"
