@@ -191,7 +191,11 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
     emb = _table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    out = lsh_topk(emb, queries, dim=64, k=5, n_bits=16, n_bands=8)
+    # axis planes: the same banded-LSH pipeline with sign-of-coordinate
+    # bits, which involve no float arithmetic -- the DuckDB oracle
+    # replicates the exact candidate sets.  Random-plane recall is covered
+    # by the pytest recall tests.
+    out = lsh_topk(emb, queries, dim=64, k=5, n_bits=16, n_bands=8, planes="axis")
     return out.select(
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("corpus_id").cast("bigint").alias("corpus_id"),
@@ -205,7 +209,12 @@ def _q_ann_ivf_topk(spark, sf_dir):
 
     emb = _table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    out = ivf_topk(emb, queries, dim=64, k=5, n_lists=16, n_probe=4)
+    # exhaustive-probe mode (n_probe = n_lists): every list is probed, so
+    # the result is exactly the brute-force top-k and the DuckDB oracle is
+    # exact, while still exercising the full IVF machinery (centroid
+    # training, list assignment, probe join, rerank).  Pruned-probe recall
+    # (n_probe < n_lists) is covered by the pytest recall tests.
+    out = ivf_topk(emb, queries, dim=64, k=5, n_lists=16, n_probe=16)
     return out.select(
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("corpus_id").cast("bigint").alias("corpus_id"),
@@ -847,6 +856,58 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # exact replication of the axis-plane banded LSH: 16 sign-of-
+        # coordinate bits, 8 bands of 2 bits, candidates = any-band
+        # collision, exact cosine rerank of candidates only
+        "ann_lsh_topk": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), bits AS (
+              SELECT vec_id,
+                     list_transform(generate_series(1, 16),
+                                    j -> CASE WHEN e[j] >= 0 THEN '1' ELSE '0' END) AS b
+              FROM v
+            ), banded AS (
+              SELECT vec_id, band,
+                     array_to_string(b[band*2+1 : band*2+2], '') AS bucket
+              FROM bits CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) bands
+            ), cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+              FROM banded q
+              JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+              WHERE q.vec_id < 8 AND c.vec_id != q.vec_id
+            ), scored AS (
+              SELECT cand.query_id, cand.corpus_id,
+                     round(list_cosine_similarity(qe.e, ce.e), 6) AS cosine
+              FROM cand
+              JOIN v qe ON qe.vec_id = cand.query_id
+              JOIN v ce ON ce.vec_id = cand.corpus_id
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, corpus_id ASC) AS rank
+              FROM scored
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(corpus_id AS BIGINT) AS corpus_id,
+                   cosine, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # exhaustive-probe IVF (n_probe = n_lists) is exactly brute force
+        "ann_ivf_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+              FROM embeddings q JOIN embeddings c ON q.vec_id < 8 AND c.vec_id != q.vec_id
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, corpus_id ASC) AS rank
+              FROM scored
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(corpus_id AS BIGINT) AS corpus_id,
+                   cosine, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5
         """,
         "a5_link_density": r"""

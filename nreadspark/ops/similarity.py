@@ -77,6 +77,7 @@ def lsh_signatures(
     n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: str = "random",
 ) -> DataFrame:
     """Random-hyperplane sign bits grouped into OR-amplified bands: one
     output row per (vector, band) with a short string bucket key.  A pair is
@@ -85,7 +86,16 @@ def lsh_signatures(
     All n_bits dot products happen in ONE Arrow-batched float64 GEMM
     (vectors x planes^T) instead of n_bits codegen'd ``aggregate`` passes
     over the array column -- the expression-tree form compiled to a
-    multi-second whole-stage-codegen unit and rescanned the vector per bit."""
+    multi-second whole-stage-codegen unit and rescanned the vector per bit.
+
+    ``planes``: 'random' (default, LCG-seeded hyperplanes) or 'axis' --
+    bit j is the sign of coordinate j.  Axis planes are a degenerate but
+    valid member of the same LSH family whose buckets involve NO float
+    arithmetic, so an external SQL engine can replicate the exact candidate
+    sets for correctness oracles.
+
+    Null or wrong-length vectors are dropped (they can neither hash nor
+    score); a production pipeline should count them upstream."""
     import pyarrow as pa
     from pyspark.sql.types import (
         ArrayType,
@@ -95,9 +105,9 @@ def lsh_signatures(
         StructType,
     )
 
-    planes = _hyperplanes(dim, n_bits)
+    plane_rows = None if planes == "axis" else _hyperplanes(dim, n_bits)
     rows_per_band = n_bits // n_bands
-    bc = df.sparkSession.sparkContext.broadcast(planes)
+    bc = df.sparkSession.sparkContext.broadcast(plane_rows)
 
     out_schema = StructType(
         [
@@ -110,14 +120,26 @@ def lsh_signatures(
     def batches(iterator):
         import numpy as np
 
-        P = np.asarray(bc.value, dtype=np.float64)  # (n_bits, dim)
+        P = None if bc.value is None else np.asarray(bc.value, dtype=np.float64)
         for batch in iterator:
             ids = batch.column(0).to_pylist()
             vecs = batch.column(1).to_pylist()
-            if not ids:
+            keep = [
+                i
+                for i in range(len(ids))
+                if vecs[i] is not None
+                and len(vecs[i]) == dim
+                and not any(v is None for v in vecs[i])
+            ]
+            if not keep:
                 continue
+            ids = [ids[i] for i in keep]
+            vecs = [vecs[i] for i in keep]
             X = np.asarray(vecs, dtype=np.float64)
-            bits = (X @ P.T) >= 0  # (n, n_bits) sign bits
+            if P is None:
+                bits = X[:, :n_bits] >= 0  # axis planes: pure sign reads
+            else:
+                bits = (X @ P.T) >= 0  # (n, n_bits) sign bits
             out_ids, out_vecs, out_buckets = [], [], []
             for i in range(len(ids)):
                 row = bits[i]
@@ -157,11 +179,19 @@ def _train_ivf_centroids(corpus, n_lists, sample_size, id_col, vec_col, iters=8)
             F.col(vec_col).cast("array<double>").alias("v"),
             F.xxhash64(F.col(id_col).cast("string")).alias("h"),
         )
+        .where(F.col("v").isNotNull())
         .orderBy("h")
         .limit(sample_size)
         .collect()
     )
-    X = np.asarray([r["v"] for r in sample], dtype=np.float64)
+    dims = {len(r["v"]) for r in sample}
+    vecs = [r["v"] for r in sample if len(r["v"]) == max(dims, default=0)]
+    if not vecs:
+        raise ValueError(
+            "IVF centroid training needs a non-empty corpus sample with "
+            "non-null embedding vectors"
+        )
+    X = np.asarray(vecs, dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
 
     # farthest-point (maximin) init
@@ -231,11 +261,22 @@ def ivf_topk(
             import numpy as np
 
             cents = np.asarray(bc.value, dtype=np.float64)
+            dim = cents.shape[1]
             for batch in iterator:
                 ids = batch.column(0).to_pylist()
                 vecs = batch.column(1).to_pylist()
-                if not ids:
+                # drop null/ragged vectors instead of failing the stage
+                keep = [
+                    i
+                    for i in range(len(ids))
+                    if vecs[i] is not None
+                    and len(vecs[i]) == dim
+                    and not any(v is None for v in vecs[i])
+                ]
+                if not keep:
                     continue
+                ids = [ids[i] for i in keep]
+                vecs = [vecs[i] for i in keep]
                 X = np.asarray(vecs, dtype=np.float64)
                 X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
                 sims = X @ cents.T
@@ -301,16 +342,17 @@ def lsh_topk(
     n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: str = "random",
 ) -> DataFrame:
     """Banded ANN: score only candidates sharing at least one band bucket.
     Recall < 1 by design (tunable via n_bands/n_bits); tests measure it
-    against brute_force_topk."""
-    c = lsh_signatures(corpus, dim, n_bits, n_bands, id_col, vec_col).select(
+    against brute_force_topk.  See ``lsh_signatures`` for ``planes``."""
+    c = lsh_signatures(corpus, dim, n_bits, n_bands, id_col, vec_col, planes).select(
         F.col("id").alias("corpus_id"),
         _as_double_vec(F.col("vec")).alias("corpus_vec"),
         "bucket",
     )
-    q = lsh_signatures(queries, dim, n_bits, n_bands, id_col, vec_col).select(
+    q = lsh_signatures(queries, dim, n_bits, n_bands, id_col, vec_col, planes).select(
         F.col("id").alias("query_id"),
         _as_double_vec(F.col("vec")).alias("query_vec"),
         "bucket",

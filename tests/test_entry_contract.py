@@ -137,3 +137,71 @@ def test_ann_ivf_deterministic(spark):
     a = sorted(map(tuple, ALL_QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()))
     b = sorted(map(tuple, ALL_QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_ann_lsh_random_planes_recall(spark):
+    """The production config (random hyperplanes, pruned candidates) keeps
+    useful recall vs brute force -- the driver query runs axis planes for
+    oracle exactness, so the random-plane family is tested here."""
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    bf = {(r["query_id"], r["corpus_id"]) for r in brute_force_topk(emb, queries, k=5).collect()}
+    lsh = lsh_topk(emb, queries, dim=64, k=5, n_bits=16, n_bands=8, planes="random").collect()
+    pairs = {(int(r["query_id"]), int(r["corpus_id"])) for r in lsh}
+    bf = {(int(a), int(b)) for a, b in bf}
+    assert pairs, "random-plane LSH returned nothing"
+    recall = len(bf & pairs) / len(bf)
+    assert recall > 0.05, f"suspiciously low random-plane LSH recall: {recall}"
+
+
+def test_ann_ivf_pruned_probe_recall(spark):
+    """n_probe < n_lists (the actual ANN speedup) retains decent recall."""
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 8)
+    bf = {(int(r["query_id"]), int(r["corpus_id"])) for r in brute_force_topk(emb, queries, k=5).collect()}
+    ivf = ivf_topk(emb, queries, dim=64, k=5, n_lists=16, n_probe=4).collect()
+    pairs = {(int(r["query_id"]), int(r["corpus_id"])) for r in ivf}
+    assert pairs, "pruned IVF returned nothing"
+    recall = len(bf & pairs) / len(bf)
+    assert recall > 0.3, f"suspiciously low pruned-IVF recall: {recall}"
+
+
+def test_ann_null_and_ragged_vectors_skipped(spark):
+    """Null / wrong-length embeddings must be dropped, not fail the stage."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    from nreadspark.ops.similarity import ivf_topk, lsh_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).limit(100)
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    bad = spark.createDataFrame(
+        [(990001, None), (990002, [1.0, 2.0]), (990003, [None] * 64)], schema
+    )
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(bad)
+    queries = corpus.filter(F.col("vec_id") < 4)
+    out_lsh = lsh_topk(corpus, queries, dim=64, k=3).collect()
+    out_ivf = ivf_topk(corpus, queries, dim=64, k=3, n_lists=4, n_probe=2).collect()
+    bad_ids = {990001, 990002, 990003}
+    assert out_lsh and out_ivf
+    assert not bad_ids & {int(r["corpus_id"]) for r in out_lsh}
+    assert not bad_ids & {int(r["corpus_id"]) for r in out_ivf}
+
+
+def test_ivf_empty_corpus_raises(spark):
+    from nreadspark.ops.similarity import ivf_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).filter("vec_id < 0")
+    with pytest.raises(ValueError, match="non-empty corpus sample"):
+        ivf_topk(emb, emb, dim=64, k=3)
