@@ -248,12 +248,21 @@ def _q_text_fingerprint(spark, sf_dir):
 
 
 def _q_multimodal_features(spark, sf_dir):
+    """Binary media feature extraction: the images are structurally valid
+    PNG prefixes, so the stdlib header decoder reads real dimensions; the
+    DuckDB oracle rebuilds the exact payload hex and its md5."""
     from nreadspark.ops.multimodal import extract_media_features, synthesize_media_df
 
-    docs = _table(spark, sf_dir, "documents").limit(100)
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = synthesize_media_df(spark, docs)
     return extract_media_features(media).select(
-        "media_ref", "media_kind", "n_bytes", "sha256", "decoder"
+        "media_ref",
+        "media_kind",
+        "n_bytes",
+        "payload_md5",
+        "decoded_width",
+        "decoded_height",
+        "decoder",
     )
 
 
@@ -470,22 +479,30 @@ def _q_f7_strip_unlikely(spark, sf_dir):
 def _q_multimodal_resize(spark, sf_dir):
     from nreadspark.ops.multimodal import resize_images, synthesize_media_df
 
-    docs = _table(spark, sf_dir, "documents").limit(100)
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = synthesize_media_df(spark, docs)
     out = resize_images(media, 224, 224)
     return out.select(
-        "media_ref", "width", "height", F.length("payload").cast("bigint").alias("n_bytes")
+        "media_ref",
+        "width",
+        "height",
+        "resized",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5(F.lower(F.hex("payload"))).alias("payload_md5"),
     )
 
 
 def _q_multimodal_frames(spark, sf_dir):
     from nreadspark.ops.multimodal import sample_video_frames, synthesize_media_df
 
-    docs = _table(spark, sf_dir, "documents").limit(100)
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     media = synthesize_media_df(spark, docs)
     out = sample_video_frames(media, every_ms=2000, max_frames=8)
     return out.select(
-        "media_ref", "frame_idx", "ts_ms", F.length("frame_payload").cast("bigint").alias("n_bytes")
+        "media_ref",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("ts_ms").cast("bigint").alias("ts_ms"),
+        F.decode("frame_payload", "utf-8").alias("frame_id"),
     )
 
 
@@ -682,6 +699,34 @@ def _simhash_oracle_sql(bits: int = 60) -> str:
         """
 
 
+# shared CTE rebuilding the synthetic media payload hex exactly as
+# nreadspark.ops.multimodal.synthesize_media_df constructs it JVM-side
+_MEDIA_HEX_SQL = """
+            media AS (
+              SELECT doc_id,
+                     doc_id % 5 = 0 AS is_video,
+                     (doc_id % 1889) + 32 AS w,
+                     (doc_id % 1049) + 32 AS h,
+                     (doc_id % 29) * 1000 + 1000 AS dur,
+                     repeat('abcdef', CAST(doc_id % 50 + 1 AS INT)) AS filler
+              FROM documents WHERE doc_id < 100
+            ), hexes AS (
+              SELECT *,
+                     CASE WHEN is_video
+                          THEN '000000186674797069736f6d' || filler
+                          ELSE '89504e470d0a1a0a0000000d49484452'
+                               || lpad(lower(to_hex(w)), 8, '0')
+                               || lpad(lower(to_hex(h)), 8, '0')
+                               || '080600000000000000' || filler
+                     END AS hx,
+                     CASE WHEN is_video THEN 'vid://' ELSE 'img://' END
+                       || CAST(doc_id AS VARCHAR) AS media_ref,
+                     CASE WHEN is_video THEN 'video' ELSE 'image' END AS media_kind
+              FROM media
+            )
+"""
+
+
 _LANG_SCORES_SQL = """
 SELECT doc_id, lang AS actual_lang,
        CAST(length(regexp_extract_all(text, '\\b(the|and|of|fast|slow)\\b')) AS BIGINT) AS score_en,
@@ -789,6 +834,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
             FROM corpus GROUP BY 1
+        """,
+        "multimodal_features": f"""
+            WITH {_MEDIA_HEX_SQL.strip()}
+            SELECT media_ref, media_kind,
+                   CAST(length(hx) / 2 AS BIGINT) AS n_bytes,
+                   md5(hx) AS payload_md5,
+                   CASE WHEN is_video THEN NULL ELSE CAST(w AS INT) END AS decoded_width,
+                   CASE WHEN is_video THEN NULL ELSE CAST(h AS INT) END AS decoded_height,
+                   CASE WHEN is_video THEN 'stub' ELSE 'header:png' END AS decoder
+            FROM hexes
+        """,
+        # structural resize: images -> fixed 224x224 PNG prefix + 196-byte
+        # filler (max(16, 224*224//256)); non-images pass through unchanged
+        "multimodal_resize": f"""
+            WITH {_MEDIA_HEX_SQL.strip()},
+            resized AS (
+              SELECT media_ref,
+                     CASE WHEN is_video THEN hx
+                          ELSE '89504e470d0a1a0a0000000d49484452'
+                               || '000000e0' || '000000e0' || '080600000000000000'
+                               || substring(repeat('abcdef', 66), 1, 392)
+                     END AS out_hx,
+                     NOT is_video AS resized,
+                     CASE WHEN is_video THEN NULL ELSE 224 END AS width,
+                     CASE WHEN is_video THEN NULL ELSE 224 END AS height
+              FROM hexes
+            )
+            SELECT media_ref, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+                   resized,
+                   CAST(length(out_hx) / 2 AS BIGINT) AS n_bytes,
+                   md5(out_hx) AS payload_md5
+            FROM resized
+        """,
+        "multimodal_frames": f"""
+            WITH {_MEDIA_HEX_SQL.strip()}
+            SELECT media_ref,
+                   CAST(i AS BIGINT) AS frame_idx,
+                   CAST(i * 2000 AS BIGINT) AS ts_ms,
+                   md5(hx || ':' || CAST(i AS VARCHAR)) AS frame_id
+            FROM hexes
+            CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) frames
+            WHERE is_video AND i < least(dur // 2000 + 1, 8)
         """,
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
