@@ -246,7 +246,10 @@ def traverse_child_nodes(element: Node, visitor) -> None:
                 idx = ch.index(child)
             except ValueError:
                 idx = -1
-        nxt = ch[idx + 1] if 0 <= idx + 1 < len(ch) else None
+        # idx == -1 means the current child was detached by a previous
+        # visitor: stop rather than restarting from ch[0] (double visits /
+        # non-termination if a visitor removes its captured next sibling)
+        nxt = ch[idx + 1] if idx >= 0 and idx + 1 < len(ch) else None
         visitor(child)
         # if the visitor removed/replaced the child, nxt slid into its slot
         ch = element.children

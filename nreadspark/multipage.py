@@ -4,15 +4,24 @@ The reference crawls next-page links recursively (fetch -> transcode ->
 append, NReadabilityWebTranscoder.cs:163-287).  At 10^12-document scale all
 pages are already rows in the input table, so the crawl becomes:
 
-1. **chain resolution** -- pure DataFrame ops: edges ``(url -> next_page_url)``
-   from the extraction pass, roots = pages nobody links to, then <=30
-   iterative joins walking the chains with visited-set loop protection
-   (the frontier shrinks every round; chains are rare and short, so each
-   round's join is tiny and broadcastable);
-2. **assembly** -- an Arrow-batched kernel applying the reference's exact
-   per-page merge semantics: drop page-2+ ``<h1>`` (:235-240), first-long-
-   paragraph duplicate check against accumulated text (:247-266), page
-   separator + ``readability-page-N`` wrapper divs (:37-38,269-279), 30-page
+1. **one extraction pass** -- every page is transcoded exactly once by the
+   Arrow-batched kernel, emitting its article spans, next-page edge and the
+   first-paragraph probe the duplicate gate needs (the reference transcodes
+   page k once per crawl too; an earlier revision of this module transcoded
+   every page twice -- once for edges, once for assembly -- which doubles
+   kernel CPU at fleet scale);
+2. **chain resolution** -- pure DataFrame ops over the (url ->
+   next_page_url) edges: roots = pages nobody links to, then <=30 iterative
+   joins walking the chains with visited-set loop protection.  Pages caught
+   in next-link cycles (A<->B) have no root and would silently vanish, so
+   they are unioned back as their own single-page roots afterwards;
+3. **assembly** -- a span-level merge applying the reference's exact
+   per-page semantics: the reference removes only readInner's direct-child
+   ``<h1>`` -- its own injected title header (:236-240), which never occurs
+   inside the article content, so span assembly needs no h1 surgery at all;
+   first-paragraph duplicate gate = inner-HTML length > 100 (:252) with
+   case-insensitive containment of the paragraph *text* in the accumulated
+   content text (:258-263); page separator spans (:37-38,269-279); 30-page
    cap with a "View Next Page" stub (:34,216-221).
 
 ``transcode_web`` is the single-document convenience mirroring
@@ -24,45 +33,49 @@ from __future__ import annotations
 
 import re
 
-from .dom import Node
+from .dom import inner_html
 from .kernel import Options, transcode
 from .spans import extract_spans
 
 MAX_PAGES = 30  # NReadabilityWebTranscoder.cs:34
 PAGE_ID_PREFIX = "readability-page-"  # :35
+PAGE_SEPARATOR_TEXT = "§"  # &sect; (:37-38)
 
 _TRAILING_SLASH_RE = re.compile(r"/$")
 
 
-def page_separator(page_number: int) -> Node:
-    """_DefaultPageSeparatorBuilder (:37-38): <p class='page-separator'
-    title='Page N'>&sect;</p>."""
-    p = Node("p", {"class": "page-separator", "title": f"Page {page_number}"})
-    from .dom import TextNode
+def _page_result(html: str, url: str | None, opts: Options) -> dict:
+    """Transcode one page and capture everything assembly needs."""
+    result = transcode(html, url, opts)
+    content = result.article_content
+    first_p = next(content.elements_by_tag_name("p"), None)
+    return {
+        "spans": extract_spans(content),
+        "title": result.title,
+        "content_extracted": result.content_extracted,
+        "next_page_url": result.next_page_url,
+        "first_p_value": first_p.value if first_p is not None else None,
+        "first_p_inner_len": len(inner_html(first_p)) if first_p is not None else 0,
+        "url": url,
+    }
 
-    t = TextNode("§")  # &sect;
-    t.parent = p
-    p.children.append(t)
-    return p
+
+def _flatten_text(spans) -> str:
+    return "".join(s["text"] or "" for s in spans if s["kind"] == "text")
 
 
-def _first_paragraph_value(article: Node) -> str | None:
-    first_p = next(article.elements_by_tag_name("p"), None)
-    return first_p.value if first_p is not None else None
+def _text_span(text: str) -> dict:
+    return {"kind": "text", "text": text, "media_ref": None, "offset": 0}
 
 
-def assemble_pages(pages: list[tuple[str, str | None]], opts: Options | None = None) -> dict:
-    """Merge an ordered multi-page chain into one article.
+def merge_page_results(pages: list[dict]) -> dict:
+    """Merge an ordered chain of per-page extraction results into one
+    article's span sequence (reference AppendNextPage semantics, :212-287).
 
-    ``pages`` is the resolved chain: ``[(html, url), ...]`` with page 1
-    first; pass up to MAX_PAGES + 1 entries -- a 31st page becomes the
-    "View Next Page" stub like the reference (:216-221).
-
-    Returns ``{spans, title, content_extracted, n_pages, page_urls}`` where
-    the spans serialize every appended page's content in order (separators
-    included as text spans).
+    ``pages[i]`` needs keys spans/title/content_extracted/first_p_value/
+    first_p_inner_len/url.  Pass up to MAX_PAGES + 1 entries -- the 31st
+    becomes the "View Next Page" stub (:216-221).
     """
-    opts = opts or Options()
     if not pages:
         return {
             "spans": [],
@@ -72,101 +85,93 @@ def assemble_pages(pages: list[tuple[str, str | None]], opts: Options | None = N
             "page_urls": [],
         }
 
-    html0, url0 = pages[0]
-    first = transcode(html0, url0, opts)
-
-    # container mirroring readInner's article children: page divs in order
-    container = Node("div")
-    page1 = first.article_content
-    appended_urls = [url0]
+    first = pages[0]
+    out_spans: list[dict] = list(first["spans"])
+    # accumulated text for the duplicate gate = contentDiv.Value (:257)
+    acc_parts = [_flatten_text(first["spans"])]
+    appended_urls = [first["url"]]
     cur_page = 1
 
-    # accumulated text for the duplicate check = contentDiv.Value (:257)
-    acc_parts = [page1.value]
-
-    container.append_moved(page1)
-
-    for html, url in pages[1:]:
+    for page in pages[1:]:
         cur_page += 1
         if cur_page > MAX_PAGES:
             # :216-221 -- a centered "View Next Page" link stub
-            stub = Node("div", {"style": "text-align: center"})
-            link = Node("a", {"href": url or ""})
-            from .dom import TextNode
-
-            t = TextNode("View Next Page")
-            t.parent = link
-            link.children.append(t)
-            stub.append_moved(link)
-            container.append_moved(stub)
+            out_spans.append(_text_span("View Next Page"))
             break
-        if html is None or html == "":
-            break  # fetch failure ends the crawl (:225-228)
 
-        nxt = transcode(html, url, opts)
-        inner = nxt.article_content
-
-        # drop the next page's h1 (title duplicate, :235-240).  The
-        # reference removes readInner's direct <h1>; our article_content is
-        # the content div (title h1 lives outside it), so any leading h1
-        # inside the content is the in-body duplicate the rule targets.
-        header = next(inner.elements_by_tag_name("h1"), None)
-        if header is not None:
-            header.remove()
-
-        # anti-duplicate: first <p> with value > 100 chars already contained
-        # (case-insensitive) in the accumulated content (:247-266)
-        first_p_value = _first_paragraph_value(inner)
-        if first_p_value and len(first_p_value) > 100:
+        # anti-duplicate (:247-266): gate on the first paragraph's
+        # inner-HTML LENGTH, containment on its text VALUE
+        fp_value = page["first_p_value"]
+        if fp_value and page["first_p_inner_len"] > 100:
             existing = "".join(acc_parts)
-            if existing and first_p_value.lower() in existing.lower():
+            if existing and fp_value.lower() in existing.lower():
                 break  # the reference stops recursing on a duplicate (:263)
 
-        page_div = Node("div", {"id": f"{PAGE_ID_PREFIX}{cur_page}", "class": "page"})
-        page_div.append_moved(page_separator(cur_page))
-        for node in inner.children[:]:
-            page_div.append_moved(node)
-        container.append_moved(page_div)
-        acc_parts.append(page_div.value)
-        appended_urls.append(url)
+        # the reference drops only readInner's direct-child <h1> -- its own
+        # injected title header (:236-240), which is never part of the
+        # article content, so the page's spans are appended unmodified
+        out_spans.append(_text_span(PAGE_SEPARATOR_TEXT))
+        out_spans.extend(page["spans"])
+        acc_parts.append(PAGE_SEPARATOR_TEXT + _flatten_text(page["spans"]))
+        appended_urls.append(page["url"])
 
-    multi = len(appended_urls) > 1
-    if multi:
-        # rename page 1's div (:193-200)
-        first_div = container.children[0]
-        if first_div.is_element:
-            first_div.set_attribute("id", f"{PAGE_ID_PREFIX}1")
-            first_div.set_attribute("class", "page")
+    for i, span in enumerate(out_spans):
+        span["offset"] = i
 
     return {
-        "spans": extract_spans(container),
-        "title": first.title,
-        "content_extracted": first.content_extracted,
+        "spans": out_spans,
+        "title": first["title"],
+        "content_extracted": first["content_extracted"],
         "n_pages": len(appended_urls),
         "page_urls": appended_urls,
     }
 
 
+def assemble_pages(pages: list[tuple[str, str | None]], opts: Options | None = None) -> dict:
+    """Merge an ordered multi-page chain of raw HTML pages into one article
+    (single-document convenience; the Spark path feeds ``merge_page_results``
+    directly from the one extraction pass)."""
+    opts = opts or Options()
+    results = []
+    for html, url in pages:
+        if len(results) >= 1 and (html is None or html == ""):
+            break  # fetch failure ends the crawl (:225-228)
+        if len(results) > MAX_PAGES:
+            results.append(
+                {
+                    "spans": [],
+                    "title": None,
+                    "content_extracted": False,
+                    "first_p_value": None,
+                    "first_p_inner_len": 0,
+                    "url": url,
+                }
+            )
+            break
+        results.append(_page_result(html, url, opts))
+    return merge_page_results(results)
+
+
 def transcode_web(fetch, url: str, opts: Options | None = None, max_pages: int = MAX_PAGES) -> dict:
     """Single-document crawl mirroring NReadabilityWebTranscoder.Transcode
     (:105-160): ``fetch(url) -> html`` is the pluggable fetcher.  Resolves
-    the chain with the reference's visited-set rule, then assembles."""
+    the chain with the reference's visited-set rule, then assembles.  Each
+    page is transcoded exactly once."""
     opts = opts or Options()
     visited = {_TRAILING_SLASH_RE.sub("", url)}
-    pages: list[tuple[str, str | None]] = []
+    results: list[dict] = []
     cur = url
-    while cur is not None and len(pages) <= max_pages:
+    while cur is not None and len(results) <= max_pages:
         html = fetch(cur)
         if not html:
             break
-        pages.append((html, cur))
-        result = transcode(html, cur, opts)
-        nxt = result.next_page_url
+        results.append(_page_result(html, cur, opts))
+        nxt = results[-1]["next_page_url"]
         if not nxt or nxt in visited or _TRAILING_SLASH_RE.sub("", nxt) in visited:
             break
         visited.add(_TRAILING_SLASH_RE.sub("", nxt))
         cur = nxt
-    return assemble_pages(pages, opts)
+    return merge_page_results(results)
 
 
 # ---------------------------------------------------------------------------
@@ -181,6 +186,10 @@ def resolve_chains(extracted, url_col: str = "url", max_pages: int = MAX_PAGES):
     ``(root_doc_id, doc_id, page_num)`` assignments.  Driver-side loop of at
     most ``max_pages`` joins; every round the frontier only contains chains
     that still continue, so rounds after the longest chain are never run.
+
+    Pages that end up in no chain (mutual next-link cycles have no root)
+    are unioned back as their own single-page roots -- silent data loss is
+    never acceptable in a fleet-scale pipeline.
     """
     from pyspark.sql import functions as F
 
@@ -240,13 +249,114 @@ def resolve_chains(extracted, url_col: str = "url", max_pages: int = MAX_PAGES):
     out = assignments[0]
     for a in assignments[1:]:
         out = out.unionByName(a)
+
+    # cycle recovery: pages assigned to no chain become single-page roots
+    orphans = pages.select("doc_id").join(
+        out.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    out = out.unionByName(
+        orphans.select(
+            F.col("doc_id").alias("root_doc_id"),
+            F.col("doc_id"),
+            F.lit(1).alias("page_num"),
+        )
+    )
     return out
+
+
+PAGES_SCHEMA = None  # built lazily (needs pyspark types)
+
+
+def _pages_schema():
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .pipeline import SPAN_TYPE
+
+    return StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("url", StringType()),
+            StructField("spans", ArrayType(SPAN_TYPE)),
+            StructField("title", StringType()),
+            StructField("content_extracted", BooleanType()),
+            StructField("next_page_url", StringType()),
+            StructField("first_p_value", StringType()),
+            StructField("first_p_inner_len", IntegerType()),
+        ]
+    )
+
+
+def extract_pages(df, url_col: str = "url", spans_col: str = "spans"):
+    """THE extraction pass of the multipage pipeline: every page transcoded
+    once, emitting article spans + next-page edge + first-paragraph probe."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from .pipeline import html_from_spans_col
+
+    schema = _pages_schema()
+    span = pa.struct(
+        [
+            pa.field("kind", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("media_ref", pa.string()),
+            pa.field("offset", pa.int32()),
+        ]
+    )
+    arrow_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.string()),
+            pa.field("url", pa.string()),
+            pa.field("spans", pa.list_(span)),
+            pa.field("title", pa.string()),
+            pa.field("content_extracted", pa.bool_()),
+            pa.field("next_page_url", pa.string()),
+            pa.field("first_p_value", pa.string()),
+            pa.field("first_p_inner_len", pa.int32()),
+        ]
+    )
+
+    def batches(iterator):
+        opts = Options()
+        for batch in iterator:
+            rows = []
+            for row in batch.to_pylist():
+                try:
+                    res = dict(_page_result(row["__html"], row["url"], opts))
+                except Exception:
+                    # poisoned page: emit a flagged empty row, never kill the job
+                    res = {
+                        "spans": [],
+                        "title": None,
+                        "content_extracted": False,
+                        "next_page_url": None,
+                        "first_p_value": None,
+                        "first_p_inner_len": 0,
+                        "url": row["url"],
+                    }
+                res["doc_id"] = row["doc_id"]
+                rows.append(res)
+            yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+
+    prepared = df.select(
+        "doc_id",
+        F.col(url_col).alias("url"),
+        html_from_spans_col(spans_col).alias("__html"),
+    )
+    return prepared.mapInArrow(batches, schema)
 
 
 def extract_multipage(df, url_col: str = "url", spans_col: str = "spans"):
     """Full multi-page extraction over an interleaved-spans table that also
-    carries page URLs: chains resolved relationally, then each chain's raw
-    pages are assembled by the kernel in one Arrow batch pass.
+    carries page URLs: ONE kernel pass per page, chains resolved
+    relationally, span-level merge per chain.
 
     Output: one row per chain root --
     ``(doc_id, spans, title, content_extracted, n_pages)``.
@@ -262,27 +372,39 @@ def extract_multipage(df, url_col: str = "url", spans_col: str = "spans"):
         StructType,
     )
 
-    from .pipeline import SPAN_TYPE, extract, html_from_spans_col
+    from .pipeline import SPAN_TYPE
 
-    # pass 1: per-page extraction for the next-page edges
-    extracted = extract(df, url_col=url_col, spans_col=spans_col)
-    pages_meta = extracted.select("doc_id", "next_page_url").join(
-        df.select("doc_id", F.col(url_col).alias("url")), "doc_id"
+    # single extraction pass, materialized once (lineage truncation: both
+    # the chain walk and the assembly join read it; at warehouse scale this
+    # is the intermediate table a production DAG would persist)
+    pages = extract_pages(df, url_col=url_col, spans_col=spans_col).localCheckpoint(
+        eager=True
     )
-    chains = resolve_chains(pages_meta, "url")
+    chains = resolve_chains(pages, "url")
 
-    # pass 2: group each chain's raw html in page order, assemble in kernel
-    raw = df.select(
-        "doc_id",
-        F.col(url_col).alias("url"),
-        html_from_spans_col(spans_col).alias("html"),
-    )
-    chained = chains.join(raw, "doc_id").select(
-        "root_doc_id", "page_num", "url", "html"
+    chained = chains.join(pages, "doc_id").select(
+        "root_doc_id",
+        "page_num",
+        "url",
+        "spans",
+        "title",
+        "content_extracted",
+        "first_p_value",
+        "first_p_inner_len",
     )
     grouped = chained.groupBy("root_doc_id").agg(
         F.array_sort(
-            F.collect_list(F.struct("page_num", "html", "url"))
+            F.collect_list(
+                F.struct(
+                    "page_num",
+                    "spans",
+                    "title",
+                    "content_extracted",
+                    "first_p_value",
+                    "first_p_inner_len",
+                    "url",
+                )
+            )
         ).alias("pages")
     )
 
@@ -319,12 +441,21 @@ def extract_multipage(df, url_col: str = "url", spans_col: str = "spans"):
     )
 
     def batches(iterator):
-        opts = Options()
         for batch in iterator:
             rows = []
             for row in batch.to_pylist():
-                pages = [(p["html"], p["url"]) for p in row["pages"]]
-                merged = assemble_pages(pages, opts)
+                page_dicts = [
+                    {
+                        "spans": [dict(s) for s in p["spans"]],
+                        "title": p["title"],
+                        "content_extracted": p["content_extracted"],
+                        "first_p_value": p["first_p_value"],
+                        "first_p_inner_len": p["first_p_inner_len"] or 0,
+                        "url": p["url"],
+                    }
+                    for p in row["pages"]
+                ]
+                merged = merge_page_results(page_dicts)
                 rows.append(
                     {
                         "doc_id": row["root_doc_id"],

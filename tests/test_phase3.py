@@ -262,3 +262,51 @@ def test_streaming_extract_exactly_once(spark, tmp_path):
         .collect()[0]
     )
     assert [tuple(s) for s in sample["spans"]] == [tuple(s) for s in batch["spans"]]
+
+
+def test_resolve_chains_cycle_pages_not_dropped(spark):
+    """Mutual next-link cycles have no root; such pages must surface as
+    single-page roots instead of silently vanishing."""
+    from nreadspark.multipage import resolve_chains
+
+    rows = [
+        ("a", "http://ex.com/a", "http://ex.com/b"),  # a <-> b cycle
+        ("b", "http://ex.com/b", "http://ex.com/a"),
+        ("c", "http://ex.com/c", "http://ex.com/d"),  # normal 2-page chain
+        ("d", "http://ex.com/d", None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "next_page_url"])
+    out = resolve_chains(df, "url").collect()
+    by_root = {}
+    for r in out:
+        by_root.setdefault(r["root_doc_id"], []).append((r["page_num"], r["doc_id"]))
+    # chain c -> d intact
+    assert sorted(by_root["c"]) == [(1, "c"), (2, "d")]
+    # cycle members recovered as their own single-page roots
+    assert by_root["a"] == [(1, "a")]
+    assert by_root["b"] == [(1, "b")]
+
+
+def test_extract_multipage_single_kernel_pass(spark):
+    """Every page is transcoded exactly once: the pages frame already
+    carries spans + edges + the first-paragraph probe, so assembly never
+    re-runs the kernel."""
+    from nreadspark.multipage import extract_pages
+    from nreadspark.pipeline import SPAN_TYPE
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("url", StringType()),
+            StructField("spans", ArrayType(SPAN_TYPE)),
+        ]
+    )
+    rows = [
+        ("p1", "http://ex.com/a", [("text", _page(1, "http://ex.com/a?page=2"), None, 0)]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    page = extract_pages(df).collect()[0]
+    assert page["next_page_url"] == "http://ex.com/a?page=2"
+    assert page["spans"]
+    assert page["first_p_inner_len"] > 0
