@@ -178,6 +178,23 @@ def _q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def _q_dedup_embedding_lsh(spark, sf_dir):
+    """The scale route for embedding near-dup: LSH banding prunes candidate
+    pairs, per-bucket GEMM verifies.  Axis planes keep the bucketing
+    float-free so the DuckDB oracle replicates the exact candidate sets."""
+    from nreadspark.ops.dedup import embedding_near_duplicates_lsh
+
+    emb = _table(spark, sf_dir, "embeddings")
+    out = embedding_near_duplicates_lsh(
+        emb, threshold=0.35, dim=64, n_bits=16, n_bands=8, planes="axis"
+    )
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "cosine",
+    )
+
+
 def _q_ann_bruteforce_topk(spark, sf_dir):
     from nreadspark.ops.similarity import brute_force_topk
 
@@ -577,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         # similarity search
         "ann_bruteforce_topk": _q_ann_bruteforce_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -944,6 +962,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        # LSH-pruned near-dup pairs: candidates = any-band collision over the
+        # axis-plane bits, verified at cosine >= 0.35
+        "dedup_embedding_lsh": """
+            WITH v AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ), bits AS (
+              SELECT vec_id,
+                     list_transform(generate_series(1, 16),
+                                    j -> CASE WHEN e[j] >= 0 THEN '1' ELSE '0' END) AS b
+              FROM v
+            ), banded AS (
+              SELECT vec_id, band,
+                     array_to_string(b[band*2+1 : band*2+2], '') AS bucket
+              FROM bits CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) bands
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+              FROM banded a
+              JOIN banded c ON a.band = c.band AND a.bucket = c.bucket
+                           AND a.vec_id < c.vec_id
+            ), scored AS (
+              SELECT cand.id_a, cand.id_b,
+                     round(list_cosine_similarity(ae.e, ce.e), 6) AS cosine
+              FROM cand
+              JOIN v ae ON ae.vec_id = cand.id_a
+              JOIN v ce ON ce.vec_id = cand.id_b
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cosine
+            FROM scored WHERE cosine >= 0.35
         """,
         # exact replication of the axis-plane banded LSH: 16 sign-of-
         # coordinate bits, 8 bands of 2 bits, candidates = any-band

@@ -356,12 +356,99 @@ def _simhash_arrow(toks: DataFrame, bits: int) -> DataFrame:
     return toks.mapInArrow(batches, out_schema)
 
 
+def embedding_near_duplicates_lsh(
+    emb_df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_bits: int = 16,
+    n_bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: str = "random",
+    max_bucket_size: int = 4096,
+) -> DataFrame:
+    """The 100 TB embedding near-dup route: LSH banding prunes candidates,
+    then each bucket is verified with ONE numpy float64 GEMM.
+
+    Composition of ``similarity.lsh_signatures`` (sign-bit bands bucket the
+    vectors; only same-bucket pairs are ever scored) with the blocked-GEMM
+    verification of :func:`embedding_near_duplicates` -- no all-pairs tiles,
+    no driver-side ``count()``; total work is sum over buckets of k_b^2
+    instead of n^2.  Buckets larger than ``max_bucket_size`` (embedding-space
+    boilerplate) fall back to a star comparison against the bucket's
+    canonical (minimum-id) member: O(k) pairs, every member still verified
+    against a near-identical representative.  For corpora where even one
+    bucket's vectors exceed executor memory, raise n_bands/n_bits so buckets
+    shrink before collection.
+    """
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from .similarity import lsh_signatures
+
+    sigs = lsh_signatures(emb_df, dim, n_bits, n_bands, id_col, vec_col, planes)
+    packed = sigs.groupBy("bucket").agg(
+        F.collect_list("id").alias("ids"), F.collect_list("vec").alias("vecs")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score_buckets(iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in iterator:
+            ids_a, ids_b, cos = [], [], []
+            for row in pdf.itertuples(index=False):
+                ids = np.asarray([int(i) for i in row.ids], dtype=np.int64)
+                if len(ids) < 2:
+                    continue
+                X = np.asarray([np.asarray(v) for v in row.vecs], dtype=np.float64)
+                norms = np.maximum(np.linalg.norm(X, axis=1), 1e-300)
+                if len(ids) > max_bucket_size:
+                    # star: compare all members against the canonical vector
+                    c = int(np.argmin(ids))
+                    sim = (X @ X[c]) / (norms * norms[c])
+                    np.round(sim, 6, out=sim)
+                    for j in np.nonzero(sim >= threshold)[0]:
+                        if j == c:
+                            continue
+                        lo, hi = sorted((int(ids[c]), int(ids[j])))
+                        ids_a.append(lo)
+                        ids_b.append(hi)
+                        cos.append(float(sim[j]))
+                    continue
+                sim = (X @ X.T) / np.outer(norms, norms)
+                np.round(sim, 6, out=sim)
+                ii, jj = np.nonzero(np.triu(sim >= threshold, k=1))
+                for i, j in zip(ii, jj):
+                    lo, hi = sorted((int(ids[i]), int(ids[j])))
+                    ids_a.append(lo)
+                    ids_b.append(hi)
+                    cos.append(float(sim[i, j]))
+            yield pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "cosine": cos})
+
+    scored = packed.mapInPandas(score_buckets, out_schema)
+    # a pair can collide in several bands: keep one row (cosines agree to
+    # 1e-6 by construction; max() makes the reduction associative anyway)
+    return (
+        scored.groupBy("id_a", "id_b")
+        .agg(F.round(F.max("cosine"), 6).alias("cosine"))
+    )
+
+
 def embedding_near_duplicates(
     emb_df: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int = 512,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine near-dup via blocked matrix multiply.
 
@@ -371,13 +458,18 @@ def embedding_near_duplicates(
     id => deterministic, uniform), cross-join the upper-triangular block
     pairs, and compute each tile's full cosine matrix with one numpy float64
     GEMM inside an Arrow-batched ``mapInPandas``.  Shuffle volume is one copy
-    of the packed table per block-pair side; at 100TB the LSH path
-    (similarity.py) prunes candidates first and this kernel verifies tiles.
+    of the packed table per block-pair side.
+
+    This is the *verification-scale* kernel (tiles are O(n^2/B^2) by
+    design): at 100TB use :func:`embedding_near_duplicates_lsh`, which
+    prunes candidates with banding first and has no quadratic term.  Pass
+    ``n_blocks`` explicitly to avoid the sizing ``count()`` job.
     """
     import math
 
-    n = emb_df.count()  # one cheap metadata-ish job to size the tiling
-    n_blocks = max(1, math.ceil(n / block_size))
+    if n_blocks is None:
+        n = emb_df.count()  # sizing fallback; pass n_blocks to skip this job
+        n_blocks = max(1, math.ceil(n / block_size))
     packed = (
         emb_df.select(
             F.col(id_col).cast("bigint").alias("id"),

@@ -107,3 +107,41 @@ def test_simhash_arrow_matches_expr(spark):
         a = dict(simhash(corpus, bits=bits, hash_fn=hash_fn, engine="arrow").collect())
         e = dict(simhash(corpus, bits=bits, hash_fn=hash_fn, engine="expr").collect())
         assert a == e, f"engine mismatch for bits={bits}, hash_fn={hash_fn}"
+
+
+def test_embedding_lsh_finds_planted_near_dups(spark):
+    """Planted near-identical embeddings must be recovered by the composed
+    LSH->GEMM route (identical vectors share every band bucket)."""
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.dedup import embedding_near_duplicates_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dupes = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dupes)
+    out = embedding_near_duplicates_lsh(corpus, threshold=0.99, dim=64)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    planted = {(i, i + 1000000) for i in range(20)}
+    assert planted <= pairs, f"missing planted pairs: {planted - pairs}"
+
+
+def test_embedding_lsh_star_guard(spark):
+    """An embedding-space boilerplate bucket (many identical vectors) is
+    verified via the star pattern: O(k) pairs, all members covered."""
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.dedup import embedding_near_duplicates_lsh
+
+    one = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(j % 7) + 1.0) for j in range(8)]).alias("embedding"),
+    )
+    out = embedding_near_duplicates_lsh(
+        one, threshold=0.99, dim=8, n_bits=8, n_bands=4, max_bucket_size=50
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(0, i) for i in range(1, 300)}
