@@ -132,30 +132,26 @@ def run_extraction(
     # survives the mapInPandas schema boundary without widening the kernel IO
     extracted = extracted.withColumn("bucket", bucket_col(n_buckets))
 
-    (
-        extracted.write.partitionBy("bucket")
-        .mode("overwrite")
-        .parquet(output_path)
-    )
+    # persist the kernel output once: the write below and the per-bucket
+    # manifest aggregation both read it, so the input is scanned ONCE and
+    # the kernel runs ONCE -- no read-back of the just-committed parquet
+    # (which at fleet scale is a second full pass over the output).  If an
+    # executor loses cached blocks Spark recomputes just those partitions
+    # deterministically, so manifests still describe exactly the committed
+    # rows.
+    from pyspark import StorageLevel
 
-    # per-bucket metrics from the committed output (bucket is the parquet
-    # partition column), then atomic manifests
-    out_df = spark.read.parquet(output_path)
-    new_buckets = out_df.filter(~F.col("bucket").isin(list(done))) if done else out_df
-    stats = (
-        new_buckets.groupBy("bucket")
-        .agg(
-            F.count("*").alias("docs"),
-            F.sum(F.col("content_extracted").cast("int")).alias("docs_extracted"),
-            F.sum(F.col("metrics.fallback_rerun").cast("int")).alias("fallback_reruns"),
-            F.sum(F.col("metrics.parse_retried").cast("int")).alias("parse_retries"),
-            F.sum((F.col("metrics.n_candidates") < 0).cast("int")).alias("kernel_failures"),
-            F.sum("metrics.in_bytes").alias("in_bytes"),
-            F.sum("metrics.ms").alias("kernel_ms"),
-            F.max("metrics.ms").alias("max_doc_ms"),
+    extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        (
+            extracted.write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(output_path)
         )
-        .collect()
-    )
+        stats = _bucket_stats(extracted)
+    finally:
+        extracted.unpersist()
+
     for row in stats:
         payload = row.asDict()
         payload["committed_at"] = time.time()
@@ -168,3 +164,20 @@ def run_extraction(
         "docs_computed": int(sum(r["docs"] for r in stats)),
         "wall_ms": (time.perf_counter() - started) * 1000.0,
     }
+
+
+def _bucket_stats(extracted: DataFrame):
+    return (
+        extracted.groupBy("bucket")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("content_extracted").cast("int")).alias("docs_extracted"),
+            F.sum(F.col("metrics.fallback_rerun").cast("int")).alias("fallback_reruns"),
+            F.sum(F.col("metrics.parse_retried").cast("int")).alias("parse_retries"),
+            F.sum((F.col("metrics.n_candidates") < 0).cast("int")).alias("kernel_failures"),
+            F.sum("metrics.in_bytes").alias("in_bytes"),
+            F.sum("metrics.ms").alias("kernel_ms"),
+            F.max("metrics.ms").alias("max_doc_ms"),
+        )
+        .collect()
+    )
