@@ -275,6 +275,160 @@ def extract_from_html(df: DataFrame, html_col: str = "html", url_col: str | None
     return df.select(*cols).mapInArrow(_extract_batches, OUTPUT_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Bytes-in ingestion (reference UrlFetcher.cs:48,95-112,164-195 semantics):
+# a real crawl table stores raw response bytes; the parts of the fetcher
+# that survive into a batch engine are decompression + charset detection.
+# ---------------------------------------------------------------------------
+
+# the reference's meta-tag charset regex (UrlFetcher.cs:48), plus the modern
+# <meta charset="..."> form as an extension
+import re as _re
+
+_META_CHARSET_RE = _re.compile(
+    rb"<meta[^>]+content=\"[^\"]*charset=(?P<charset>[^\"]+)\"", _re.IGNORECASE
+)
+_META_CHARSET_MODERN_RE = _re.compile(
+    rb"<meta\s+charset=[\"']?(?P<charset>[A-Za-z0-9_.:-]+)", _re.IGNORECASE
+)
+
+# the utf-16/utf-32 family codecs consume the BOM themselves; utf-8-sig
+# strips it.  32-bit BOMs must be checked before their 16-bit prefixes.
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe\x00\x00", "utf-32"),
+    (b"\x00\x00\xfe\xff", "utf-32"),
+    (b"\xff\xfe", "utf-16"),
+    (b"\xfe\xff", "utf-16"),
+)
+
+
+def _charset_from_content_type(content_type: str | None) -> str | None:
+    """GuessEncoding's header walk (UrlFetcher.cs:197-240): split on
+    ';'/'='/' ', the token after a 'charset' token names the encoding."""
+    if not content_type:
+        return None
+    parts = _re.split(r"[;= ]", content_type.lower())
+    is_charset = False
+    for p in parts:
+        if p == "charset":
+            is_charset = True
+        elif is_charset:
+            if p:
+                return p
+            is_charset = False
+    return None
+
+
+def decode_html_bytes(
+    raw: bytes,
+    content_type: str | None = None,
+    content_encoding: str | None = None,
+    fallback_encoding: str = "utf-8",
+) -> str:
+    """Decode a raw HTML response body the way the reference fetcher does:
+    gzip/deflate decompression (MakeRequest, :164-189), then charset from
+    the Content-Type header (GuessEncoding, :197-240), else the meta-tag
+    sniff over an ASCII view (GetEncodingFromMetaTag, :95-112), else the
+    fallback.  BOM detection runs first -- a BOM is authoritative."""
+    if raw is None:
+        return ""
+    raw = bytes(raw)
+    if content_encoding:
+        enc = content_encoding.lower()
+        if "gzip" in enc:
+            import gzip
+
+            raw = gzip.decompress(raw)
+        elif "deflate" in enc:
+            import zlib
+
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                raw = zlib.decompress(raw, -15)  # raw deflate (.NET style)
+
+    for bom, codec in _BOMS:
+        if raw.startswith(bom):
+            return raw.decode(codec, errors="replace")
+
+    charset = _charset_from_content_type(content_type)
+    if charset is None:
+        head = raw[:4096]
+        m = _META_CHARSET_RE.search(head) or _META_CHARSET_MODERN_RE.search(head)
+        if m:
+            charset = m.group("charset").decode("ascii", errors="replace").strip()
+    if charset:
+        import codecs
+
+        try:
+            codecs.lookup(charset)
+        except (LookupError, ValueError):
+            charset = None  # unknown charset -> fallback (:106-110)
+    return raw.decode(charset or fallback_encoding, errors="replace")
+
+
+def _decode_bytes_batches(iterator, fallback_encoding: str):
+    """Arrow-batch adaptor: (doc_id, __bytes[, __url, __ctype, __cenc]) ->
+    (doc_id, __html[, __url]) batches, feeding the extraction kernel in the
+    SAME Python worker pass (one Arrow boundary crossing total)."""
+    import pyarrow as pa
+
+    for batch in iterator:
+        names = batch.schema.names
+        n = batch.num_rows
+        doc_ids = batch.column(names.index("doc_id"))
+        raws = batch.column(names.index("__bytes")).to_pylist()
+        ctypes = (
+            batch.column(names.index("__ctype")).to_pylist()
+            if "__ctype" in names
+            else [None] * n
+        )
+        cencs = (
+            batch.column(names.index("__cenc")).to_pylist()
+            if "__cenc" in names
+            else [None] * n
+        )
+        htmls = []
+        for raw, ct, ce in zip(raws, ctypes, cencs):
+            try:
+                htmls.append(decode_html_bytes(raw, ct, ce, fallback_encoding))
+            except Exception:
+                htmls.append("")  # undecodable body -> flagged empty row
+        arrays = [doc_ids, pa.array(htmls, pa.string())]
+        out_names = ["doc_id", "__html"]
+        if "__url" in names:
+            arrays.append(batch.column(names.index("__url")))
+            out_names.append("__url")
+        yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+
+def extract_from_html_bytes(
+    df: DataFrame,
+    bytes_col: str = "content",
+    url_col: str | None = None,
+    content_type_col: str | None = None,
+    content_encoding_col: str | None = None,
+    fallback_encoding: str = "utf-8",
+) -> DataFrame:
+    """Extraction over a raw-bytes crawl table: decompress + charset-sniff +
+    transcode in ONE ``mapInArrow`` pass (the decode generator feeds the
+    kernel generator inside the same worker -- bytes cross the Arrow
+    boundary once, strings never do)."""
+    cols = [F.col("doc_id"), F.col(bytes_col).alias("__bytes")]
+    if url_col:
+        cols.append(F.col(url_col).alias("__url"))
+    if content_type_col:
+        cols.append(F.col(content_type_col).alias("__ctype"))
+    if content_encoding_col:
+        cols.append(F.col(content_encoding_col).alias("__cenc"))
+
+    def kernel(iterator):
+        return _extract_batches(_decode_bytes_batches(iterator, fallback_encoding))
+
+    return df.select(*cols).mapInArrow(kernel, OUTPUT_SCHEMA)
+
+
 def extraction_metrics(df: DataFrame) -> DataFrame:
     """Corpus-level rollup of the per-document kernel metrics (one row):
     throughput accounting, failure/fallback/retry counts, byte volume.
