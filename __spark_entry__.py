@@ -338,8 +338,9 @@ def _q_debug_html(spark, sf_dir):
     """XHTML debug sink (SURVEY §2.1 S4 / §2.7 E2/E6).
 
     Oracle-able closed form: the glue wrapper around the synthetic page is a
-    fixed 763-byte template plus the doc text once and the doc_id twice
-    (<title> and injected h1), so html_len = 763 + len(text) + 2*len(doc_id).
+    fixed 5875-byte template (including the vendored readability.css asset)
+    plus the doc text once and the doc_id twice (<title> and injected h1),
+    so html_len = 5875 + len(text) + 2*len(doc_id).
     """
     from nreadspark.serialize import transcode_to_html_column
 
@@ -772,11 +773,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS n_image_spans
             FROM documents
         """,
-        # the glue-document wrapper is a fixed 763-char template + the text
+        # the glue-document wrapper is a fixed 5875-char template (incl. the
+        # vendored readability.css asset) + the text
         # once + the doc_id twice (<title> and injected h1)
         "debug_html": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                   CAST(763 + length(text) + 2*length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS html_len,
+                   CAST(5875 + length(text) + 2*length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS html_len,
                    true AS has_doctype,
                    true AS has_content_div
             FROM documents WHERE doc_id < 200

@@ -10,15 +10,26 @@ assembly (multipage), XHTML debug sink (serialize), Structured Streaming
 wrapper (streaming).
 """
 
-from .kernel import Options, TranscodeResult, transcode
+from .kernel import (
+    Options,
+    ReadingMargin,
+    ReadingSize,
+    ReadingStyle,
+    TranscodeResult,
+    transcode,
+)
 from .multipage import assemble_pages, transcode_web
-from .serialize import serialize_document, transcode_to_html
+from .serialize import SerializationParams, serialize_document, transcode_to_html
 from .spans import extract_spans, flatten_spans_text, spans_to_html
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Options",
+    "ReadingStyle",
+    "ReadingMargin",
+    "ReadingSize",
+    "SerializationParams",
     "TranscodeResult",
     "transcode",
     "extract_spans",

@@ -33,6 +33,7 @@ __all__ = [
     "inner_html",
     "set_inner_html",
     "serialize_node",
+    "serialize_node_pretty",
 ]
 
 
@@ -822,6 +823,69 @@ def serialize_node(node, out: list | None = None) -> str:
     if out is None:
         return "".join(parts)
     return ""
+
+
+class _EndTag:
+    __slots__ = ("tag",)
+
+    def __init__(self, tag: str) -> None:
+        self.tag = tag
+
+
+def serialize_node_pretty(node, indent_chars: str = "  ", newline: str = "\r\n") -> str:
+    """Indented serialization matching LINQ-to-XML's pretty printer
+    (``XDocument.ToString(SaveOptions.None)``, the reference's PrettyPrint
+    path, SgmlDomSerializer.cs:70).  Semantics of .NET's indenting
+    XmlWriter: a newline+indent is written before a start tag, empty tag or
+    comment unless the *current element scope* contains mixed content (text
+    was written at this level) or the last write was text; writing text
+    marks the scope mixed; the flag is saved/restored per element, so a
+    pure-element child nested under a mixed parent is indented again.  The
+    end tag of a non-empty element is indented unless its scope is mixed.
+    Defaults mirror .NET on Windows: two-space indent, CRLF newlines."""
+    parts: list[str] = []
+    mixed = False
+    mixed_stack: list[bool] = []
+    level = 0
+    last_was_text = False
+    stack = [node]
+    while stack:
+        item = stack.pop()
+        if isinstance(item, _EndTag):
+            level -= 1
+            if not mixed:
+                parts.append(newline)
+                parts.append(indent_chars * level)
+            parts.append(f"</{item.tag}>")
+            mixed = mixed_stack.pop()
+            last_was_text = False
+            continue
+        if item.is_text:
+            parts.append(_escape_text(item.value))
+            mixed = True
+            last_was_text = True
+            continue
+        if not mixed and parts and not last_was_text:
+            parts.append(newline)
+            parts.append(indent_chars * level)
+        if item.is_comment:
+            parts.append(f"<!--{item.value}-->")
+            last_was_text = False
+            continue
+        attrs = "".join(
+            f' {name}="{_escape_attr(value)}"' for name, value in item.attrs.items()
+        )
+        if item.children:
+            parts.append(f"<{item.tag}{attrs}>")
+            stack.append(_EndTag(item.tag))
+            stack.extend(reversed(item.children))
+            mixed_stack.append(mixed)
+            mixed = False
+            level += 1
+        else:
+            parts.append(f"<{item.tag}{attrs} />")
+        last_was_text = False
+    return "".join(parts)
 
 
 def inner_html(element: Node) -> str:

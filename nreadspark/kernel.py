@@ -31,7 +31,9 @@ from __future__ import annotations
 
 import re
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
+from enum import Enum
+from pathlib import Path
 from urllib.parse import urljoin
 
 from .dom import (
@@ -156,6 +158,41 @@ _BLOCK_TAG_PREFIXES = ("a", "blockquote", "dl", "div", "img", "ol", "p", "pre", 
 _FLOAT_EPSILON = 1.401298e-45
 
 
+class ReadingStyle(Enum):
+    """Article styling theme (Enums.cs:26-46)."""
+
+    Newspaper = "Newspaper"
+    Novel = "Novel"
+    Ebook = "Ebook"
+    Terminal = "Terminal"
+
+
+class ReadingMargin(Enum):
+    """Article margin width (Enums.cs:51-76)."""
+
+    XNarrow = "XNarrow"
+    Narrow = "Narrow"
+    Medium = "Medium"
+    Wide = "Wide"
+    XWide = "XWide"
+
+
+class ReadingSize(Enum):
+    """Article font size (Enums.cs:81-108)."""
+
+    XSmall = "XSmall"
+    Small = "Small"
+    Medium = "Medium"
+    Large = "Large"
+    XLarge = "XLarge"
+
+
+# Defaults mirror NReadabilityTranscoder.cs:59-69.
+DEFAULT_READING_STYLE = ReadingStyle.Newspaper
+DEFAULT_READING_MARGIN = ReadingMargin.Wide
+DEFAULT_READING_SIZE = ReadingSize.Medium
+
+
 @dataclass
 class Options:
     """Transcoder options (cs:176-213 constructor parameters)."""
@@ -165,6 +202,9 @@ class Options:
     dont_weight_classes: bool = False
     image_source_transformer: object = None  # callable(value, element) -> (new, orig_attr_name|None)
     anchor_href_transformer: object = None
+    reading_style: ReadingStyle = DEFAULT_READING_STYLE
+    reading_margin: ReadingMargin = DEFAULT_READING_MARGIN
+    reading_size: ReadingSize = DEFAULT_READING_SIZE
 
 
 @dataclass
@@ -992,15 +1032,30 @@ def extract_article_title(document: Document, opts: Options | None = None) -> No
 # Stage E2: GlueDocument (cs:856-919)
 # ---------------------------------------------------------------------------
 
-READABILITY_STYLESHEET = (
-    "/* nreadspark debug stylesheet (structural placeholder for the\n"
-    "   reference's embedded readability.css asset) */\n"
-    "body { margin: 0; padding: 0; }\n"
-    "#readInner { max-width: 42em; margin: 0 auto; }\n"
-)
+def _load_readability_stylesheet() -> str:
+    """The reference embeds Resources/readability.css as an assembly
+    resource and injects it verbatim (NReadabilityTranscoder.cs:1504-1519;
+    the StreamReader consumes the BOM).  We vendor the same Apache-2.0
+    asset as package data; a structural placeholder keeps the pipeline
+    alive if the data file is missing from a stripped py-files zip."""
+    try:
+        return (Path(__file__).parent / "resources" / "readability.css").read_text(
+            encoding="utf-8"
+        )
+    except OSError:
+        return (
+            "/* nreadspark fallback stylesheet (readability.css asset missing) */\n"
+            "body { margin: 0; padding: 0; }\n"
+            "#readInner { max-width: 42em; margin: 0 auto; }\n"
+        )
 
 
-def glue_document(document: Document, title_element, article_content) -> None:
+READABILITY_STYLESHEET = _load_readability_stylesheet()
+
+
+def glue_document(
+    document: Document, title_element, article_content, opts: Options | None = None
+) -> None:
     body = _get_or_create_body(document)
 
     head = next(document.elements_by_tag_name("head"), None)
@@ -1015,7 +1070,8 @@ def glue_document(document: Document, title_element, article_content) -> None:
     style.children.append(css_text)
     head.append_moved(style)
 
-    reading_style_class = get_user_style_class("style", "Newspaper")
+    opts = opts or Options()
+    reading_style_class = get_user_style_class("style", opts.reading_style.value)
     body.set_attribute("class", reading_style_class)
     body.set_attribute("style", "display: block;")
 
@@ -1023,7 +1079,9 @@ def glue_document(document: Document, title_element, article_content) -> None:
     inner_div.set_attribute("id", INNER_DIV_ID)
     inner_div.set_attribute(
         "class",
-        get_user_style_class("margin", "Wide") + " " + get_user_style_class("size", "Medium"),
+        get_user_style_class("margin", opts.reading_margin.value)
+        + " "
+        + get_user_style_class("size", opts.reading_size.value),
     )
     # XContainer.Add semantics: detached elements (the normal pipeline case)
     # are moved, parented ones (e.g. a caller passing the body) are cloned.
@@ -1271,13 +1329,7 @@ def _transcode_once(
     dont_strip: bool,
     parse_stats: dict | None = None,
 ) -> TranscodeResult:
-    run_opts = Options(
-        dont_strip_unlikelys=dont_strip,
-        dont_normalize_spaces=opts.dont_normalize_spaces,
-        dont_weight_classes=opts.dont_weight_classes,
-        image_source_transformer=opts.image_source_transformer,
-        anchor_href_transformer=opts.anchor_href_transformer,
-    )
+    run_opts = replace(opts, dont_strip_unlikelys=dont_strip)
     document = build_document(html_content, stats=parse_stats)
     prepare_document(document, run_opts)
 
@@ -1294,7 +1346,7 @@ def _transcode_once(
     title_element = extract_article_title(document, run_opts)
     article, metrics = extract_article_content(document, url, run_opts)
 
-    glue_document(document, title_element, article)
+    glue_document(document, title_element, article, run_opts)
 
     content_extracted = len(article.children) > 0
     title = extract_title(document)

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from .dom import Document, Node, serialize_node
+from .dom import Document, Node, serialize_node, serialize_node_pretty
 
 GENERATOR_NAME = "nreadspark 0.1"
 _DOCTYPE = (
@@ -26,9 +26,9 @@ _DOCTYPE = (
 
 @dataclass
 class SerializationParams:
-    """Mirrors DomSerializationParams (DomSerializationParams.cs:5-58);
-    pretty-printing is not supported (the reference default is off too)."""
+    """Mirrors DomSerializationParams (DomSerializationParams.cs:5-58)."""
 
+    pretty_print: bool = False
     dont_include_content_type_meta: bool = False
     dont_include_mobile_meta: bool = False
     dont_include_doctype: bool = False
@@ -102,19 +102,27 @@ def serialize_document(document: Document, params: SerializationParams | None = 
             _remove_meta(head, "name", "generator")
             _add_first(head, Node("meta", {"name": "Generator", "content": GENERATOR_NAME}))
 
-    result = serialize_node(root)
+    # document.ToString(PrettyPrint ? SaveOptions.None : DisableFormatting)
+    # (SgmlDomSerializer.cs:70)
+    result = serialize_node_pretty(root) if params.pretty_print else serialize_node(root)
     if not params.dont_include_doctype:
         result = _DOCTYPE + result
     return result
 
 
-def transcode_to_html(html: str, url: str | None = None, params: SerializationParams | None = None) -> str:
+def transcode_to_html(
+    html: str,
+    url: str | None = None,
+    params: SerializationParams | None = None,
+    opts=None,
+) -> str:
     """Full reference-shaped pipeline: extract + glue + serialize to the
     XHTML article page (what NReadabilityTranscoder.Transcode returns,
-    NReadabilityTranscoder.cs:224-257)."""
+    NReadabilityTranscoder.cs:224-257).  ``opts`` carries the transcoder
+    constructor knobs incl. ReadingStyle/Margin/Size (cs:176-213)."""
     from .kernel import Options, transcode
 
-    result = transcode(html, url, Options())
+    result = transcode(html, url, opts or Options())
     return serialize_document(result.document, params)
 
 

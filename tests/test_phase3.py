@@ -310,3 +310,80 @@ def test_extract_multipage_single_kernel_pass(spark):
     assert page["next_page_url"] == "http://ex.com/a?page=2"
     assert page["spans"]
     assert page["first_p_inner_len"] > 0
+
+
+# ---------------------------------------------------------------------------
+# PrettyPrint (SgmlDomSerializer.cs:70, XDocument.ToString(SaveOptions.None))
+# and ReadingStyle/Margin/Size (Enums.cs:26-109, ctor cs:176-213)
+# ---------------------------------------------------------------------------
+
+
+def test_pretty_print_pure_element_content_indents():
+    from nreadspark.dom import serialize_node_pretty
+
+    doc = build_document("<html><head></head><body><div><p>hi</p></div></body></html>")
+    out = serialize_node_pretty(doc.root)
+    assert out == (
+        "<html>\r\n"
+        "  <head />\r\n"
+        "  <body>\r\n"
+        "    <div>\r\n"
+        "      <p>hi</p>\r\n"
+        "    </div>\r\n"
+        "  </body>\r\n"
+        "</html>"
+    )
+
+
+def test_pretty_print_mixed_content_stays_inline_but_nested_pure_indents():
+    # .NET: text marks the scope mixed (no indentation at that level), but a
+    # child element whose own content is pure resumes indenting inside.
+    from nreadspark.dom import build_document as bd, serialize_node_pretty
+
+    doc = bd("<html><body><p>text<b><i>x</i></b></p></body></html>")
+    body = doc.get_body()
+    p = body.children[0]
+    out = serialize_node_pretty(p)
+    assert out == "<p>text<b>\r\n    <i>x</i>\r\n  </b></p>"
+
+
+def test_pretty_print_param_flows_through_serialize_document():
+    doc = build_document("<html><head></head><body><div><p>x</p></div></body></html>")
+    compact = serialize_document(doc)
+    doc2 = build_document("<html><head></head><body><div><p>x</p></div></body></html>")
+    pretty = serialize_document(doc2, SerializationParams(pretty_print=True))
+    assert "\r\n  <body" in pretty or "\r\n  <head" in pretty
+    # compact output has no indentation outside the doctype prefix
+    assert "\r\n  " not in compact.split(">", 2)[2]
+
+
+def test_reading_style_enums_reach_glue_classes():
+    from nreadspark.kernel import ReadingMargin, ReadingSize, ReadingStyle
+
+    para = "<p>Long enough paragraph, with commas, to be scored as content ok.</p>" * 5
+    html = (
+        "<html><head><title>T | S</title></head><body><div class='post'>"
+        + para
+        + "</div></body></html>"
+    )
+    opts = Options(
+        reading_style=ReadingStyle.Terminal,
+        reading_margin=ReadingMargin.XNarrow,
+        reading_size=ReadingSize.XLarge,
+    )
+    out = transcode_to_html(html, opts=opts)
+    assert 'class="style-terminal"' in out
+    assert "margin-x-narrow size-x-large" in out
+    # defaults (cs:59-69) remain Newspaper/Wide/Medium
+    out_default = transcode_to_html(html)
+    assert 'class="style-newspaper"' in out_default
+    assert "margin-wide size-medium" in out_default
+
+
+def test_real_readability_css_asset_embedded():
+    html = "<html><head></head><body><p>hello, body, text, here.</p></body></html>"
+    out = transcode_to_html(html)
+    # markers from the vendored Apache-2.0 readability.css asset
+    assert ".style-newspaper {font-family:" in out
+    assert ".margin-x-wide {width:35%;}" in out
+    assert ".size-medium {font-size:1.125em;}" in out
