@@ -362,6 +362,55 @@ def _q_debug_html(spark, sf_dir):
     )
 
 
+def _q_pdf_extract(spark, sf_dir):
+    """PDF/layout extraction tier (north rule: 'HTML boilerplate strip,
+    PDF/layout parse, DOM heuristics').  Synthesizes deterministic 2-page
+    PDFs (Flate-compressed content streams, an image XObject interleaved on
+    page 1) from the documents table, then extracts the span sequence with
+    nreadspark.pdf.extract_pdf (one mapInArrow stage, no shuffle).  The
+    writer/parser round-trip is closed-form, so the oracle rebuilds title,
+    page/span counts and the page-1 text in SQL."""
+    import pyarrow as pa
+
+    from nreadspark.pdf import extract_pdf, make_pdf
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    src = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+
+    def synth(it):
+        for batch in it:
+            names = batch.schema.names
+            ids = batch.column(names.index("doc_id")).to_pylist()
+            texts = batch.column(names.index("text")).to_pylist()
+            pdfs = [
+                make_pdf(
+                    f"Doc {i}",
+                    [
+                        [("text", (t or "")[:120]), ("image", "Im1")],
+                        [("text", (t or "")[:80])],
+                    ],
+                )
+                for i, t in zip(ids, texts)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(pdfs, pa.binary())],
+                names=["doc_id", "pdf"],
+            )
+
+    pdf_df = src.mapInArrow(synth, "doc_id string, pdf binary")
+    out = extract_pdf(pdf_df)
+    return out.select(
+        "doc_id",
+        "title",
+        F.col("n_pages").cast("bigint").alias("n_pages"),
+        F.size("spans").cast("bigint").alias("n_spans"),
+        F.expr("size(filter(spans, s -> s.kind = 'image'))")
+        .cast("bigint")
+        .alias("n_image_spans"),
+        F.try_element_at("spans", F.lit(1)).getField("text").alias("p1_text"),
+    )
+
+
 def _q_e1_title_rules(spark, sf_dir):
     """E1 title extraction split rules (cs:773-831) as a vectorized
     relational op: ' | ' split keep-left, keep-right when <3 words."""
@@ -612,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
         "debug_html": _q_debug_html,
+        "pdf_extract": _q_pdf_extract,
         # extraction operators as vectorized relational ops (SQL oracles)
         "e1_title_rules": _q_e1_title_rules,
         "j3_link_score_agg": _q_j3_link_score_agg,
@@ -772,6 +822,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS BIGINT) AS n_spans,
                    CAST(1 AS BIGINT) AS n_image_spans
             FROM documents
+        """,
+        # pdf_extract: the PDF writer/parser round-trip is closed-form --
+        # fixed page shape (p1 text + image, p2 text), title 'Doc <id>'
+        "pdf_extract": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   CAST(2 AS BIGINT) AS n_pages,
+                   CAST(3 AS BIGINT) AS n_spans,
+                   CAST(1 AS BIGINT) AS n_image_spans,
+                   trim(substr(text, 1, 120)) AS p1_text
+            FROM documents WHERE doc_id < 200
         """,
         # the glue-document wrapper is a fixed 5875-char template (incl. the
         # vendored readability.css asset) + the text

@@ -19,6 +19,7 @@ from .kernel import (
     transcode,
 )
 from .multipage import assemble_pages, transcode_web
+from .pdf import extract_pdf_document, make_pdf
 from .serialize import SerializationParams, serialize_document, transcode_to_html
 from .spans import extract_spans, flatten_spans_text, spans_to_html
 
@@ -40,6 +41,8 @@ __all__ = [
     "transcode_web",
     "serialize_document",
     "transcode_to_html",
+    "extract_pdf_document",
+    "make_pdf",
 ]
 
 

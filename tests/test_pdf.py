@@ -1,0 +1,135 @@
+"""PDF/layout extraction (north-rule tier: 'HTML boilerplate strip,
+PDF/layout parse, DOM heuristics')."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from nreadspark.pdf import extract_pdf_document, make_pdf, parse_pdf_spans
+
+
+def test_single_page_text_round_trip():
+    pdf = make_pdf("My Title", [[("text", "Hello, world."), ("text", "Second line here.")]])
+    doc = extract_pdf_document(pdf)
+    assert doc["title"] == "My Title"
+    assert doc["n_pages"] == 1
+    assert [s["text"] for s in doc["spans"]] == ["Hello, world.", "Second line here."]
+    assert [s["offset"] for s in doc["spans"]] == [0, 1]
+    assert doc["content_extracted"] is True
+
+
+def test_interleaved_image_span_in_content_order():
+    pdf = make_pdf(
+        "T",
+        [[("text", "before"), ("image", "Im1"), ("text", "after")]],
+    )
+    doc = extract_pdf_document(pdf)
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in doc["spans"]] == [
+        ("text", "before", None),
+        ("image", None, "pdf:Im1"),
+        ("text", "after", None),
+    ]
+
+
+def test_multi_page_order_follows_kids_not_object_numbers():
+    pdf = make_pdf(
+        "T",
+        [[("text", "page one")], [("text", "page two")], [("text", "page three")]],
+    )
+    spans, n_pages, _ = parse_pdf_spans(pdf)
+    assert n_pages == 3
+    assert [t for _, t, _ in spans] == ["page one", "page two", "page three"]
+
+
+def test_uncompressed_and_compressed_streams_agree():
+    pages = [[("text", "Some, paragraph."), ("image", "ImA")]]
+    a = parse_pdf_spans(make_pdf("T", pages, compress=True))[0]
+    b = parse_pdf_spans(make_pdf("T", pages, compress=False))[0]
+    assert a == b
+
+
+def test_literal_string_escapes_round_trip():
+    tricky = r"parens () and \ backslash" + " and\tescape"
+    pdf = make_pdf("Ti(t)le \\ ok", [[("text", tricky)]])
+    spans, _, title = parse_pdf_spans(pdf)
+    assert spans[0][1] == tricky
+    assert title == "Ti(t)le \\ ok"
+
+
+def test_hex_strings_and_tj_arrays():
+    # hand-rolled content stream: TJ array with kerning word-space, hex string
+    cs = b"BT /F1 12 Tf 72 720 Td [(Hel) -20 (lo) -250 (world)] TJ T* <414243> Tj ET"
+    content = b"<< /Length %d >>\nstream\n" % len(cs) + cs + b"\nendstream"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n" + content + b"\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    spans, n_pages, _ = parse_pdf_spans(pdf)
+    assert n_pages == 1
+    assert [t for _, t, _ in spans] == ["Hel" "lo" + " world", "ABC"]
+
+
+def test_damaged_pdf_raises_and_spark_contains_it():
+    with pytest.raises(ValueError):
+        parse_pdf_spans(b"not a pdf at all")
+    with pytest.raises(Exception):
+        parse_pdf_spans(b"%PDF-1.4\njunk with no objects")
+
+
+def test_flate_corruption_is_an_error_not_a_hang():
+    pdf = bytearray(make_pdf("T", [[("text", "hello world")]], compress=True))
+    i = bytes(pdf).find(b"stream\n", bytes(pdf).find(b"/FlateDecode")) + len("stream\n")
+    pdf[i : i + 4] = b"\x00\x00\x00\x00"
+    with pytest.raises(zlib.error):
+        parse_pdf_spans(bytes(pdf))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+
+    session = (
+        SparkSession.builder.master("local[4]")
+        .appName("nreadspark-pdf-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield session
+    session.stop()
+
+
+def test_spark_extract_pdf(spark):
+    from pyspark.sql import functions as F
+
+    from nreadspark.pdf import extract_pdf
+
+    rows = []
+    for i in range(24):
+        pages = [
+            [("text", f"Doc {i} paragraph one, with commas."), ("image", "Im1")],
+            [("text", f"Doc {i} second page text.")],
+        ]
+        rows.append((str(i), make_pdf(f"Doc {i}", pages)))
+    rows.append(("bad", b"%PDF-1.4 truncated garbage"))
+    df = spark.createDataFrame(rows, "doc_id string, pdf binary")
+    out = extract_pdf(df).cache()
+    good = out.filter(F.col("error").isNull())
+    assert good.count() == 24
+    bad = out.filter(F.col("error").isNotNull()).collect()
+    assert len(bad) == 1 and bad[0]["doc_id"] == "bad"
+    assert bad[0]["content_extracted"] is False
+    one = good.filter(F.col("doc_id") == "3").collect()[0]
+    assert one["title"] == "Doc 3"
+    assert one["n_pages"] == 2
+    kinds = [s["kind"] for s in one["spans"]]
+    assert kinds == ["text", "image", "text"]
+    assert [s["offset"] for s in one["spans"]] == [0, 1, 2]
+    out.unpersist()
