@@ -362,6 +362,19 @@ def _q_debug_html(spark, sf_dir):
     )
 
 
+def _q_line_dedup(spark, sf_dir):
+    """C4/CCNet-style cross-document repeated-line removal (training-data
+    pipeline op): a comma-delimited segment appearing in >= 3 distinct
+    documents is boilerplate and is dropped everywhere; documents are
+    reassembled in original segment order.  The boilerplate membership join
+    is broadcast; the only full shuffles are the count aggregation and the
+    per-doc reassembly."""
+    from nreadspark.ops.dedup import line_dedup
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return line_dedup(docs, min_repeats=3)
+
+
 def _q_pdf_extract(spark, sf_dir):
     """PDF/layout extraction tier (north rule: 'HTML boilerplate strip,
     PDF/layout parse, DOM heuristics').  Synthesizes deterministic 2-page
@@ -662,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _q_multimodal_frames,
         "debug_html": _q_debug_html,
         "pdf_extract": _q_pdf_extract,
+        "line_dedup": _q_line_dedup,
         # extraction operators as vectorized relational ops (SQL oracles)
         "e1_title_rules": _q_e1_title_rules,
         "j3_link_score_agg": _q_j3_link_score_agg,
@@ -822,6 +836,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS BIGINT) AS n_spans,
                    CAST(1 AS BIGINT) AS n_image_spans
             FROM documents
+        """,
+        # line_dedup: full SQL twin (zipped unnests give segment positions)
+        "line_dedup": """
+            WITH lines AS (
+                SELECT doc_id,
+                       unnest(range(1, len(string_split(text, ',')) + 1)) AS pos,
+                       trim(unnest(string_split(text, ','))) AS line
+                FROM documents
+            ), nz AS (
+                SELECT * FROM lines WHERE length(line) > 0
+            ), boiler AS (
+                SELECT line FROM nz GROUP BY line
+                HAVING count(DISTINCT doc_id) >= 3
+            ), kept AS (
+                SELECT nz.doc_id, nz.pos, nz.line
+                FROM nz LEFT JOIN boiler ON nz.line = boiler.line
+                WHERE boiler.line IS NULL
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(line, ', ' ORDER BY pos) AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ), totals AS (
+                SELECT doc_id, count(*) AS n_lines FROM nz GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(a.clean_text, '') AS clean_text,
+                   CAST(t.n_lines AS BIGINT) AS n_lines,
+                   CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM totals t LEFT JOIN agg a ON t.doc_id = a.doc_id
         """,
         # pdf_extract: the PDF writer/parser round-trip is closed-form --
         # fixed page shape (p1 text + image, p2 text), title 'Doc <id>'

@@ -136,6 +136,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_cosine",
+        "dedup_embedding_lsh",
+        "pdf_extract",
         "ann_bruteforce_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",

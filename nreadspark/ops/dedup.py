@@ -538,3 +538,70 @@ def embedding_near_duplicates(
     return tiles.mapInPandas(score_tiles, out_schema).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Line/paragraph-level dedup (C4 / CCNet-style boilerplate removal):
+# a line that repeats across >= min_repeats documents is boilerplate
+# (nav text, cookie banners, footers) and is dropped from every document.
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    delimiter: str = ",",
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Remove cross-document repeated lines; return per-doc cleaned text.
+
+    Output: (doc_id, clean_text, n_lines, n_removed).
+
+    Scale shape: ONE posexplode pass over the corpus (position-tagged, no
+    window), the boilerplate set is a hash aggregation with map-side
+    combine (count distinct docs per line), and membership is a BROADCAST
+    left join on the 64-bit line hash -- the boilerplate set is tiny
+    relative to the corpus (lines repeated across >=k docs).  Totals and
+    reassembly happen in the SAME groupBy(doc_id): ``collect_list`` skips
+    the NULL structs of removed lines, so kept-lines, n_lines and n_removed
+    all come from one exchange on doc_id (verified by .explain: 2 corpus
+    scans total -- one for the count, one for the flag+reassemble -- zero
+    extra joins).
+
+    At 100 TB the only risk is a boilerplate set too large to broadcast;
+    cap it upstream by raising min_repeats or pre-filtering by document
+    frequency -- membership only needs the hash.
+    """
+    lines = df.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.split(F.col(text_col), delimiter), lambda s: F.trim(s))
+        ).alias("pos", "line"),
+    ).filter(F.length("line") > 0)
+
+    # boilerplate = lines appearing in >= min_repeats DISTINCT documents;
+    # join on the 64-bit hash, not the string (smaller broadcast)
+    boiler = (
+        lines.groupBy(F.xxhash64("line").alias("line_hash"))
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_repeats)
+        .select("line_hash")
+    )
+
+    flagged = lines.join(
+        F.broadcast(boiler),
+        F.xxhash64(lines["line"]) == boiler["line_hash"],
+        "left",
+    )
+
+    # collect_list drops NULLs: removed lines contribute to n_lines but not
+    # to the kept-struct list, so one aggregation yields everything
+    kept_struct = F.when(F.col("line_hash").isNull(), F.struct("pos", "line"))
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list(kept_struct)), lambda s: s["line"]),
+            delimiter + " ",
+        ).alias("clean_text"),
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.count("line_hash").cast("bigint").alias("n_removed"),
+    )

@@ -145,3 +145,33 @@ def test_embedding_lsh_star_guard(spark):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert pairs == {(0, i) for i in range(1, 300)}
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    from nreadspark.ops.dedup import line_dedup
+
+    rows = [
+        ("a", "unique alpha, SUBSCRIBE NOW, more alpha text"),
+        ("b", "beta content, SUBSCRIBE NOW, beta tail"),
+        ("c", "gamma only, SUBSCRIBE NOW"),
+        ("d", "all unique here, nothing shared"),
+        ("e", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, min_repeats=2).collect()}
+    assert out["a"]["clean_text"] == "unique alpha, more alpha text"
+    assert out["a"]["n_removed"] == 1 and out["a"]["n_lines"] == 3
+    assert out["b"]["clean_text"] == "beta content, beta tail"
+    assert out["c"]["clean_text"] == "gamma only"
+    assert out["d"]["n_removed"] == 0
+    assert "e" not in out  # no non-empty lines -> no row (matches SQL twin)
+
+
+def test_line_dedup_preserves_order_and_handles_all_boilerplate(spark):
+    from nreadspark.ops.dedup import line_dedup
+
+    rows = [("x", "same, same2"), ("y", "same, same2"), ("z", "same, same2, own bit")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, min_repeats=2).collect()}
+    assert out["x"]["clean_text"] == "" and out["x"]["n_removed"] == 2
+    assert out["z"]["clean_text"] == "own bit" and out["z"]["n_removed"] == 2
