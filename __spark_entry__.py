@@ -171,10 +171,19 @@ def _q_dedup_simhash(spark, sf_dir):
 
 
 def _q_dedup_embedding_cosine(spark, sf_dir):
+    """Tiled-GEMM all-pairs cosine near-dup (verification scale).  The
+    natural synthetic embeddings have no pairs above 0.8, so duplicates of
+    vec_id < 8 are PLANTED (vec_id + 1_000_000) on both the Spark and the
+    oracle side -- the result is non-empty and the detector is exercised,
+    not just the empty-set path."""
     from nreadspark.ops.dedup import embedding_near_duplicates
 
+    emb = _table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
     return embedding_near_duplicates(
-        _table(spark, sf_dir, "embeddings"), threshold=0.8
+        emb.select("vec_id", "embedding").unionByName(planted), threshold=0.8
     )
 
 
@@ -1052,9 +1061,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dedup_embedding_cosine": """
+            WITH all_v AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 8
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.8
         """,
         "ann_bruteforce_topk": """
