@@ -10,8 +10,10 @@ running the identical batch ``extract`` (pipeline.py) -> idempotent append.
 ``foreachBatch`` rather than a plain streaming sink because (a) the kernel
 is a mapInArrow transform, fully supported inside it, (b) exactly-once comes
 from the streaming checkpoint's batch-id tracking, and (c) each micro-batch
-can reuse the batch path's skew handling unchanged.  Watermarks/stateful ops
-are unnecessary -- extraction is stateless per document.
+can reuse the batch path's skew handling unchanged.  Extraction itself is
+stateless per document; the stateful surfaces here are the watermarked
+window aggregation (``windowed_event_counts``) and the cross-batch
+streaming dedup (``dedup_stream``, applyInPandasWithState).
 """
 
 from __future__ import annotations
@@ -129,4 +131,67 @@ def windowed_event_counts(
             "n_events",
             "total_value",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: cross-batch streaming dedup
+# (applyInPandasWithState -- first occurrence of a text wins, forever)
+# ---------------------------------------------------------------------------
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Emit only the FIRST occurrence of each distinct text across the whole
+    stream; later duplicates (same batch or any later batch) are suppressed.
+
+    This is the streaming twin of ``ops.dedup.exact_duplicates``: at ingest
+    time a crawl emits the same page repeatedly (re-crawls, mirrors), and a
+    batch-side dedup would only see one micro-batch at a time.  State is one
+    tiny struct (seen-count) per distinct md5(text), partitioned by the
+    group key -- Spark shards state across executors and checkpoints it, so
+    the operator scales with the state store, not the driver.
+
+    ``ttl_minutes`` bounds state for unbounded corpora: a key idle longer
+    than the TTL is evicted (a re-crawl after eviction is re-emitted --
+    at-least-once dedup, the standard tradeoff).  Default keeps state
+    forever (exact dedup).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = stream_df.withColumn("__text_hash", F.md5(F.col(text_col)))
+    out_schema = "text_hash string, doc_id string, n_prior bigint"
+    state_schema = "n_seen bigint"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    ttl_ms = (ttl_minutes or 0) * 60_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["text_hash", "doc_id", "n_prior"])
+            return
+        (n_seen,) = state.get if state.exists else (0,)
+        rows = []
+        for pdf in pdfs:
+            for doc_id in pdf["doc_id"]:
+                if n_seen == 0:
+                    rows.append((key[0], str(doc_id), 0))
+                n_seen += 1
+        state.update((n_seen,))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(rows, columns=["text_hash", "doc_id", "n_prior"])
+
+    return hashed.groupBy("__text_hash").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", timeout
     )

@@ -76,3 +76,49 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     assert len(got) >= len(expected) - 25  # trailing windows may stay open
     for key, val in got.items():
         assert expected[key] == val, key
+
+
+def test_dedup_stream_suppresses_cross_batch_duplicates(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): a text seen in batch 1 is
+    suppressed when it reappears in batch 2; within-batch dups emit once."""
+    from nreadspark.streaming import dedup_stream
+
+    src_dir = tmp_path / "docs_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [("a", "alpha text"), ("b", "beta text"), ("b2", "beta text")],
+        "doc_id string, text string",
+    )
+    b2 = spark.createDataFrame(
+        [("c", "alpha text"), ("d", "delta text")],
+        "doc_id string, text string",
+    )
+    # one file per micro-batch, named so batch order is deterministic
+    b1.coalesce(1).write.parquet(str(src_dir / "f1"))
+    b2.coalesce(1).write.parquet(str(src_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir) + "/f*")
+    )
+    out = dedup_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_stream_test").collect()
+    emitted = {r["doc_id"] for r in rows}
+    # 'alpha text': first occurrence only (a, not c); 'beta text': exactly
+    # one of b/b2 (within-batch order not guaranteed); 'delta text': d
+    assert "d" in emitted and "c" not in emitted and "a" in emitted
+    assert len(emitted & {"b", "b2"}) == 1
+    assert all(r["n_prior"] == 0 for r in rows)
+    assert len(rows) == 3
