@@ -793,19 +793,27 @@ def prepare_article_content_element(article: Node, scores, opts: Options | None 
     clean_conditionally(article, "div", scores, opts)
 
     # remove paragraphs with no text / images / embeds / objects (cs:1247-1269)
+    # -- one fused walk per <p>: text presence and all three media tags are
+    # checked in the same traversal instead of up to four subtree scans
     to_remove = []
     for para in list(article.elements_by_tag_name("p")):
         # GetInnerText-normalized emptiness == raw whitespace-only (trim+
         # collapse cannot turn non-whitespace into empty), so skip the regex
-        if para.value.strip():
-            continue
-        if next(para.elements_by_tag_name("img"), None) is not None:
-            continue
-        if next(para.elements_by_tag_name("embed"), None) is not None:
-            continue
-        if next(para.elements_by_tag_name("object"), None) is not None:
-            continue
-        to_remove.append(para)
+        keep = False
+        stack = list(para.children)
+        while stack:
+            node = stack.pop()
+            if node.is_element:
+                if node.tag in ("img", "embed", "object"):
+                    keep = True
+                    break
+                if node.children:
+                    stack.extend(node.children)
+            elif node.is_text and node.value.strip():
+                keep = True
+                break
+        if not keep:
+            to_remove.append(para)
     _remove_elements(to_remove)
 
     # remove <br>s directly before paragraphs (cs:1272); serialize only when

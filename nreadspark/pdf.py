@@ -181,10 +181,12 @@ def _decode_literal(raw: bytes) -> str:
 
 
 def _decode_hex_string(raw: bytes) -> str:
-    h = re.sub(rb"\s", b"", raw)
+    # lenient per spec: whitespace (and, for robustness, any non-hex byte)
+    # inside <...> is skipped; an odd final digit is padded with 0
+    h = re.sub(rb"[^0-9A-Fa-f]", b"", raw)
     if len(h) % 2:
         h += b"0"
-    b = bytes.fromhex(h.decode("ascii", errors="replace"))
+    b = bytes.fromhex(h.decode("ascii"))
     if b[:2] in (b"\xfe\xff", b"\xff\xfe"):
         return b.decode("utf-16", errors="replace")
     return b.decode("latin-1")

@@ -3,6 +3,7 @@ PDF/layout parse, DOM heuristics')."""
 
 from __future__ import annotations
 
+import re
 import zlib
 
 import pytest
@@ -133,3 +134,46 @@ def test_spark_extract_pdf(spark):
     assert kinds == ["text", "image", "text"]
     assert [s["offset"] for s in one["spans"]] == [0, 1, 2]
     out.unpersist()
+
+
+def test_fuzz_pdf_parser_never_hangs_or_leaks_weird_errors():
+    """Random mutations of a valid PDF must either parse or raise a normal
+    exception quickly -- no hangs, no swallowed corruption."""
+    import random
+    import zlib as _zlib
+
+    base = make_pdf("T", [[("text", "hello, world."), ("image", "Im1")], [("text", "p2")]])
+    rng = random.Random(42)
+    ok = failed = 0
+    for _ in range(300):
+        buf = bytearray(base)
+        for _ in range(rng.randint(1, 12)):
+            op = rng.random()
+            pos = rng.randrange(len(buf))
+            if op < 0.5:
+                buf[pos] = rng.randrange(256)
+            elif op < 0.75:
+                del buf[pos : pos + rng.randint(1, 20)]
+            else:
+                buf[pos:pos] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 8)))
+        try:
+            spans, n_pages, _ = parse_pdf_spans(bytes(buf))
+            assert isinstance(spans, list) and n_pages >= 0
+            ok += 1
+        except Exception as exc:  # must be a clean exception, never a hang
+            assert isinstance(exc, (ValueError, _zlib.error, KeyError, re.error, OverflowError))
+            failed += 1
+    assert ok + failed == 300
+
+
+def test_fuzz_content_stream_tokenizer_terminates():
+    import random
+
+    from nreadspark.pdf import _extract_page_spans
+
+    rng = random.Random(7)
+    charset = b"()<>[]/\\ BT ET Tj TJ Td Tm T* Do 0123456789.-'\"abcdef%\n"
+    for _ in range(300):
+        cs = bytes(rng.choice(charset) for _ in range(rng.randint(0, 400)))
+        spans = []
+        _extract_page_spans(cs, {"Im1"}, spans)  # must terminate without error
