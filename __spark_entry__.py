@@ -371,6 +371,16 @@ def _q_debug_html(spark, sf_dir):
     )
 
 
+def _q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup-line count, top-bigram
+    dominance) as integer counts -- exact SQL comparison, no float
+    rounding.  Docs with no non-empty lines are absent on both sides."""
+    from nreadspark.ops.textstats import repetition_stats
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs)
+
+
 def _q_line_dedup(spark, sf_dir):
     """C4/CCNet-style cross-document repeated-line removal (training-data
     pipeline op): a comma-delimited segment appearing in >= 3 distinct
@@ -685,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debug_html": _q_debug_html,
         "pdf_extract": _q_pdf_extract,
         "line_dedup": _q_line_dedup,
+        "text_repetition": _q_text_repetition,
         # extraction operators as vectorized relational ops (SQL oracles)
         "e1_title_rules": _q_e1_title_rules,
         "j3_link_score_agg": _q_j3_link_score_agg,
@@ -845,6 +856,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS BIGINT) AS n_spans,
                    CAST(1 AS BIGINT) AS n_image_spans
             FROM documents
+        """,
+        # text_repetition: Gopher repetition signals, integer-exact twin
+        "text_repetition": r"""
+            WITH nz AS (
+                SELECT doc_id, trim(unnest(string_split(text, ','))) AS line
+                FROM documents
+            ), lc AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_lines,
+                       CAST(count(*) - count(DISTINCT line) AS BIGINT) AS dup_line_count
+                FROM nz WHERE length(line) > 0 GROUP BY doc_id
+            ), words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i + 1])) AS bigram
+                FROM words WHERE len(w) >= 2
+            ), bc AS (
+                SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2
+            ), bs AS (
+                SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_count
+                FROM bc GROUP BY doc_id
+            )
+            SELECT lc.doc_id, lc.n_lines, lc.dup_line_count,
+                   CAST(COALESCE(bs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(bs.top_bigram_count, 0) AS BIGINT) AS top_bigram_count
+            FROM lc LEFT JOIN bs ON lc.doc_id = bs.doc_id
         """,
         # line_dedup: full SQL twin (zipped unnests give segment positions)
         "line_dedup": """

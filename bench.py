@@ -142,6 +142,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "ann_bruteforce_topk",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "text_repetition",
         "text_token_count",
         "text_quality",
         "text_lang_id",

@@ -165,3 +165,66 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     text (md5 agrees across Spark and DuckDB, making this oracle-checkable)."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", line_delim: str = ","
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    'Scaling Language Models', table A1): the fraction of duplicate lines
+    and the dominance of the most frequent word bigram are strong
+    boilerplate/spam indicators for pretraining filtering.
+
+    Output: (doc_id, n_lines, dup_line_count, n_bigrams, top_bigram_count)
+    -- raw INTEGER counts, so callers pick their own thresholds and the
+    results compare exactly against any SQL engine (no float rounding).
+
+    Scale shape: lines and bigrams explode JVM-side; both counts are hash
+    aggregations with map-side combine keyed by doc_id (+line/bigram), then
+    one final groupBy(doc_id).  No Python, no window over the raw corpus.
+    """
+    lines = df.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), line_delim), lambda s: F.trim(s)),
+                lambda s: F.length(s) > 0,
+            )
+        ).alias("line"),
+    )
+    line_stats = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_lines"),
+            (F.sum("c") - F.count("*")).cast("bigint").alias("dup_line_count"),
+        )
+    )
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    pair = F.when(
+        F.size(words) >= 2,
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = df.select("doc_id", F.explode(pair).alias("bigram"))
+    bigram_stats = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.max("c").cast("bigint").alias("top_bigram_count"),
+        )
+    )
+    return line_stats.join(bigram_stats, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "dup_line_count",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("top_bigram_count", F.lit(0)).cast("bigint").alias("top_bigram_count"),
+    )

@@ -175,3 +175,24 @@ def test_line_dedup_preserves_order_and_handles_all_boilerplate(spark):
     out = {r["doc_id"]: r for r in line_dedup(df, min_repeats=2).collect()}
     assert out["x"]["clean_text"] == "" and out["x"]["n_removed"] == 2
     assert out["z"]["clean_text"] == "own bit" and out["z"]["n_removed"] == 2
+
+
+def test_repetition_stats_counts(spark):
+    from nreadspark.ops.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x y, x y, unique bit"),
+            ("b", "one two three"),
+            ("c", "w"),
+            ("d", "spam spam spam spam"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out["a"]["n_lines"] == 3 and out["a"]["dup_line_count"] == 1
+    assert out["a"]["n_bigrams"] == 5 and out["a"]["top_bigram_count"] == 2
+    assert out["b"]["dup_line_count"] == 0 and out["b"]["top_bigram_count"] == 1
+    assert out["c"]["n_bigrams"] == 0 and out["c"]["top_bigram_count"] == 0
+    # 'spam spam' x3 of 3 bigrams: fully repetitive doc
+    assert out["d"]["n_bigrams"] == 3 and out["d"]["top_bigram_count"] == 3
