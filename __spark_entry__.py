@@ -371,6 +371,124 @@ def _q_debug_html(spark, sf_dir):
     )
 
 
+def _q_mixed_pipeline(spark, sf_dir):
+    """End-to-end composition: ONE corpus arriving via THREE ingestion
+    surfaces -- interleaved span tables (route 0), gzip'd latin-1 HTML
+    bytes with a meta-charset tag (route 1, exercises decompress + sniff),
+    and binary PDFs (route 2) -- each extracted by its own surface into the
+    SAME span schema and unioned.  Routes 0/1 carry identical page content,
+    so the closed-form oracle expectation is shared; route 2 follows the
+    pdf_extract shape."""
+    import gzip as _gzip
+
+    import pyarrow as pa
+
+    from nreadspark.pdf import extract_pdf, make_pdf
+    from nreadspark.pipeline import extract, extract_from_html_bytes
+
+    route = F.pmod(F.col("doc_id").cast("bigint"), F.lit(3))
+
+    # route 0: interleaved spans -> pipeline.extract
+    spans_in = _interleaved_docs(spark, sf_dir).filter(
+        (F.col("doc_id").cast("bigint") < 300) & (route == 0)
+    )
+    out0 = extract(spans_in).select(
+        "doc_id",
+        F.lit("spans").alias("source"),
+        "title",
+        "content_extracted",
+        F.size("spans").cast("bigint").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("image")))
+        .cast("bigint")
+        .alias("n_image_spans"),
+    )
+
+    # route 1: the SAME page content as route 0's span reassembly, shipped
+    # as gzip'd latin-1 bytes with a meta-charset tag
+    docs1 = (
+        _table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 300) & (route == 1))
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+    page = F.concat(
+        F.lit("<html><head>"),
+        F.lit('<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1" />'),
+        F.lit("<title>Doc "),
+        F.col("doc_id"),
+        F.lit(" | Synthetic Corpus</title></head><body><div id='content' class='post'><p>"),
+        F.col("text"),
+        F.lit('</p><img src="img://doc/'),
+        F.col("doc_id"),
+        F.lit('" /><p>'),
+        F.col("text"),
+        F.lit(", extended for sibling merge.</p></div></body></html>"),
+    )
+    src1 = docs1.select("doc_id", page.alias("__page"))
+
+    def to_bytes(it):
+        for batch in it:
+            names = batch.schema.names
+            ids = batch.column(names.index("doc_id"))
+            pages = batch.column(names.index("__page")).to_pylist()
+            blobs = [_gzip.compress(p.encode("latin-1"), mtime=0) for p in pages]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(blobs, pa.binary()), pa.array(["gzip"] * len(blobs))],
+                names=["doc_id", "content", "cenc"],
+            )
+
+    bytes_df = src1.mapInArrow(to_bytes, "doc_id string, content binary, cenc string")
+    out1 = extract_from_html_bytes(
+        bytes_df, bytes_col="content", content_encoding_col="cenc"
+    ).select(
+        "doc_id",
+        F.lit("bytes").alias("source"),
+        "title",
+        "content_extracted",
+        F.size("spans").cast("bigint").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("image")))
+        .cast("bigint")
+        .alias("n_image_spans"),
+    )
+
+    # route 2: binary PDFs (pdf_extract page shape)
+    docs2 = (
+        _table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 300) & (route == 2))
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+
+    def to_pdf(it):
+        for batch in it:
+            names = batch.schema.names
+            ids = batch.column(names.index("doc_id")).to_pylist()
+            texts = batch.column(names.index("text")).to_pylist()
+            pdfs = [
+                make_pdf(
+                    f"Doc {i}",
+                    [[("text", (t or "")[:120]), ("image", "Im1")], [("text", (t or "")[:80])]],
+                )
+                for i, t in zip(ids, texts)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(pdfs, pa.binary())],
+                names=["doc_id", "pdf"],
+            )
+
+    pdf_df = docs2.mapInArrow(to_pdf, "doc_id string, pdf binary")
+    out2 = extract_pdf(pdf_df).select(
+        "doc_id",
+        F.lit("pdf").alias("source"),
+        "title",
+        "content_extracted",
+        F.size("spans").cast("bigint").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("image")))
+        .cast("bigint")
+        .alias("n_image_spans"),
+    )
+
+    return out0.unionByName(out1).unionByName(out2)
+
+
 def _q_text_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals (dup-line count, top-bigram
     dominance) as integer counts -- exact SQL comparison, no float
@@ -696,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": _q_pdf_extract,
         "line_dedup": _q_line_dedup,
         "text_repetition": _q_text_repetition,
+        "mixed_pipeline": _q_mixed_pipeline,
         # extraction operators as vectorized relational ops (SQL oracles)
         "e1_title_rules": _q_e1_title_rules,
         "j3_link_score_agg": _q_j3_link_score_agg,
@@ -856,6 +975,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS BIGINT) AS n_spans,
                    CAST(1 AS BIGINT) AS n_image_spans
             FROM documents
+        """,
+        # mixed_pipeline: routes 0/1 share the interleaved-family closed
+        # form; route 2 follows the pdf_extract shape
+        "mixed_pipeline": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'spans' AS source,
+                   'Doc ' || doc_id || ' | Synthetic Corpus' AS title,
+                   true AS content_extracted,
+                   CAST(3 AS BIGINT) AS n_spans, CAST(1 AS BIGINT) AS n_image_spans
+            FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'bytes',
+                   'Doc ' || doc_id || ' | Synthetic Corpus',
+                   true, CAST(3 AS BIGINT), CAST(1 AS BIGINT)
+            FROM documents WHERE doc_id < 300 AND doc_id % 3 = 1
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), 'pdf', 'Doc ' || doc_id,
+                   true, CAST(3 AS BIGINT), CAST(1 AS BIGINT)
+            FROM documents WHERE doc_id < 300 AND doc_id % 3 = 2
         """,
         # text_repetition: Gopher repetition signals, integer-exact twin
         "text_repetition": r"""

@@ -131,6 +131,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     headline = [
         "extract_interleaved",
         "multipage_extract",
+        "mixed_pipeline",
         "debug_html",
         "dedup_exact",
         "dedup_minhash_lsh",
