@@ -178,7 +178,11 @@ def dedup_stream(
 
         if state.hasTimedOut:
             state.remove()
-            yield pd.DataFrame(columns=["text_hash", "doc_id", "n_prior"])
+            yield pd.DataFrame(
+                {"text_hash": pd.Series(dtype="object"),
+                 "doc_id": pd.Series(dtype="object"),
+                 "n_prior": pd.Series(dtype="int64")}
+            )
             return
         (n_seen,) = state.get if state.exists else (0,)
         rows = []
