@@ -136,7 +136,10 @@ def assemble_pages(pages: list[tuple[str, str | None]], opts: Options | None = N
     for html, url in pages:
         if len(results) >= 1 and (html is None or html == ""):
             break  # fetch failure ends the crawl (:225-228)
-        if len(results) > MAX_PAGES:
+        if len(results) >= MAX_PAGES:
+            # merge_page_results replaces entry 31 with the "View Next
+            # Page" stub without reading its spans -- don't pay a kernel
+            # transcode for a page whose content is discarded
             results.append(
                 {
                     "spans": [],

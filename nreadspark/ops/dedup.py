@@ -152,7 +152,11 @@ def minhash_lsh_candidates(
     ``max_bucket_size`` therefore switch from all-pairs to a *star* pattern:
     every member is paired with the bucket's canonical (minimum) doc_id only
     -- O(k) pairs, and every member still gets verified against a
-    near-identical representative, so dedup coverage survives.  Use
+    near-identical representative, so dedup coverage survives.  Recall
+    tradeoff to know about: two NON-canonical members whose only shared
+    bucket is a hot one are no longer emitted as a direct pair (each is
+    paired with the canonical instead); pass ``max_bucket_size=None`` to
+    restore exact all-pairs banding when k^2 blowup is acceptable.  Use
     ``lsh_bucket_overflow`` for the monitoring metric.
     """
     banded = _banded_signatures(df, text_col, k, n_hashes, n_bands, hash_fn)
@@ -334,23 +338,38 @@ def _simhash_arrow(toks: DataFrame, bits: int) -> DataFrame:
             n = len(doc_ids)
             if n == 0:
                 continue
-            lengths = pc.list_value_length(harr).to_numpy(zero_copy_only=False)
+            lengths_arr = pc.list_value_length(harr)
+            # NULL text -> NULL token list: those rows get a NULL simhash
+            # (the expression engine's behavior); list_flatten skips null
+            # lists, so `values` stays aligned with the non-null segments
+            null_mask = pc.is_null(lengths_arr).to_numpy(zero_copy_only=False)
+            lengths = (
+                pc.fill_null(lengths_arr, 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+            )
             values = (
                 pc.list_flatten(harr)
                 .to_numpy(zero_copy_only=False)
                 .astype(np.uint64, copy=False)
             )
-            # (tokens, bits) sign matrix; tokenize() never yields an empty
-            # token list (split of '' is ['']), so every segment is non-empty
+            # (tokens, bits) sign matrix; tokenize() never yields an EMPTY
+            # token list (split of '' is ['']), so every non-null segment is
+            # non-empty and reduceat start indices are strictly increasing
             signs = (((values[:, None] >> shifts) & 1).astype(np.int64) * 2) - 1
-            starts = np.zeros(n, dtype=np.int64)
-            np.cumsum(lengths[:-1], out=starts[1:])
-            totals = np.add.reduceat(signs, starts, axis=0)
-            value = ((totals > 0).astype(np.uint64) << shifts).sum(
-                axis=1, dtype=np.uint64
-            )
+            value = np.zeros(n, dtype=np.uint64)
+            nz = lengths > 0
+            if nz.any():
+                nz_lengths = lengths[nz]
+                starts = np.zeros(len(nz_lengths), dtype=np.int64)
+                np.cumsum(nz_lengths[:-1], out=starts[1:])
+                totals = np.add.reduceat(signs, starts, axis=0)
+                value[nz] = ((totals > 0).astype(np.uint64) << shifts).sum(
+                    axis=1, dtype=np.uint64
+                )
             yield pa.RecordBatch.from_arrays(
-                [doc_ids, pa.array(value.view(np.int64))], names=["doc_id", "simhash"]
+                [doc_ids, pa.array(value.view(np.int64), mask=null_mask)],
+                names=["doc_id", "simhash"],
             )
 
     return toks.mapInArrow(batches, out_schema)
@@ -381,9 +400,27 @@ def embedding_near_duplicates_lsh(
     bucket's vectors exceed executor memory, raise n_bands/n_bits so buckets
     shrink before collection.
     """
-    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     from .similarity import lsh_signatures
+
+    # ids pass through with their natural type: numeric ids stay bigint,
+    # anything else (e.g. 'doc-123') rides as string -- ordering for the
+    # canonical member / pair normalization is the type's natural order
+    numeric_ids = isinstance(
+        emb_df.schema[id_col].dataType, (LongType, IntegerType, ShortType, ByteType)
+    )
+    id_type = LongType() if numeric_ids else StringType()
+    _coerce = int if numeric_ids else str
 
     sigs = lsh_signatures(emb_df, dim, n_bits, n_bands, id_col, vec_col, planes)
     packed = sigs.groupBy("bucket").agg(
@@ -392,8 +429,8 @@ def embedding_near_duplicates_lsh(
 
     out_schema = StructType(
         [
-            StructField("id_a", LongType()),
-            StructField("id_b", LongType()),
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
             StructField("cosine", DoubleType()),
         ]
     )
@@ -405,20 +442,20 @@ def embedding_near_duplicates_lsh(
         for pdf in iterator:
             ids_a, ids_b, cos = [], [], []
             for row in pdf.itertuples(index=False):
-                ids = np.asarray([int(i) for i in row.ids], dtype=np.int64)
+                ids = [_coerce(i) for i in row.ids]
                 if len(ids) < 2:
                     continue
                 X = np.asarray([np.asarray(v) for v in row.vecs], dtype=np.float64)
                 norms = np.maximum(np.linalg.norm(X, axis=1), 1e-300)
                 if len(ids) > max_bucket_size:
                     # star: compare all members against the canonical vector
-                    c = int(np.argmin(ids))
+                    c = min(range(len(ids)), key=ids.__getitem__)
                     sim = (X @ X[c]) / (norms * norms[c])
                     np.round(sim, 6, out=sim)
                     for j in np.nonzero(sim >= threshold)[0]:
                         if j == c:
                             continue
-                        lo, hi = sorted((int(ids[c]), int(ids[j])))
+                        lo, hi = sorted((ids[c], ids[int(j)]))
                         ids_a.append(lo)
                         ids_b.append(hi)
                         cos.append(float(sim[j]))
@@ -427,7 +464,7 @@ def embedding_near_duplicates_lsh(
                 np.round(sim, 6, out=sim)
                 ii, jj = np.nonzero(np.triu(sim >= threshold, k=1))
                 for i, j in zip(ii, jj):
-                    lo, hi = sorted((int(ids[i]), int(ids[j])))
+                    lo, hi = sorted((ids[int(i)], ids[int(j)]))
                     ids_a.append(lo)
                     ids_b.append(hi)
                     cos.append(float(sim[i, j]))
@@ -575,7 +612,9 @@ def line_dedup(
     lines = df.select(
         "doc_id",
         F.posexplode(
-            F.transform(F.split(F.col(text_col), delimiter), lambda s: F.trim(s))
+            # \Q...\E: the delimiter is a LITERAL (F.split takes a Java
+            # regex; an unquoted '.' or '|' would split on every character)
+            F.transform(F.split(F.col(text_col), "\\Q" + delimiter + "\\E"), lambda s: F.trim(s))
         ).alias("pos", "line"),
     ).filter(F.length("line") > 0)
 

@@ -184,8 +184,14 @@ def _train_ivf_centroids(corpus, n_lists, sample_size, id_col, vec_col, iters=8)
         .limit(sample_size)
         .collect()
     )
-    dims = {len(r["v"]) for r in sample}
-    vecs = [r["v"] for r in sample if len(r["v"]) == max(dims, default=0)]
+    # guard against ragged/corrupt vectors: train on the MODAL dimension
+    # (max() would let a single over-long garbage vector discard every
+    # valid one and empty the downstream results)
+    from collections import Counter
+
+    dim_counts = Counter(len(r["v"]) for r in sample)
+    modal_dim = dim_counts.most_common(1)[0][0] if dim_counts else 0
+    vecs = [r["v"] for r in sample if len(r["v"]) == modal_dim and modal_dim > 0]
     if not vecs:
         raise ValueError(
             "IVF centroid training needs a non-empty corpus sample with "

@@ -187,7 +187,11 @@ def repetition_stats(
         "doc_id",
         F.explode(
             F.filter(
-                F.transform(F.split(F.col(text_col), line_delim), lambda s: F.trim(s)),
+                # \Q...\E quotes the delimiter (F.split takes a Java regex)
+                F.transform(
+                    F.split(F.col(text_col), "\\Q" + line_delim + "\\E"),
+                    lambda s: F.trim(s),
+                ),
                 lambda s: F.length(s) > 0,
             )
         ).alias("line"),

@@ -87,7 +87,7 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
             # between the header and the stream keyword)
             eo_probe = data.find(b"endobj", start, sm.start())
             if eo_probe < 0:
-                lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", data[start : sm.start()])
+                lm = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", data[start : sm.start()])
                 if lm is not None:
                     search_from = sm.end() + int(lm.group(1))
                 else:
@@ -107,7 +107,7 @@ def _stream_bytes(body: bytes) -> bytes | None:
     regex would otherwise swallow -- that is why /Length exists); the
     regex delimiters are the fallback for indirect /Length refs."""
     raw = None
-    lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", body)
+    lm = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", body)
     if lm is not None:
         sm = re.search(rb"stream\r?\n", body)
         if sm is not None:
@@ -479,32 +479,22 @@ def extract_pdf(df, pdf_col: str = "pdf"):
         StructType,
     )
 
-    span_type = StructType(
-        [
-            StructField("kind", StringType()),
-            StructField("text", StringType()),
-            StructField("media_ref", StringType()),
-            StructField("offset", IntegerType()),
-        ]
-    )
+    # the engine-wide span model, shared with the HTML pipeline so unions
+    # across tiers (e.g. the mixed_pipeline query) can never diverge
+    from .pipeline import SPAN_TYPE
+    from .spans import arrow_span_struct
+
     out_type = StructType(
         [
             StructField("doc_id", StringType()),
-            StructField("spans", ArrayType(span_type)),
+            StructField("spans", ArrayType(SPAN_TYPE)),
             StructField("title", StringType()),
             StructField("content_extracted", BooleanType()),
             StructField("n_pages", IntegerType()),
             StructField("error", StringType()),
         ]
     )
-    pa_span = pa.struct(
-        [
-            pa.field("kind", pa.string()),
-            pa.field("text", pa.string()),
-            pa.field("media_ref", pa.string()),
-            pa.field("offset", pa.int32()),
-        ]
-    )
+    pa_span = arrow_span_struct()
     schema = pa.schema(
         [
             pa.field("doc_id", pa.string()),

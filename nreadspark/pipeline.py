@@ -100,14 +100,9 @@ def repartition_for_extraction(df: DataFrame, num_partitions: int | None = None)
 def _arrow_output_schema():
     import pyarrow as pa
 
-    span = pa.struct(
-        [
-            pa.field("kind", pa.string()),
-            pa.field("text", pa.string()),
-            pa.field("media_ref", pa.string()),
-            pa.field("offset", pa.int32()),
-        ]
-    )
+    from .spans import arrow_span_struct
+
+    span = arrow_span_struct()
     metrics = pa.struct(
         [
             pa.field("n_candidates", pa.int32()),
@@ -352,19 +347,26 @@ def decode_html_bytes(
         if raw.startswith(bom):
             return raw.decode(codec, errors="replace")
 
-    charset = _charset_from_content_type(content_type)
+    import codecs
+
+    def _valid(cs: str | None) -> str | None:
+        if not cs:
+            return None
+        cs = cs.strip().strip("\"'")  # quoted form: charset="windows-1251"
+        try:
+            codecs.lookup(cs)
+        except (LookupError, ValueError):
+            return None  # unknown charset -> keep looking (:106-110)
+        return cs
+
+    charset = _valid(_charset_from_content_type(content_type))
     if charset is None:
+        # header absent OR named an unusable charset: the meta tag is the
+        # next-best signal either way
         head = raw[:4096]
         m = _META_CHARSET_RE.search(head) or _META_CHARSET_MODERN_RE.search(head)
         if m:
-            charset = m.group("charset").decode("ascii", errors="replace").strip()
-    if charset:
-        import codecs
-
-        try:
-            codecs.lookup(charset)
-        except (LookupError, ValueError):
-            charset = None  # unknown charset -> fallback (:106-110)
+            charset = _valid(m.group("charset").decode("ascii", errors="replace"))
     return raw.decode(charset or fallback_encoding, errors="replace")
 
 

@@ -27,7 +27,23 @@ from __future__ import annotations
 
 from .dom import Node
 
-__all__ = ["spans_to_html", "extract_spans", "flatten_spans_text"]
+__all__ = ["spans_to_html", "extract_spans", "flatten_spans_text", "arrow_span_struct"]
+
+
+def arrow_span_struct():
+    """The engine-wide span struct as a pyarrow type -- the single source
+    for every Arrow-side builder (pipeline, pdf, ...), twinned with
+    pipeline.SPAN_TYPE on the Spark side."""
+    import pyarrow as pa
+
+    return pa.struct(
+        [
+            pa.field("kind", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("media_ref", pa.string()),
+            pa.field("offset", pa.int32()),
+        ]
+    )
 
 _MEDIA_TAGS = ("embed", "object", "iframe")
 

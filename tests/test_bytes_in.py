@@ -134,3 +134,20 @@ def test_bytes_path_gzip_end_to_end(spark):
     out = extract_from_html_bytes(df, content_encoding_col="cenc").collect()[0]
     assert out["content_extracted"] is True
     assert out["title"]
+
+
+def test_quoted_header_charset_and_meta_fallback_after_bad_header():
+    from nreadspark.pipeline import decode_html_bytes
+
+    body = "<html><body><p>ж</p></body></html>"  # cyrillic zhe
+    raw = body.encode("cp1251")
+    # quoted charset in the header (common real-HTTP form)
+    assert decode_html_bytes(raw, 'text/html; charset="windows-1251"') == body
+    # unusable header charset -> the meta tag must still be consulted
+    meta_body = (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=windows-1251" /></head>'
+        "<body><p>ж</p></body></html>"
+    )
+    raw2 = meta_body.encode("cp1251")
+    assert decode_html_bytes(raw2, "text/html; charset=bogus-enc") == meta_body

@@ -196,3 +196,30 @@ def test_repetition_stats_counts(spark):
     assert out["c"]["n_bigrams"] == 0 and out["c"]["top_bigram_count"] == 0
     # 'spam spam' x3 of 3 bigrams: fully repetitive doc
     assert out["d"]["n_bigrams"] == 3 and out["d"]["top_bigram_count"] == 3
+
+
+def test_embedding_lsh_accepts_string_ids(spark):
+    from nreadspark.ops.dedup import embedding_near_duplicates_lsh
+
+    vec = [1.0, 0.0, 0.5, 0.25]
+    rows = [("doc-a", vec), ("doc-b", vec), ("doc-c", [0.0, 1.0, -0.5, 0.25])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = embedding_near_duplicates_lsh(
+        df, threshold=0.99, dim=4, n_bits=4, n_bands=2, planes="axis"
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert ("doc-a", "doc-b") in pairs
+    assert all(isinstance(r["id_a"], str) for r in out)
+
+
+def test_ivf_centroids_survive_one_ragged_vector(spark):
+    from nreadspark.ops.similarity import ivf_topk
+
+    import random
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+    rows.append((999, [0.5] * 9))  # one over-long corrupt vector
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = spark.createDataFrame(rows[:3], "vec_id bigint, embedding array<double>")
+    out = ivf_topk(corpus, queries, k=3, n_lists=4, n_probe=4, dim=8).collect()
+    assert len(out) > 0  # valid vectors must not be discarded by the ragged one

@@ -177,3 +177,20 @@ def test_fuzz_content_stream_tokenizer_terminates():
         cs = bytes(rng.choice(charset) for _ in range(rng.randint(0, 400)))
         spans = []
         _extract_page_spans(cs, {"Im1"}, spans)  # must terminate without error
+
+
+def test_indirect_length_ref_is_not_misread_as_direct():
+    """/Length 15 0 R (indirect ref) must not be parsed as direct length 1
+    (regex backtracking hazard): fall back to the endstream delimiters."""
+    cs = b"BT /F1 12 Tf 72 720 Td (indirect ok) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 15 0 R >>\nstream\n" + cs + b"\nendstream\nendobj\n"
+        b"15 0 obj\n" + str(len(cs)).encode() + b"\nendobj\n"
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    )
+    spans, n_pages, _ = parse_pdf_spans(pdf)
+    assert [t for _, t, _ in spans] == ["indirect ok"]
