@@ -387,3 +387,26 @@ def test_real_readability_css_asset_embedded():
     assert ".style-newspaper {font-family:" in out
     assert ".margin-x-wide {width:35%;}" in out
     assert ".size-medium {font-size:1.125em;}" in out
+
+
+def test_pagination_cap_stub_without_transcoding_page_31():
+    """A 31-entry chain yields 30 pages of content + the 'View Next Page'
+    stub; the 31st page's content never appears (and is never transcoded --
+    its html can even be invalid-but-nonempty)."""
+    from nreadspark.multipage import MAX_PAGES, assemble_pages
+
+    def page_html(n):
+        body = f"Chain page {n}, with enough commas, to extract, properly." * 4
+        return (
+            f"<html><head><title>Chain | Site</title></head><body>"
+            f"<div class='article content'><p>{body}</p><p>{body}</p></div></body></html>"
+        )
+
+    pages = [(page_html(n), f"http://ex.com/a?p={n}") for n in range(MAX_PAGES)]
+    pages.append(("<<not even html>>", f"http://ex.com/a?p={MAX_PAGES}"))
+    out = assemble_pages(pages)
+    joined = " ".join(s.get("text") or "" for s in out["spans"])
+    assert "View Next Page" in joined
+    assert "Chain page 29," in joined
+    assert "not even html" not in joined
+    assert out["n_pages"] == MAX_PAGES
