@@ -371,6 +371,25 @@ def _q_debug_html(spark, sf_dir):
     )
 
 
+_SHARED_PASSAGE = (
+    " shared verbatim passage alpha beta gamma delta epsilon zeta eta theta"
+)
+
+
+def _q_ngram_dup_stats(spark, sf_dir):
+    """Corpus-wide exact-substring duplication (Lee et al. 2021): docs with
+    doc_id < 30 get an identical 11-word passage appended, so its 8-grams
+    are duplicated across 30 documents; every other 8-gram in the word-soup
+    corpus is (statistically) unique.  Counts are integer-exact."""
+    from nreadspark.ops.dedup import ngram_duplicate_stats
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    planted = F.when(
+        F.col("doc_id") < 30, F.concat(F.col("text"), F.lit(_SHARED_PASSAGE))
+    ).otherwise(F.col("text"))
+    return ngram_duplicate_stats(docs.select("doc_id", planted.alias("text")), n=8)
+
+
 def _q_mixed_pipeline(spark, sf_dir):
     """End-to-end composition: ONE corpus arriving via THREE ingestion
     surfaces -- interleaved span tables (route 0), gzip'd latin-1 HTML
@@ -815,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "text_repetition": _q_text_repetition,
         "mixed_pipeline": _q_mixed_pipeline,
+        "dedup_ngram_substring": _q_ngram_dup_stats,
         # extraction operators as vectorized relational ops (SQL oracles)
         "e1_title_rules": _q_e1_title_rules,
         "j3_link_score_agg": _q_j3_link_score_agg,
@@ -975,6 +995,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS BIGINT) AS n_spans,
                    CAST(1 AS BIGINT) AS n_image_spans
             FROM documents
+        """,
+        # dedup_ngram_substring: group on the n-gram STRING (Spark groups on
+        # its xxhash64 -- same counts, fixed-width shuffle keys)
+        "dedup_ngram_substring": r"""
+            WITH src AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id < 30
+                            THEN text || ' shared verbatim passage alpha beta gamma delta epsilon zeta eta theta'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id < 200
+            ), words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM src
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 6),
+                                             i -> array_to_string(w[i:i+7], ' '))) AS g
+                FROM words WHERE len(w) >= 8
+            ), df AS (
+                SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+            )
+            SELECT grams.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_ngrams,
+                   CAST(sum(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams
+            FROM grams JOIN df USING (g)
+            GROUP BY grams.doc_id
         """,
         # mixed_pipeline: routes 0/1 share the interleaved-family closed
         # form; route 2 follows the pdf_extract shape

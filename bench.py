@@ -135,6 +135,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "debug_html",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "dedup_ngram_substring",
         "dedup_simhash",
         "dedup_embedding_cosine",
         "dedup_embedding_lsh",

@@ -644,3 +644,42 @@ def line_dedup(
         F.count("*").cast("bigint").alias("n_lines"),
         F.count("line_hash").cast("bigint").alias("n_removed"),
     )
+
+
+def ngram_duplicate_stats(
+    df: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Corpus-wide exact-substring duplication signal (Lee et al. 2021,
+    'Deduplicating Training Data Makes Language Models Better'): for each
+    document, how many of its word n-grams also occur in OTHER documents.
+    Complements MinHash (whole-doc near-dup) by catching long verbatim
+    passages shared across otherwise-different documents.
+
+    Output: (doc_id, n_ngrams, n_dup_ngrams) -- integer counts; callers
+    threshold (e.g. drop docs with n_dup_ngrams/n_ngrams > 0.5).
+
+    Scale shape: n-grams are built JVM-side (sequence + slice + concat_ws)
+    and exploded as 64-bit hashes (fixed-width shuffle keys, not strings);
+    the document-frequency aggregation has map-side combine; the join back
+    is a plain shuffle join on the hash -- the duplicated-ngram set is NOT
+    assumed small (it is the whole point of the operator), so no broadcast.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # guard: F.sequence(1, 0) yields the DESCENDING [1, 0], not empty
+    starts = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n)))
+    )
+    exploded = df.select("doc_id", F.explode(grams).alias("h"))
+
+    docfreq = exploded.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        exploded.join(docfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ngrams"),
+            F.sum((F.col("nd") > 1).cast("int")).cast("bigint").alias("n_dup_ngrams"),
+        )
+    )

@@ -223,3 +223,23 @@ def test_ivf_centroids_survive_one_ragged_vector(spark):
     queries = spark.createDataFrame(rows[:3], "vec_id bigint, embedding array<double>")
     out = ivf_topk(corpus, queries, k=3, n_lists=4, n_probe=4, dim=8).collect()
     assert len(out) > 0  # valid vectors must not be discarded by the ragged one
+
+
+def test_ngram_duplicate_stats(spark):
+    from nreadspark.ops.dedup import ngram_duplicate_stats
+
+    shared = "one two three four five"
+    rows = [
+        ("a", f"alpha beta {shared} gamma"),
+        ("b", f"delta epsilon {shared} zeta"),
+        ("c", "totally different words here entirely unique"),
+        ("d", "tiny"),  # fewer than n words -> no n-grams, no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in ngram_duplicate_stats(df, n=5).collect()}
+    # doc a: 8 words -> 4 5-grams; exactly one ('one two three four five')
+    # also occurs in doc b
+    assert out["a"]["n_ngrams"] == 4 and out["a"]["n_dup_ngrams"] == 1
+    assert out["b"]["n_ngrams"] == 4 and out["b"]["n_dup_ngrams"] == 1
+    assert out["c"]["n_dup_ngrams"] == 0
+    assert "d" not in out
