@@ -72,21 +72,15 @@ _XML_WS = " \t\r\n"
 class TextNode:
     __slots__ = ("value", "parent")
 
+    # class attributes, not properties: these are read millions of times
+    # per batch in the traversal hot paths
+    is_element = False
+    is_text = True
+    is_comment = False
+
     def __init__(self, value: str):
         self.value = value
         self.parent = None
-
-    @property
-    def is_element(self):
-        return False
-
-    @property
-    def is_text(self):
-        return True
-
-    @property
-    def is_comment(self):
-        return False
 
     def remove(self):
         _detach(self)
@@ -98,21 +92,13 @@ class TextNode:
 class CommentNode:
     __slots__ = ("value", "parent")
 
+    is_element = False
+    is_text = False
+    is_comment = True
+
     def __init__(self, value: str):
         self.value = value
         self.parent = None
-
-    @property
-    def is_element(self):
-        return False
-
-    @property
-    def is_text(self):
-        return False
-
-    @property
-    def is_comment(self):
-        return True
 
     def remove(self):
         _detach(self)
@@ -139,18 +125,10 @@ class Node:
         self.children = []
         self.parent = None
 
-    # ------------------------------------------------------------------ kind
-    @property
-    def is_element(self):
-        return True
-
-    @property
-    def is_text(self):
-        return False
-
-    @property
-    def is_comment(self):
-        return False
+    # kind flags as class attributes (hot-path reads, no property call)
+    is_element = True
+    is_text = False
+    is_comment = False
 
     # ----------------------------------------------------------- structure
     def append_child(self, node):
