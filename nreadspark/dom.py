@@ -202,6 +202,21 @@ class Node:
                 if node.children:
                     stack.extend(reversed(node.children))
 
+    def elements_list_by_tag_name(self, tag):
+        """List form of :meth:`elements_by_tag_name` for hot call sites --
+        same document order, no generator resume per match."""
+        tag = tag.lower()
+        out = []
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if node.is_element:
+                if node.tag == tag:
+                    out.append(node)
+                if node.children:
+                    stack.extend(reversed(node.children))
+        return out
+
     def children_by_tag_name(self, tag):
         tag = tag.lower()
         return [c for c in self.children if c.is_element and c.tag == tag]
@@ -293,6 +308,15 @@ class Document:
         for node in self.iter_descendants():
             if node.is_element and node.tag == tag:
                 yield node
+
+    def elements_list_by_tag_name(self, tag):
+        """List form (XDocument.Descendants includes the root)."""
+        if self.root is None:
+            return []
+        tag = tag.lower()
+        out = [self.root] if self.root.tag == tag else []
+        out.extend(self.root.elements_list_by_tag_name(tag))
+        return out
 
     def children_by_tag_name(self, tag):
         tag = tag.lower()

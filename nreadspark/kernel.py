@@ -654,7 +654,7 @@ def find_candidates_for_article_content(
             return [hinted], scores
 
     candidates: dict[int, Node] = {}
-    for para in list(document.elements_by_tag_name("p")):
+    for para in document.elements_list_by_tag_name("p"):
         # only the normalized LENGTH and the comma count (normalization-
         # invariant) feed the score -- skip building the normalized string
         raw = para.value
@@ -796,7 +796,7 @@ def prepare_article_content_element(article: Node, scores, opts: Options | None 
     # -- one fused walk per <p>: text presence and all three media tags are
     # checked in the same traversal instead of up to four subtree scans
     to_remove = []
-    for para in list(article.elements_by_tag_name("p")):
+    for para in article.elements_list_by_tag_name("p"):
         # GetInnerText-normalized emptiness == raw whitespace-only (trim+
         # collapse cannot turn non-whitespace into empty), so skip the regex
         keep = False
@@ -869,7 +869,7 @@ def clean(root: Node, element_name: str) -> None:
     """Clean (cs:1394-1417): drop all elements of a tag; video embeds survive."""
     is_embed = element_name in ("object", "embed")
     to_remove = []
-    for element in list(root.elements_by_tag_name(element_name)):
+    for element in root.elements_list_by_tag_name(element_name):
         if is_embed and _video_in_subtree(element):
             continue
         to_remove.append(element)
@@ -911,7 +911,7 @@ def clean_conditionally(root: Node, element_name: str, scores, opts: Options | N
     """CleanConditionally (cs:1423-1486)."""
     opts = opts or Options()
     to_remove = []
-    for element in list(root.elements_by_tag_name(element_name)):
+    for element in root.elements_list_by_tag_name(element_name):
         weight = get_class_weight(element, opts.dont_weight_classes)
         score = scores.get(id(element), 0.0)
 
@@ -1017,9 +1017,9 @@ def extract_article_title(document: Document, opts: Options | None = None) -> No
         len(current_title) > MAX_ARTICLE_TITLE_LENGTH
         or len(current_title) < MIN_ARTICLE_TITLE_LENGTH
     ):
-        title_headers = list(body.elements_by_tag_name("h1"))
+        title_headers = body.elements_list_by_tag_name("h1")
         if not title_headers:
-            title_headers = list(body.elements_by_tag_name("h2"))
+            title_headers = body.elements_list_by_tag_name("h2")
         if len(title_headers) == 1:
             current_title = get_inner_text(title_headers[0], opts.dont_normalize_spaces)
 
@@ -1146,7 +1146,7 @@ def find_next_page_link(body: Node, url: str, opts: Options | None = None) -> st
     article_base_url = find_base_url(url)
     base_host = get_host(article_base_url) if is_absolute_url(article_base_url) else None
 
-    for link_element in list(body.elements_by_tag_name("a")):
+    for link_element in body.elements_list_by_tag_name("a"):
         link_href = link_element.get_attribute("href")
         if not link_href or MAILTO_HREF_RE.match(link_href):
             continue
