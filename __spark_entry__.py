@@ -371,6 +371,37 @@ def _q_debug_html(spark, sf_dir):
     )
 
 
+def _q_sample_split_mix(spark, sf_dir):
+    """Deterministic sampling / split / mixing (training-data ops): every
+    membership decision is md5(salt||doc_id)-derived, so the DuckDB twin
+    reproduces it bit-for-bit and any rerun/repartition yields the same
+    corpus.  Output: per doc, its split plus the two sample memberships."""
+    from nreadspark.ops.sampling import (
+        deterministic_sample,
+        stratified_mix,
+        train_val_split,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    split = train_val_split(docs, val_rate=0.1).select("doc_id", "split")
+    sampled = deterministic_sample(docs, rate=0.25, salt="s1").select(
+        "doc_id", F.lit(True).alias("in_sample")
+    )
+    mixed = stratified_mix(
+        docs, rates={"en": 0.5, "de": 0.1}, stratum_col="lang", salt="m1"
+    ).select("doc_id", F.lit(True).alias("in_mix"))
+    return (
+        split.join(sampled, "doc_id", "left")
+        .join(mixed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            F.coalesce("in_sample", F.lit(False)).alias("in_sample"),
+            F.coalesce("in_mix", F.lit(False)).alias("in_mix"),
+        )
+    )
+
+
 _SHARED_PASSAGE = (
     " shared verbatim passage alpha beta gamma delta epsilon zeta eta theta"
 )
@@ -835,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "mixed_pipeline": _q_mixed_pipeline,
         "dedup_ngram_substring": _q_ngram_dup_stats,
+        "sample_split_mix": _q_sample_split_mix,
         # extraction operators as vectorized relational ops (SQL oracles)
         "e1_title_rules": _q_e1_title_rules,
         "j3_link_score_agg": _q_j3_link_score_agg,
@@ -995,6 +1027,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS BIGINT) AS n_spans,
                    CAST(1 AS BIGINT) AS n_image_spans
             FROM documents
+        """,
+        # sample_split_mix: md5-bucket membership, bit-for-bit replicable
+        "sample_split_mix": """
+            WITH b AS (
+                SELECT doc_id, lang,
+                       CAST(CAST('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS BIGINT) AS b_split,
+                       CAST(CAST('0x' || substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS BIGINT) AS b_s1,
+                       CAST(CAST('0x' || substring(md5('m1' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS BIGINT) AS b_m1
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN b_split < 100000 THEN 'val' ELSE 'train' END AS split,
+                   b_s1 < 250000 AS in_sample,
+                   b_m1 < (CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 100000 ELSE 0 END) AS in_mix
+            FROM b
         """,
         # dedup_ngram_substring: group on the n-gram STRING (Spark groups on
         # its xxhash64 -- same counts, fixed-width shuffle keys)

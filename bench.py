@@ -145,6 +145,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "ann_lsh_topk",
         "ann_ivf_topk",
         "text_repetition",
+        "sample_split_mix",
         "text_token_count",
         "text_quality",
         "text_lang_id",

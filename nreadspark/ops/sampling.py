@@ -1,0 +1,77 @@
+"""Deterministic sampling / splitting / source mixing for training-data
+pipelines.
+
+``df.sample()`` is seed-dependent but NOT stable under repartitioning or
+retries (per-partition RNG streams), which is unacceptable for a training
+corpus: the same document must land in the same split on every run, on any
+cluster layout, forever.  These operators derive membership from a hash of
+the DOCUMENT ID instead -- pure codegen expressions, no shuffle, no RNG
+state, identical output for any partitioning.
+
+The hash is the first 8 hex chars of md5(salt || doc_id) taken mod 10^6
+(uniform on [0, 10^6)); md5 keeps every decision reproducible by ANY engine
+(the DuckDB oracles replicate it bit-for-bit), unlike xxhash64 which is
+Spark-private.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _hash_bucket(id_col: str, salt: str):
+    """Uniform bucket in [0, 10^6) from md5(salt || id) -- engine-portable."""
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(_BUCKETS)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, salt: str = "sample", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~``rate`` of rows, decided per-document by hash -- stable across
+    runs, retries and repartitioning.  ``salt`` decouples independent
+    samples (different salts give independent subsets)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(_hash_bucket(id_col, salt) < int(rate * _BUCKETS))
+
+
+def train_val_split(
+    df: DataFrame, val_rate: float = 0.01, salt: str = "split", id_col: str = "doc_id"
+) -> DataFrame:
+    """Add a ``split`` column ('train' / 'val'): the same document is in the
+    same split in every run of every job that uses the same salt -- the
+    property that prevents train/val leakage across pipeline re-runs."""
+    bucket = _hash_bucket(id_col, salt)
+    return df.withColumn(
+        "split",
+        F.when(bucket < int(val_rate * _BUCKETS), F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    salt: str = "mix",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Source-weighted corpus mixing: keep stratum ``s`` at ``rates[s]``
+    (strata absent from ``rates`` are dropped).  One codegen filter, no
+    shuffle -- the standard way to hit a target source distribution when
+    assembling a training mix."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    bucket = _hash_bucket(id_col, salt)
+    # one CASE expression over strata; unmatched strata -> threshold 0
+    expr = F.lit(0)
+    for s, r in rates.items():
+        expr = F.when(F.col(stratum_col) == s, F.lit(int(r * _BUCKETS))).otherwise(expr)
+    return df.filter(bucket < expr)

@@ -243,3 +243,45 @@ def test_ngram_duplicate_stats(spark):
     assert out["b"]["n_ngrams"] == 4 and out["b"]["n_dup_ngrams"] == 1
     assert out["c"]["n_dup_ngrams"] == 0
     assert "d" not in out
+
+
+def test_deterministic_sampling_stable_under_repartitioning(spark):
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.sampling import (
+        deterministic_sample,
+        stratified_mix,
+        train_val_split,
+    )
+
+    df = spark.range(2000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    s1 = {r["doc_id"] for r in deterministic_sample(df, 0.3).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(df.repartition(17), 0.3).collect()}
+    assert s1 == s2 and 0.2 < len(s1) / 2000 < 0.4
+    # independent salts give (near-)independent subsets
+    s3 = {r["doc_id"] for r in deterministic_sample(df, 0.3, salt="other").collect()}
+    assert s3 != s1
+
+    sp1 = {r["doc_id"]: r["split"] for r in train_val_split(df, 0.1).collect()}
+    sp2 = {r["doc_id"]: r["split"] for r in train_val_split(df.repartition(5), 0.1).collect()}
+    assert sp1 == sp2
+    assert 0.05 < sum(v == "val" for v in sp1.values()) / 2000 < 0.15
+
+    mixed = stratified_mix(df, {"en": 1.0, "de": 0.0}, "lang").collect()
+    assert all(r["lang"] == "en" for r in mixed)
+    assert len(mixed) == 1000
+
+
+def test_sampling_rejects_bad_rates(spark):
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.sampling import deterministic_sample, stratified_mix
+
+    df = spark.range(2).select(F.col("id").cast("string").alias("doc_id"))
+    with pytest.raises(ValueError):
+        deterministic_sample(df, 1.5)
+    with pytest.raises(ValueError):
+        stratified_mix(df.withColumn("s", F.lit("a")), {"a": -0.1}, "s")
