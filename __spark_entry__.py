@@ -802,6 +802,34 @@ def _q_join_revenue_by_segment(spark, sf_dir):
     )
 
 
+def _q_tpch_q5_like(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join (region->nation->supplier->lineitem->
+    orders->customer) with the local-supplier predicate
+    (c_nationkey = s_nationkey).  All four dimension tables broadcast; the
+    two fact tables meet in a single shuffle join on l_orderkey."""
+    li = _table(spark, sf_dir, "lineitem")
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    s = _table(spark, sf_dir, "supplier")
+    n = _table(spark, sf_dir, "nation")
+    r = _table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").cast("bigint").alias("n_lineitems"),
+        )
+    )
+
+
 def _q_events_daily(spark, sf_dir):
     ev = _table(spark, sf_dir, "events")
     return ev.groupBy(
@@ -874,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational breadth over the TPC-H-ish tables
         "tpch_q1_like": _q_tpch_q1_like,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
+        "tpch_q5_like": _q_tpch_q5_like,
         "events_daily": _q_events_daily,
         "events_top_per_type": _q_events_top_per_type,
     }
@@ -1538,6 +1567,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                    CAST(count(*) AS BIGINT) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q5_like": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lineitems
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+            GROUP BY n_name
         """,
         "join_revenue_by_segment": """
             SELECT c_mktsegment,

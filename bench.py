@@ -153,6 +153,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "f5_f6_regex_rewrite",
         "tpch_q1_like",
         "join_revenue_by_segment",
+        "tpch_q5_like",
         "events_daily",
         "events_top_per_type",
     ]
