@@ -647,7 +647,7 @@ def line_dedup(
 
 
 def ngram_duplicate_stats(
-    df: DataFrame, text_col: str = "text", n: int = 8
+    df: DataFrame, text_col: str = "text", n: int = 8, exact: bool = False
 ) -> DataFrame:
     """Corpus-wide exact-substring duplication signal (Lee et al. 2021,
     'Deduplicating Training Data Makes Language Models Better'): for each
@@ -663,14 +663,23 @@ def ngram_duplicate_stats(
     the document-frequency aggregation has map-side combine; the join back
     is a plain shuffle join on the hash -- the duplicated-ngram set is NOT
     assumed small (it is the whole point of the operator), so no broadcast.
+
+    Collision caveat: keying on xxhash64(gram) means a 64-bit birthday
+    collision counts two unrelated n-grams as one (expected once the corpus
+    nears ~2^32 distinct n-grams).  Pass ``exact=True`` to key on the gram
+    STRING instead -- exact at any scale, at the cost of wide shuffle keys.
     """
+    if exact:
+        gram_key = lambda g: g  # noqa: E731
+    else:
+        gram_key = F.xxhash64  # fixed-width shuffle keys
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     # guard: F.sequence(1, 0) yields the DESCENDING [1, 0], not empty
     starts = F.when(
         F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
-        starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n)))
+        starts, lambda i: gram_key(F.concat_ws(" ", F.slice(words, i, n)))
     )
     exploded = df.select("doc_id", F.explode(grams).alias("h"))
 

@@ -11,7 +11,9 @@ state, identical output for any partitioning.
 The hash is the first 8 hex chars of md5(salt || doc_id) taken mod 10^6
 (uniform on [0, 10^6)); md5 keeps every decision reproducible by ANY engine
 (the DuckDB oracles replicate it bit-for-bit), unlike xxhash64 which is
-Spark-private.
+Spark-private.  Rate thresholds are ``round(rate * 10^6)`` -- plain int()
+would float-truncate e.g. 0.000249*10^6 = 248.99999... to 248 and diverge
+from a decimal-arithmetic twin.
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ def deterministic_sample(
     samples (different salts give independent subsets)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return df.filter(_hash_bucket(id_col, salt) < int(rate * _BUCKETS))
+    return df.filter(_hash_bucket(id_col, salt) < int(round(rate * _BUCKETS)))
 
 
 def train_val_split(
@@ -49,7 +51,7 @@ def train_val_split(
     bucket = _hash_bucket(id_col, salt)
     return df.withColumn(
         "split",
-        F.when(bucket < int(val_rate * _BUCKETS), F.lit("val")).otherwise(
+        F.when(bucket < int(round(val_rate * _BUCKETS)), F.lit("val")).otherwise(
             F.lit("train")
         ),
     )
@@ -73,5 +75,5 @@ def stratified_mix(
     # one CASE expression over strata; unmatched strata -> threshold 0
     expr = F.lit(0)
     for s, r in rates.items():
-        expr = F.when(F.col(stratum_col) == s, F.lit(int(r * _BUCKETS))).otherwise(expr)
+        expr = F.when(F.col(stratum_col) == s, F.lit(int(round(r * _BUCKETS)))).otherwise(expr)
     return df.filter(bucket < expr)
