@@ -393,12 +393,19 @@ def embedding_near_duplicates_lsh(
     vectors; only same-bucket pairs are ever scored) with the blocked-GEMM
     verification of :func:`embedding_near_duplicates` -- no all-pairs tiles,
     no driver-side ``count()``; total work is sum over buckets of k_b^2
-    instead of n^2.  Buckets larger than ``max_bucket_size`` (embedding-space
-    boilerplate) fall back to a star comparison against the bucket's
-    canonical (minimum-id) member: O(k) pairs, every member still verified
-    against a near-identical representative.  For corpora where even one
-    bucket's vectors exceed executor memory, raise n_bands/n_bits so buckets
-    shrink before collection.
+    instead of n^2.
+
+    Skew guard (pre-split, memory-bounded): bucket sizes are counted with a
+    partially-aggregated ``groupBy`` FIRST, mirroring
+    :func:`minhash_lsh_candidates`.  Buckets larger than ``max_bucket_size``
+    (embedding-space boilerplate -- e.g. millions of identical template
+    vectors) NEVER reach ``collect_list``: their members are joined against
+    a broadcast (bucket -> canonical minimum-id member + its vector) frame
+    and verified row-wise with a vectorized cosine -- O(k) pairs AND O(1)
+    per-row memory, so a hot bucket can no longer concentrate multi-GB of
+    vectors into one grouped row.  Only buckets <= max_bucket_size are
+    packed for the per-bucket GEMM kernel, bounding the largest grouped row
+    at max_bucket_size * dim * 8 bytes by construction.
     """
     from pyspark.sql.types import (
         ByteType,
@@ -423,7 +430,33 @@ def embedding_near_duplicates_lsh(
     _coerce = int if numeric_ids else str
 
     sigs = lsh_signatures(emb_df, dim, n_bits, n_bands, id_col, vec_col, planes)
-    packed = sigs.groupBy("bucket").agg(
+
+    # -- hot-bucket pre-split: count first (map-side combine), so oversized
+    # buckets are routed to the star path BEFORE any collect_list sees them
+    key = F.col("id").cast("long") if numeric_ids else F.col("id")
+    counts = sigs.groupBy("bucket").agg(
+        F.count("*").alias("__n"), F.min(key).alias("__canon")
+    )
+    hot = counts.filter(F.col("__n") > max_bucket_size)
+    # one row per hot bucket (tiny by construction): its canonical member's
+    # id + vector, broadcast to every member for the row-wise star cosine
+    canon_vecs = (
+        sigs.join(F.broadcast(hot), ["bucket"])
+        .filter(key == F.col("__canon"))
+        .select(
+            "bucket",
+            F.col("__canon").alias("canon_id"),
+            F.col("vec").alias("canon_vec"),
+        )
+        .dropDuplicates(["bucket"])
+    )
+    star_members = (
+        sigs.join(F.broadcast(canon_vecs), ["bucket"])
+        .filter(key != F.col("canon_id"))
+        .select(F.col("canon_id"), key.alias("member_id"), "vec", "canon_vec")
+    )
+    normal = sigs.join(F.broadcast(hot.select("bucket")), ["bucket"], "left_anti")
+    packed = normal.groupBy("bucket").agg(
         F.collect_list("id").alias("ids"), F.collect_list("vec").alias("vecs")
     )
 
@@ -435,6 +468,37 @@ def embedding_near_duplicates_lsh(
         ]
     )
 
+    def star_cosines(iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]], dtype=np.float64
+            )
+            C = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["canon_vec"]],
+                dtype=np.float64,
+            )
+            nx = np.maximum(np.linalg.norm(X, axis=1), 1e-300)
+            nc = np.maximum(np.linalg.norm(C, axis=1), 1e-300)
+            sim = np.einsum("ij,ij->i", X, C) / (nx * nc)
+            np.round(sim, 6, out=sim)
+            m = sim >= threshold
+            # canon_id is the bucket minimum, so (canon, member) is already
+            # the normalized (lo, hi) pair orientation
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["canon_id"].to_numpy()[m],
+                    "id_b": pdf["member_id"].to_numpy()[m],
+                    "cosine": sim[m],
+                }
+            )
+
+    star_scored = star_members.mapInPandas(star_cosines, out_schema)
+
     def score_buckets(iterator):
         import numpy as np
         import pandas as pd
@@ -445,21 +509,10 @@ def embedding_near_duplicates_lsh(
                 ids = [_coerce(i) for i in row.ids]
                 if len(ids) < 2:
                     continue
+                # buckets here are <= max_bucket_size by construction (the
+                # pre-split routed oversized ones to the star path upstream)
                 X = np.asarray([np.asarray(v) for v in row.vecs], dtype=np.float64)
                 norms = np.maximum(np.linalg.norm(X, axis=1), 1e-300)
-                if len(ids) > max_bucket_size:
-                    # star: compare all members against the canonical vector
-                    c = min(range(len(ids)), key=ids.__getitem__)
-                    sim = (X @ X[c]) / (norms * norms[c])
-                    np.round(sim, 6, out=sim)
-                    for j in np.nonzero(sim >= threshold)[0]:
-                        if j == c:
-                            continue
-                        lo, hi = sorted((ids[c], ids[int(j)]))
-                        ids_a.append(lo)
-                        ids_b.append(hi)
-                        cos.append(float(sim[j]))
-                    continue
                 sim = (X @ X.T) / np.outer(norms, norms)
                 np.round(sim, 6, out=sim)
                 ii, jj = np.nonzero(np.triu(sim >= threshold, k=1))
@@ -470,7 +523,7 @@ def embedding_near_duplicates_lsh(
                     cos.append(float(sim[i, j]))
             yield pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "cosine": cos})
 
-    scored = packed.mapInPandas(score_buckets, out_schema)
+    scored = packed.mapInPandas(score_buckets, out_schema).unionByName(star_scored)
     # a pair can collide in several bands: keep one row (cosines agree to
     # 1e-6 by construction; max() makes the reduction associative anyway)
     return (

@@ -147,6 +147,33 @@ def test_embedding_lsh_star_guard(spark):
     assert pairs == {(0, i) for i in range(1, 300)}
 
 
+def test_embedding_lsh_hot_bucket_presplit_bounds_memory(spark):
+    """~50k identical embeddings (one giant boilerplate bucket) must route
+    through the pre-split star path: the plan anti-joins hot buckets away
+    BEFORE collect_list, so the largest grouped row is bounded by
+    max_bucket_size * dim * 8 bytes, and every member is still verified
+    against the canonical vector."""
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.dedup import embedding_near_duplicates_lsh
+
+    n = 50_000
+    one = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(j % 5) + 1.0) for j in range(8)]).alias("embedding"),
+    )
+    out = embedding_near_duplicates_lsh(
+        one, threshold=0.99, dim=8, n_bits=8, n_bands=4, max_bucket_size=64
+    )
+    # plan shape: hot buckets are removed with a broadcast anti-join before
+    # any collect_list aggregation (the memory bound, not just a pair bound)
+    plan = out._jdf.queryExecution().toString()
+    assert "LeftAnti" in plan
+    rows = out.collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, i) for i in range(1, n)}
+    assert all(r["cosine"] == 1.0 for r in rows)
+
+
 def test_line_dedup_removes_cross_doc_boilerplate(spark):
     from nreadspark.ops.dedup import line_dedup
 
