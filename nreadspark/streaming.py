@@ -62,25 +62,28 @@ def extract_stream(
         from .pipeline import extraction_metrics
 
         started = _time.time()
-        out = extract(batch_df)
-        # per-batch subdirectory + overwrite => replaying a failed batch
-        # replaces its partial output instead of duplicating it
-        batch_dir = f"{output_path}/batch_id={batch_id}"
-        out.write.mode("overwrite").parquet(batch_dir)
-        # per-batch metrics manifest (the streaming twin of the batch
-        # pipeline's per-bucket lineage manifests)
+        # persist once: the batch is WRITTEN once and READ zero times --
+        # metrics come off the cached frame, not a re-scan of the sink dir
+        out = extract(batch_df).persist()
         try:
-            row = extraction_metrics(
-                batch_df.sparkSession.read.parquet(batch_dir)
-            ).collect()[0]
-            manifest = {**row.asDict(), "batch_id": batch_id, "wall_sec": round(_time.time() - started, 3)}
-            os.makedirs(f"{output_path}/_metrics", exist_ok=True)
-            tmp = f"{output_path}/_metrics/.batch_{batch_id}.tmp"
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            os.replace(tmp, f"{output_path}/_metrics/batch_{batch_id}.json")
-        except Exception:
-            pass  # metrics are advisory; never fail the batch for them
+            # per-batch subdirectory + overwrite => replaying a failed batch
+            # replaces its partial output instead of duplicating it
+            batch_dir = f"{output_path}/batch_id={batch_id}"
+            out.write.mode("overwrite").parquet(batch_dir)
+            # per-batch metrics manifest (the streaming twin of the batch
+            # pipeline's per-bucket lineage manifests)
+            try:
+                row = extraction_metrics(out).collect()[0]
+                manifest = {**row.asDict(), "batch_id": batch_id, "wall_sec": round(_time.time() - started, 3)}
+                os.makedirs(f"{output_path}/_metrics", exist_ok=True)
+                tmp = f"{output_path}/_metrics/.batch_{batch_id}.tmp"
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f)
+                os.replace(tmp, f"{output_path}/_metrics/batch_{batch_id}.json")
+            except Exception:
+                pass  # metrics are advisory; never fail the batch for them
+        finally:
+            out.unpersist()
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path
@@ -144,6 +147,7 @@ def dedup_stream(
     stream_df: DataFrame,
     text_col: str = "text",
     ttl_minutes: int | None = None,
+    emit_suppressed: bool = False,
 ) -> DataFrame:
     """Emit only the FIRST occurrence of each distinct text across the whole
     stream; later duplicates (same batch or any later batch) are suppressed.
@@ -151,9 +155,18 @@ def dedup_stream(
     This is the streaming twin of ``ops.dedup.exact_duplicates``: at ingest
     time a crawl emits the same page repeatedly (re-crawls, mirrors), and a
     batch-side dedup would only see one micro-batch at a time.  State is one
-    tiny struct (seen-count) per distinct md5(text), partitioned by the
+    tiny struct (seen-count) per distinct sha256(text), partitioned by the
     group key -- Spark shards state across executors and checkpoints it, so
-    the operator scales with the state store, not the driver.
+    the operator scales with the state store, not the driver.  sha256 rather
+    than md5 because crawl input is adversarial: md5 chosen-prefix collisions
+    are practical, and a collision here permanently suppresses a distinct
+    document.
+
+    ``n_prior`` is the number of earlier sightings of the text at emit time:
+    0 for every row in the default first-wins mode (only firsts are
+    emitted).  With ``emit_suppressed=True`` (debug/audit mode) suppressed
+    duplicates are ALSO emitted, carrying their positive n_prior count, so
+    the column distinguishes kept rows (0) from suppressed ones (>0).
 
     ``ttl_minutes`` bounds state for unbounded corpora: a key idle longer
     than the TTL is evicted (a re-crawl after eviction is re-emitted --
@@ -163,7 +176,7 @@ def dedup_stream(
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    hashed = stream_df.withColumn("__text_hash", F.md5(F.col(text_col)))
+    hashed = stream_df.withColumn("__text_hash", F.sha2(F.col(text_col), 256))
     out_schema = "text_hash string, doc_id string, n_prior bigint"
     state_schema = "n_seen bigint"
     timeout = (
@@ -188,8 +201,8 @@ def dedup_stream(
         rows = []
         for pdf in pdfs:
             for doc_id in pdf["doc_id"]:
-                if n_seen == 0:
-                    rows.append((key[0], str(doc_id), 0))
+                if n_seen == 0 or emit_suppressed:
+                    rows.append((key[0], str(doc_id), n_seen))
                 n_seen += 1
         state.update((n_seen,))
         if ttl_ms:

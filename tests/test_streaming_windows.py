@@ -122,3 +122,43 @@ def test_dedup_stream_suppresses_cross_batch_duplicates(spark, tmp_path):
     assert len(emitted & {"b", "b2"}) == 1
     assert all(r["n_prior"] == 0 for r in rows)
     assert len(rows) == 3
+
+
+def test_dedup_stream_emit_suppressed_counts_priors(spark, tmp_path):
+    """Debug/audit mode: suppressed duplicates are also emitted with their
+    positive prior-sighting count, making n_prior a live column."""
+    from nreadspark.streaming import dedup_stream
+
+    src_dir = tmp_path / "docs_src2"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt2")
+
+    b1 = spark.createDataFrame(
+        [("a", "alpha text"), ("b", "beta text")], "doc_id string, text string"
+    )
+    b2 = spark.createDataFrame(
+        [("c", "alpha text"), ("e", "alpha text")], "doc_id string, text string"
+    )
+    b1.coalesce(1).write.parquet(str(src_dir / "f1"))
+    b2.coalesce(1).write.parquet(str(src_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir) + "/f*")
+    )
+    out = dedup_stream(stream, emit_suppressed=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_audit")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r["n_prior"] for r in spark.sql(
+        "SELECT * FROM dedup_stream_audit").collect()}
+    assert rows["a"] == 0 and rows["b"] == 0
+    # batch-2 'alpha text' dups are both emitted with prior counts 1 and 2
+    assert sorted([rows["c"], rows["e"]]) == [1, 2]
