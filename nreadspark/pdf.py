@@ -101,6 +101,33 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
     return objs
 
 
+#: Per-stream inflate ceiling.  Crawl bytes are untrusted: a kilobyte
+#: flate-bomb can inflate to GBs, and per-document error containment in
+#: extract_pdf catches exceptions, not memory exhaustion -- so the bound
+#: must be enforced at the decompressor.  64 MB dwarfs any legitimate
+#: single content/image stream; overflow is treated as a per-doc parse
+#: error (the containment path that already exists).
+_MAX_INFLATE = 64 * 1024 * 1024
+
+
+class FlateBombError(ValueError):
+    """A FlateDecode stream inflated past _MAX_INFLATE (hostile input)."""
+
+
+def _inflate_capped(raw: bytes, cap: int = _MAX_INFLATE) -> bytes:
+    """zlib.decompress with a hard output ceiling: decompressobj stops at
+    ``max_length`` instead of allocating unboundedly, so one hostile doc
+    raises (caught per-document) rather than OOM-killing the executor."""
+    d = zlib.decompressobj()
+    out = d.decompress(raw, cap)
+    if d.unconsumed_tail:
+        raise FlateBombError(f"FlateDecode output exceeds {cap} bytes")
+    if not d.eof:
+        # parity with zlib.decompress on truncated input: per-doc parse error
+        raise zlib.error("incomplete or truncated FlateDecode stream")
+    return out
+
+
 def _stream_bytes(body: bytes) -> bytes | None:
     """Stream payload of one object body.  A direct numeric ``/Length`` is
     authoritative (stream data may END in \\r or \\n bytes the delimiter
@@ -123,7 +150,7 @@ def _stream_bytes(body: bytes) -> bytes | None:
     if re.search(rb"/Filter\s*/FlateDecode", body) or re.search(
         rb"/Filter\s*\[\s*/FlateDecode\s*\]", body
     ):
-        return zlib.decompress(raw)
+        return _inflate_capped(raw)
     return raw
 
 

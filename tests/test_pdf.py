@@ -83,6 +83,42 @@ def test_damaged_pdf_raises_and_spark_contains_it():
         parse_pdf_spans(b"%PDF-1.4\njunk with no objects")
 
 
+def test_inflate_cap_blocks_flate_bombs():
+    """The capped inflater raises on output overflow instead of allocating
+    unboundedly; legit payloads round-trip; truncated input keeps the old
+    zlib.decompress error semantics."""
+    from nreadspark.pdf import FlateBombError, _inflate_capped
+
+    bomb = zlib.compress(b"\x00" * 100_000, 9)
+    with pytest.raises(FlateBombError):
+        _inflate_capped(bomb, cap=10_000)
+    assert _inflate_capped(zlib.compress(b"hello"), cap=10_000) == b"hello"
+    with pytest.raises(zlib.error):
+        _inflate_capped(bomb[:20], cap=1 << 20)
+
+
+def test_flate_bomb_pdf_is_a_contained_parse_error():
+    """A few-KB hostile PDF whose content stream inflates past the 64 MB
+    per-stream cap must raise (-> per-doc error row in extract_pdf), never
+    materialize the bomb."""
+    from nreadspark.pdf import _MAX_INFLATE, FlateBombError
+
+    pdf = make_pdf("T", [[("text", "hello world")]], compress=True)
+    bomb = zlib.compress(b"\x00" * (_MAX_INFLATE + 1024), 9)
+    patched = re.sub(
+        rb"<< /Length \d+ /Filter /FlateDecode >>\nstream\n.*?\nendstream",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(bomb)
+        + bomb
+        + b"\nendstream",
+        pdf,
+        count=1,
+        flags=re.S,
+    )
+    assert patched != pdf
+    with pytest.raises(FlateBombError):
+        parse_pdf_spans(patched)
+
+
 def test_flate_corruption_is_an_error_not_a_hang():
     pdf = bytearray(make_pdf("T", [[("text", "hello world")]], compress=True))
     i = bytes(pdf).find(b"stream\n", bytes(pdf).find(b"/FlateDecode")) + len("stream\n")
