@@ -637,32 +637,9 @@ def embedding_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
-def line_dedup(
-    df: DataFrame,
-    text_col: str = "text",
-    delimiter: str = ",",
-    min_repeats: int = 2,
-) -> DataFrame:
-    """Remove cross-document repeated lines; return per-doc cleaned text.
-
-    Output: (doc_id, clean_text, n_lines, n_removed).
-
-    Scale shape: ONE posexplode pass over the corpus (position-tagged, no
-    window), the boilerplate set is a hash aggregation with map-side
-    combine (count distinct docs per line), and membership is a BROADCAST
-    left join on the 64-bit line hash -- the boilerplate set is tiny
-    relative to the corpus (lines repeated across >=k docs).  Totals and
-    reassembly happen in the SAME groupBy(doc_id): ``collect_list`` skips
-    the NULL structs of removed lines, so kept-lines, n_lines and n_removed
-    all come from one exchange on doc_id (verified by .explain: 2 corpus
-    scans total -- one for the count, one for the flag+reassemble -- zero
-    extra joins).
-
-    At 100 TB the only risk is a boilerplate set too large to broadcast;
-    cap it upstream by raising min_repeats or pre-filtering by document
-    frequency -- membership only needs the hash.
-    """
-    lines = df.select(
+def _line_explode(df: DataFrame, text_col: str, delimiter: str) -> DataFrame:
+    """(doc_id, pos, line): position-tagged non-empty trimmed lines."""
+    return df.select(
         "doc_id",
         F.posexplode(
             # \Q...\E: the delimiter is a LITERAL (F.split takes a Java
@@ -671,32 +648,114 @@ def line_dedup(
         ).alias("pos", "line"),
     ).filter(F.length("line") > 0)
 
-    # boilerplate = lines appearing in >= min_repeats DISTINCT documents;
-    # join on the 64-bit hash, not the string (smaller broadcast)
+
+def line_boilerplate_set_size(
+    df: DataFrame,
+    text_col: str = "text",
+    delimiter: str = ",",
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Monitoring metric for :func:`line_dedup`'s broadcast assumption: ONE
+    row ``(boilerplate_set_size bigint)`` = number of distinct lines repeated
+    across >= min_repeats documents.  Run it (or let line_dedup's ``auto``
+    mode measure it) before trusting the broadcast membership join on a new
+    corpus."""
+    lines = _line_explode(df, text_col, delimiter)
     boiler = (
-        lines.groupBy(F.xxhash64("line").alias("line_hash"))
+        lines.groupBy(F.xxhash64("line").alias("line_key"))
         .agg(F.count_distinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= min_repeats)
-        .select("line_hash")
+    )
+    return boiler.agg(F.count("*").cast("bigint").alias("boilerplate_set_size"))
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    delimiter: str = ",",
+    min_repeats: int = 2,
+    exact: bool = False,
+    broadcast: bool | str = "auto",
+    broadcast_limit: int = 4_000_000,
+    keep_all_docs: bool = False,
+) -> DataFrame:
+    """Remove cross-document repeated lines; return per-doc cleaned text.
+
+    Output: (doc_id, clean_text, n_lines, n_removed).
+
+    Per-doc contract: documents with NO non-empty lines (empty/whitespace
+    text) produce NO output row -- they have no line statistics to report
+    and the SQL twin mirrors this.  Pass ``keep_all_docs=True`` to left-join
+    the result back to the input doc_ids, emitting
+    ``(doc_id, '', 0, 0)`` for such documents, when callers re-join on
+    doc_id and must not lose rows.
+
+    Collision caveat: membership is keyed on xxhash64(line) by default; a
+    64-bit birthday collision between an innocent line and a boilerplate
+    line silently deletes unrelated content (expected once the corpus nears
+    ~2^32 distinct lines).  Pass ``exact=True`` to key on the line STRING --
+    exact at any scale, at the cost of wider join keys and a bigger
+    membership set.
+
+    Scale shape: ONE posexplode pass over the corpus (position-tagged, no
+    window), the boilerplate set is a hash aggregation with map-side
+    combine (count distinct docs per line), and membership is a BROADCAST
+    left join on the line key -- the boilerplate set is tiny relative to
+    the corpus (lines repeated across >=k docs).  Totals and reassembly
+    happen in the SAME groupBy(doc_id): ``collect_list`` skips the NULL
+    structs of removed lines, so kept-lines, n_lines and n_removed all come
+    from one exchange on doc_id.
+
+    Broadcast fallback: a pathological corpus (min_repeats=1, or a mirror
+    farm where most lines repeat) can make the membership set too large to
+    broadcast.  ``broadcast='auto'`` (default) persists the set, measures it
+    (the measured size is the ``boilerplate_set_size`` metric -- see
+    :func:`line_boilerplate_set_size`), and degrades to a shuffle join when
+    it exceeds ``broadcast_limit`` keys; ``True``/``False`` force either
+    path without the measuring action.
+    """
+    lines = _line_explode(df, text_col, delimiter)
+
+    # boilerplate = lines appearing in >= min_repeats DISTINCT documents;
+    # key on the 64-bit hash by default (smaller broadcast), or the string
+    # itself in exact mode
+    key_of = (lambda c: F.col(c)) if exact else (lambda c: F.xxhash64(c))
+    boiler = (
+        lines.groupBy(key_of("line").alias("line_key"))
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_repeats)
+        .select("line_key")
     )
 
-    flagged = lines.join(
-        F.broadcast(boiler),
-        F.xxhash64(lines["line"]) == boiler["line_hash"],
-        "left",
-    )
+    use_broadcast = broadcast
+    if broadcast == "auto":
+        # measure-then-choose: the set is persisted so the measuring count
+        # and the membership join share one corpus aggregation pass
+        boiler = boiler.persist()
+        use_broadcast = boiler.count() <= broadcast_limit
+    right = F.broadcast(boiler) if use_broadcast else boiler
+
+    flagged = lines.join(right, key_of("line") == boiler["line_key"], "left")
 
     # collect_list drops NULLs: removed lines contribute to n_lines but not
     # to the kept-struct list, so one aggregation yields everything
-    kept_struct = F.when(F.col("line_hash").isNull(), F.struct("pos", "line"))
-    return flagged.groupBy("doc_id").agg(
+    kept_struct = F.when(F.col("line_key").isNull(), F.struct("pos", "line"))
+    out = flagged.groupBy("doc_id").agg(
         F.array_join(
             F.transform(F.sort_array(F.collect_list(kept_struct)), lambda s: s["line"]),
             delimiter + " ",
         ).alias("clean_text"),
         F.count("*").cast("bigint").alias("n_lines"),
-        F.count("line_hash").cast("bigint").alias("n_removed"),
+        F.count("line_key").cast("bigint").alias("n_removed"),
     )
+    if keep_all_docs:
+        out = df.select("doc_id").join(out, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+        )
+    return out
 
 
 def ngram_duplicate_stats(
@@ -710,6 +769,10 @@ def ngram_duplicate_stats(
 
     Output: (doc_id, n_ngrams, n_dup_ngrams) -- integer counts; callers
     threshold (e.g. drop docs with n_dup_ngrams/n_ngrams > 0.5).
+
+    Per-doc contract: documents too short to form ANY n-gram (< n words)
+    produce NO output row (the SQL twin mirrors this); callers joining back
+    on doc_id should left-join and treat absence as zero counts.
 
     Scale shape: n-grams are built JVM-side (sequence + slice + concat_ws)
     and exploded as 64-bit hashes (fixed-width shuffle keys, not strings);

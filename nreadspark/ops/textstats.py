@@ -179,6 +179,10 @@ def repetition_stats(
     -- raw INTEGER counts, so callers pick their own thresholds and the
     results compare exactly against any SQL engine (no float rounding).
 
+    Per-doc contract: documents with NO non-empty lines (empty/whitespace
+    text) produce NO output row (the SQL twin mirrors this); callers joining
+    back on doc_id should left-join and treat absence as all-zero counts.
+
     Scale shape: lines and bigrams explode JVM-side; both counts are hash
     aggregations with map-side combine keyed by doc_id (+line/bigram), then
     one final groupBy(doc_id).  No Python, no window over the raw corpus.

@@ -194,6 +194,43 @@ def test_line_dedup_removes_cross_doc_boilerplate(spark):
     assert "e" not in out  # no non-empty lines -> no row (matches SQL twin)
 
 
+def test_line_dedup_fallback_exact_and_keep_all_docs(spark):
+    from nreadspark.ops.dedup import line_boilerplate_set_size, line_dedup
+
+    rows = [
+        ("a", "unique alpha, SUBSCRIBE NOW, more alpha text"),
+        ("b", "beta content, SUBSCRIBE NOW, beta tail"),
+        ("c", "gamma only, SUBSCRIBE NOW"),
+        ("e", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    base = {tuple(r) for r in line_dedup(df, broadcast=True).collect()}
+    # exact mode (string join keys) and the shuffle fallback must agree
+    assert {tuple(r) for r in line_dedup(df, exact=True).collect()} == base
+    assert {tuple(r) for r in line_dedup(df, broadcast=False).collect()} == base
+    # auto mode with a zero limit is forced onto the fallback path -- the
+    # membership join must not carry a broadcast hint, and results agree
+    auto = line_dedup(df, broadcast="auto", broadcast_limit=0)
+    assert "ResolvedHint" not in auto._jdf.queryExecution().analyzed().toString()
+    assert {tuple(r) for r in auto.collect()} == base
+
+    # worst case per the guard's purpose: min_repeats=1 makes EVERY line
+    # boilerplate; the fallback path must still complete correctly
+    worst = {r["doc_id"]: r for r in line_dedup(
+        df, min_repeats=1, broadcast="auto", broadcast_limit=0).collect()}
+    assert worst["a"]["clean_text"] == "" and worst["a"]["n_removed"] == 3
+
+    # metric: 1 boilerplate line at min_repeats=2, 6 distinct lines at 1
+    assert line_boilerplate_set_size(df).collect()[0][0] == 1
+    assert line_boilerplate_set_size(df, min_repeats=1).collect()[0][0] == 6
+
+    # keep_all_docs: the empty doc comes back as a zero-count row
+    kept = {r["doc_id"]: r for r in line_dedup(df, keep_all_docs=True).collect()}
+    assert kept["e"]["clean_text"] == "" and kept["e"]["n_lines"] == 0
+    assert kept["e"]["n_removed"] == 0 and len(kept) == 4
+
+
 def test_line_dedup_preserves_order_and_handles_all_boilerplate(spark):
     from nreadspark.ops.dedup import line_dedup
 
