@@ -760,16 +760,23 @@ def _q_multimodal_resize(spark, sf_dir):
 
 
 def _q_multimodal_frames(spark, sf_dir):
+    """Frame sampling with duration parsed FROM the MP4 bytes (mvhd box at
+    timescale 1000); frame payloads remain deterministic md5 stubs, and the
+    decoder column attests to the container-header tier."""
     from nreadspark.ops.multimodal import sample_video_frames, synthesize_media_df
 
     docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    media = synthesize_media_df(spark, docs)
+    media = synthesize_media_df(spark, docs).drop("duration_ms").withColumn(
+        # prove the duration comes from the container bytes, not the column
+        "duration_ms", F.lit(None).cast("int")
+    )
     out = sample_video_frames(media, every_ms=2000, max_frames=8)
     return out.select(
         "media_ref",
         F.col("frame_idx").cast("bigint").alias("frame_idx"),
         F.col("ts_ms").cast("bigint").alias("ts_ms"),
         F.decode("frame_payload", "utf-8").alias("frame_id"),
+        "decoder",
     )
 
 
@@ -1004,7 +1011,20 @@ def _simhash_oracle_sql(bits: int = 60) -> str:
 
 # shared CTE rebuilding the synthetic media payload hex exactly as
 # nreadspark.ops.multimodal.synthesize_media_df constructs it JVM-side
-_MEDIA_HEX_SQL = """
+def _media_hex_sql() -> str:
+    """DuckDB twin of ``synthesize_media_df``: rebuilds the exact payload
+    hex, including the structurally valid MP4 layout
+    (ftyp | moov[mvhd(dur@timescale 1000) + trak] | mdat[filler])."""
+    from nreadspark.ops.multimodal import (
+        _MP4_FTYP_HEX,
+        _MP4_MDAT_TYPE_HEX,
+        _MP4_MOOV_HDR_HEX,
+        _MP4_MVHD_POST_HEX,
+        _MP4_MVHD_PRE_HEX,
+        _MP4_TRAK_HEX,
+    )
+
+    return f"""
             media AS (
               SELECT doc_id,
                      doc_id % 5 = 0 AS is_video,
@@ -1016,7 +1036,11 @@ _MEDIA_HEX_SQL = """
             ), hexes AS (
               SELECT *,
                      CASE WHEN is_video
-                          THEN '000000186674797069736f6d' || filler
+                          THEN '{_MP4_FTYP_HEX}{_MP4_MOOV_HDR_HEX}{_MP4_MVHD_PRE_HEX}'
+                               || lpad(lower(to_hex(dur)), 8, '0')
+                               || '{_MP4_MVHD_POST_HEX}{_MP4_TRAK_HEX}'
+                               || lpad(lower(to_hex(8 + 3 * (doc_id % 50 + 1))), 8, '0')
+                               || '{_MP4_MDAT_TYPE_HEX}' || filler
                           ELSE '89504e470d0a1a0a0000000d49484452'
                                || lpad(lower(to_hex(w)), 8, '0')
                                || lpad(lower(to_hex(h)), 8, '0')
@@ -1028,6 +1052,9 @@ _MEDIA_HEX_SQL = """
               FROM media
             )
 """
+
+
+_MEDIA_HEX_SQL = _media_hex_sql()
 
 
 _LANG_SCORES_SQL = """
@@ -1274,7 +1301,7 @@ def oracle_sql() -> dict[str, str]:
                    md5(hx) AS payload_md5,
                    CASE WHEN is_video THEN NULL ELSE CAST(w AS INT) END AS decoded_width,
                    CASE WHEN is_video THEN NULL ELSE CAST(h AS INT) END AS decoded_height,
-                   CASE WHEN is_video THEN 'stub' ELSE 'header:png' END AS decoder
+                   CASE WHEN is_video THEN 'header:mp4' ELSE 'header:png' END AS decoder
             FROM hexes
         """,
         # structural resize: images -> fixed 224x224 PNG prefix + 196-byte
@@ -1304,7 +1331,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_ref,
                    CAST(i AS BIGINT) AS frame_idx,
                    CAST(i * 2000 AS BIGINT) AS ts_ms,
-                   md5(hx || ':' || CAST(i AS VARCHAR)) AS frame_id
+                   md5(hx || ':' || CAST(i AS VARCHAR)) AS frame_id,
+                   'header:mp4' AS decoder
             FROM hexes
             CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) frames
             WHERE is_video AND i < least(dur // 2000 + 1, 8)

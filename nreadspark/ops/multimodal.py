@@ -5,12 +5,14 @@ Decode strategy (three tiers, best available wins):
 
 1. **PIL pixel decode** -- real decompression, gated behind an import guard
    (``pillow`` is not in this container; the seam is ``decode_image_real``).
-2. **Header parse** -- a real, spec-compliant stdlib parser for PNG / GIF /
-   JPEG container headers (``parse_image_header``): signature check + width/
-   height extraction.  This runs everywhere and is what a 100 TB metadata
-   sweep would use anyway (full decode of every image is rarely the goal).
+2. **Header parse** -- real, spec-compliant stdlib parsers for PNG / GIF /
+   JPEG image headers (``parse_image_header``) and ISO BMFF / MP4 video
+   containers (``parse_mp4_header``: box walk, mvhd timescale+duration,
+   trak count).  This runs everywhere and is what a 100 TB metadata sweep
+   would use anyway (full decode of every payload is rarely the goal).
 3. **Stub** -- deterministic sha256-derived fake features for payloads no
-   parser understands (e.g. the synthetic video containers).
+   parser understands; video FRAME payloads are always deterministic stubs
+   (no ffmpeg in this env), explicitly marked via the ``decoder`` column.
 
 The synthetic media table (``synthesize_media_df``) builds payloads from hex
 strings entirely JVM-side (``unhex`` over concat/repeat), with structurally
@@ -65,7 +67,32 @@ FEATURES_SCHEMA = StructType(
 _PNG_SIG_HEX = "89504e470d0a1a0a"
 _PNG_IHDR_PRE_HEX = "0000000d49484452"  # IHDR length + type
 _PNG_IHDR_POST_HEX = "0806000000" + "00000000"  # depth/color/etc + CRC field
-_MP4_FTYP_HEX = "000000186674797069736f6d"  # '....ftypisom'
+
+# Structurally valid ISO BMFF (MP4) pieces for the synthetic videos, all
+# closed-form so a SQL oracle can rebuild the byte stream:
+#   ftyp(20) | moov(124) = mvhd(108) + empty trak(8) | mdat(8 + filler)
+# mvhd is version 0 with timescale 1000, so its u32 duration field IS the
+# duration in milliseconds.
+_MP4_FTYP_HEX = "000000146674797069736f6d0000020069736f6d"  # 20-byte ftyp
+_MP4_MOOV_HDR_HEX = "0000007c6d6f6f76"  # moov, size 124
+_MP4_MVHD_PRE_HEX = (
+    "0000006c6d766864"  # mvhd, size 108
+    + "00000000"  # version 0 + flags
+    + "00000000" + "00000000"  # creation/modification time
+    + "000003e8"  # timescale 1000 (ticks == milliseconds)
+)
+_MP4_MVHD_POST_HEX = (
+    "00010000"  # rate 1.0
+    + "01000000"  # volume 1.0 + reserved s16
+    + "00000000" * 2  # reserved u32[2]
+    + "000100000000000000000000"  # unity matrix rows 1-3
+    + "000000000001000000000000"
+    + "000000000000000040000000"
+    + "00000000" * 6  # pre_defined
+    + "00000001"  # next_track_ID
+)
+_MP4_TRAK_HEX = "000000087472616b"  # one (empty) track box
+_MP4_MDAT_TYPE_HEX = "6d646174"
 
 
 def _hex8(col):
@@ -77,12 +104,17 @@ def synthesize_media_df(spark, docs_df: DataFrame) -> DataFrame:
 
     Images are structurally valid PNG prefixes (signature + IHDR carrying
     the real width/height big-endian) + a repeated filler; every 5th row is
-    a 'video' with an MP4 ftyp box prefix and a duration.  All fields are
-    closed-form in doc_id, so DuckDB can rebuild the exact hex/md5."""
+    a 'video' with a structurally valid MP4: ftyp + moov(mvhd carrying the
+    real duration at timescale 1000 + one trak) + an mdat box wrapping the
+    filler -- so ``parse_mp4_header`` exercises the real box walk.  All
+    fields are closed-form in doc_id, so DuckDB can rebuild the exact
+    hex/md5."""
     is_video = F.pmod("doc_id", F.lit(5)) == 0
     width = (F.pmod("doc_id", F.lit(1889)) + 32).cast("int")
     height = (F.pmod("doc_id", F.lit(1049)) + 32).cast("int")
-    filler = F.repeat(F.lit("abcdef"), (F.pmod("doc_id", F.lit(50)) + 1).cast("int"))
+    duration_ms = ((F.pmod("doc_id", F.lit(29)) * 1000) + 1000).cast("int")
+    n_fill = (F.pmod("doc_id", F.lit(50)) + 1).cast("int")
+    filler = F.repeat(F.lit("abcdef"), n_fill)
     png_hex = F.concat(
         F.lit(_PNG_SIG_HEX + _PNG_IHDR_PRE_HEX),
         _hex8(width),
@@ -90,7 +122,14 @@ def synthesize_media_df(spark, docs_df: DataFrame) -> DataFrame:
         F.lit(_PNG_IHDR_POST_HEX),
         filler,
     )
-    mp4_hex = F.concat(F.lit(_MP4_FTYP_HEX), filler)
+    mp4_hex = F.concat(
+        F.lit(_MP4_FTYP_HEX + _MP4_MOOV_HDR_HEX + _MP4_MVHD_PRE_HEX),
+        _hex8(duration_ms),
+        F.lit(_MP4_MVHD_POST_HEX + _MP4_TRAK_HEX),
+        _hex8(F.lit(8) + n_fill * 3),  # mdat box size = 8 + filler bytes
+        F.lit(_MP4_MDAT_TYPE_HEX),
+        filler,
+    )
     return docs_df.select(
         F.concat(
             F.when(is_video, F.lit("vid://")).otherwise(F.lit("img://")),
@@ -100,9 +139,7 @@ def synthesize_media_df(spark, docs_df: DataFrame) -> DataFrame:
         F.unhex(F.when(is_video, mp4_hex).otherwise(png_hex)).alias("payload"),
         width.alias("width"),
         height.alias("height"),
-        F.when(is_video, ((F.pmod("doc_id", F.lit(29)) * 1000) + 1000).cast("int"))
-        .otherwise(F.lit(0).cast("int"))
-        .alias("duration_ms"),
+        F.when(is_video, duration_ms).otherwise(F.lit(0).cast("int")).alias("duration_ms"),
     )
 
 
@@ -136,6 +173,59 @@ def parse_image_header(raw: bytes):
                 break
             i += 2 + seg_len
     return None
+
+
+def parse_mp4_header(raw: bytes):
+    """Spec-compliant stdlib ISO BMFF (MP4) metadata parse: a top-level box
+    walk (ftyp / moov / trak / mdat) reading the fields exactly as ISO
+    14496-12 defines them -- big-endian u32 box sizes (u64 when size==1),
+    mvhd version 0/1 timescale+duration, one count per trak box.
+
+    Returns ``(major_brand, timescale, duration_ms, n_tracks)`` or ``None``
+    when the payload is not BMFF.  ``duration_ms`` is None for a valid
+    container without a parseable mvhd (e.g. fragmented/streamed files where
+    moov arrives elsewhere)."""
+    if len(raw) < 12 or raw[4:8] != b"ftyp":
+        return None
+    major_brand = raw[8:12].decode("latin-1", errors="replace")
+    timescale = duration = None
+    n_tracks = 0
+
+    def walk(start: int, end: int, depth: int) -> None:
+        nonlocal timescale, duration, n_tracks
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(raw[i : i + 4], "big")
+            btype = raw[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(raw[i + 8 : i + 16], "big")
+                hdr = 16
+            elif size == 0:  # box extends to end of file
+                size = end - i
+            if size < hdr or i + size > end:
+                return  # malformed/truncated: stop, keep what we have
+            if btype == b"moov" and depth == 0:
+                walk(i + hdr, i + size, depth + 1)
+            elif btype == b"trak":
+                n_tracks += 1
+            elif btype == b"mvhd":
+                body = raw[i + hdr : i + size]
+                if body and body[0] == 1 and len(body) >= 32:  # version 1
+                    timescale = int.from_bytes(body[20:24], "big")
+                    duration = int.from_bytes(body[24:32], "big")
+                elif len(body) >= 20:  # version 0
+                    timescale = int.from_bytes(body[12:16], "big")
+                    duration = int.from_bytes(body[16:20], "big")
+            i += size
+
+    walk(0, len(raw), 0)
+    duration_ms = None
+    if timescale and duration is not None:
+        duration_ms = duration * 1000 // timescale
+    return (major_brand, timescale, duration_ms, n_tracks)
 
 
 def _pil_available() -> bool:
@@ -217,6 +307,8 @@ def extract_media_features(media_df: DataFrame, allow_pil: bool = True) -> DataF
                     if parsed is not None:
                         codec, w, h = parsed
                         decoder = f"header:{codec}"
+                    elif parse_mp4_header(raw) is not None:
+                        decoder = "header:mp4"  # container metadata tier
                 out["decoded_width"].append(w)
                 out["decoded_height"].append(h)
                 out["decoder"].append(decoder)
@@ -312,6 +404,7 @@ FRAME_SCHEMA = StructType(
         StructField("frame_idx", IntegerType()),
         StructField("ts_ms", IntegerType()),
         StructField("frame_payload", BinaryType()),
+        StructField("decoder", StringType()),
     ]
 )
 
@@ -320,22 +413,35 @@ def sample_video_frames(media_df: DataFrame, every_ms: int = 1000, max_frames: i
     """Frame-sampling plumbing: the 1->N row expansion an ffmpeg keyframe
     sampler produces, as an Arrow-batched kernel.  Non-video rows emit
     nothing; output row count is min(duration_ms // every_ms + 1, max_frames)
-    per video.  The stub frame payload is the ASCII md5 of
-    ``<payload hex>:<frame idx>`` -- deterministic and reconstructable by a
-    SQL oracle (a real ffmpeg kernel swaps only the inner function)."""
+    per video.
+
+    Duration comes from the BYTES when possible: ``parse_mp4_header`` reads
+    mvhd timescale+duration from the container (``decoder='header:mp4'``);
+    only payloads no parser understands fall back to the input
+    ``duration_ms`` column (``decoder='stub'``).  The frame payload itself
+    is ALWAYS a deterministic stub -- the ASCII md5 of
+    ``<payload hex>:<frame idx>`` -- reconstructable by a SQL oracle; a real
+    ffmpeg kernel swaps only that inner function (no ffmpeg in this env)."""
 
     def batches(iterator):
         import pandas as pd
 
         for pdf in iterator:
-            refs, idxs, tss, frames = [], [], [], []
+            refs, idxs, tss, frames, decs = [], [], [], [], []
             for ref, kind, payload, dur in zip(
                 pdf["media_ref"], pdf["media_kind"], pdf["payload"], pdf["duration_ms"]
             ):
-                if kind != "video" or not dur:
+                if kind != "video":
                     continue
                 raw = bytes(payload) if payload is not None else b""
-                n = min(int(dur) // every_ms + 1, max_frames)
+                parsed = parse_mp4_header(raw)
+                if parsed is not None and parsed[2] is not None:
+                    dur_ms, decoder = parsed[2], "header:mp4"
+                else:
+                    dur_ms, decoder = int(dur or 0), "stub"
+                if not dur_ms:
+                    continue
+                n = min(dur_ms // every_ms + 1, max_frames)
                 for i in range(n):
                     refs.append(ref)
                     idxs.append(i)
@@ -343,8 +449,15 @@ def sample_video_frames(media_df: DataFrame, every_ms: int = 1000, max_frames: i
                     frames.append(
                         hashlib.md5(f"{raw.hex()}:{i}".encode()).hexdigest().encode()
                     )
+                    decs.append(decoder)
             yield pd.DataFrame(
-                {"media_ref": refs, "frame_idx": idxs, "ts_ms": tss, "frame_payload": frames}
+                {
+                    "media_ref": refs,
+                    "frame_idx": idxs,
+                    "ts_ms": tss,
+                    "frame_payload": frames,
+                    "decoder": decs,
+                }
             )
 
     cols = ["media_ref", "media_kind", "payload", "duration_ms"]

@@ -74,6 +74,64 @@ def test_header_parse_synthetic_fake_png():
     assert parse_image_header(bytes.fromhex(hx)) == ("png", 100, 50)
 
 
+def make_mp4(duration_ms: int, timescale: int = 1000, n_tracks: int = 1, version: int = 0) -> bytes:
+    """Minimal valid ISO BMFF: ftyp + moov(mvhd + trak*n) + empty mdat."""
+    ftyp = struct.pack(">I", 20) + b"ftypisom" + struct.pack(">I", 0x200) + b"isom"
+    dur = duration_ms * timescale // 1000
+    if version:
+        body = b"\x01\x00\x00\x00" + b"\x00" * 16 + struct.pack(">I", timescale) + struct.pack(">Q", dur) + b"\x00" * 80
+    else:
+        body = b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">II", timescale, dur) + b"\x00" * 80
+    mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    traks = (struct.pack(">I", 8) + b"trak") * n_tracks
+    moov = struct.pack(">I", 8 + len(mvhd) + len(traks)) + b"moov" + mvhd + traks
+    return ftyp + moov + struct.pack(">I", 8) + b"mdat"
+
+
+def test_mp4_header_parse_versions_and_tracks():
+    from nreadspark.ops.multimodal import parse_mp4_header
+
+    assert parse_mp4_header(make_mp4(12_000)) == ("isom", 1000, 12_000, 1)
+    # non-millisecond timescale converts; version-1 (64-bit) mvhd parses
+    assert parse_mp4_header(make_mp4(5_000, timescale=90_000)) == ("isom", 90_000, 5_000, 1)
+    assert parse_mp4_header(make_mp4(7_500, version=1, n_tracks=3)) == ("isom", 1000, 7_500, 3)
+
+
+def test_mp4_header_parse_rejects_and_degrades():
+    from nreadspark.ops.multimodal import parse_mp4_header
+
+    assert parse_mp4_header(b"") is None
+    assert parse_mp4_header(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16) is None
+    # valid ftyp but truncated moov: brand survives, duration is None
+    raw = make_mp4(9_000)
+    got = parse_mp4_header(raw[:28])
+    assert got is not None and got[0] == "isom" and got[2] is None
+
+
+def test_synthetic_mp4_payload_round_trips():
+    """synthesize_media_df's closed-form video hex must be a container the
+    real box walk reads back: duration == the doc's duration_ms column."""
+    from nreadspark.ops.multimodal import (
+        _MP4_FTYP_HEX,
+        _MP4_MDAT_TYPE_HEX,
+        _MP4_MOOV_HDR_HEX,
+        _MP4_MVHD_POST_HEX,
+        _MP4_MVHD_PRE_HEX,
+        _MP4_TRAK_HEX,
+        parse_mp4_header,
+    )
+
+    for doc_id in (0, 5, 95):
+        dur = (doc_id % 29) * 1000 + 1000
+        k = doc_id % 50 + 1
+        hx = (
+            _MP4_FTYP_HEX + _MP4_MOOV_HDR_HEX + _MP4_MVHD_PRE_HEX
+            + format(dur, "08x") + _MP4_MVHD_POST_HEX + _MP4_TRAK_HEX
+            + format(8 + 3 * k, "08x") + _MP4_MDAT_TYPE_HEX + "abcdef" * k
+        )
+        assert parse_mp4_header(bytes.fromhex(hx)) == ("isom", 1000, dur, 1)
+
+
 @pytest.fixture(scope="module")
 def spark():
     pytest.importorskip("pyspark")
@@ -112,6 +170,48 @@ def test_extract_features_decodes_real_images(spark):
     assert out["bin1"]["decoder"] == "stub"
     assert out["bin1"]["decoded_width"] is None
     assert out["bin1"]["n_bytes"] == 4
+
+
+def test_features_tag_mp4_payloads(spark):
+    from nreadspark.ops.multimodal import MEDIA_SCHEMA, extract_media_features
+
+    rows = [
+        ("vid1", "video", make_mp4(3_000), None, None, 3000),
+        ("bin1", "audio", b"\x00\x01\x02\x03", None, None, 0),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_ref"]: r for r in extract_media_features(df).collect()}
+    assert out["vid1"]["decoder"] == "header:mp4"
+    assert out["vid1"]["decoded_width"] is None
+    assert out["bin1"]["decoder"] == "stub"
+
+
+def test_frame_sampling_derives_duration_from_bytes(spark):
+    """The MP4 duration comes from the mvhd box, not the metadata column:
+    a wrong/NULL column value must not change the frame count.  Non-BMFF
+    video payloads fall back to the column with decoder='stub'."""
+    from nreadspark.ops.multimodal import MEDIA_SCHEMA, sample_video_frames
+
+    rows = [
+        ("vid1", "video", make_mp4(4_500), None, None, None),  # NULL column
+        ("vid2", "video", make_mp4(9_999, timescale=90_000), None, None, 1),
+        ("leg1", "video", b"not-a-container", None, None, 2_100),
+        ("img1", "image", b"\x89PNG", None, None, 0),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_video_frames(df, every_ms=1000, max_frames=32).collect()
+    by_ref = {}
+    for r in out:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    assert len(by_ref["vid1"]) == 5 and by_ref["vid1"][0]["decoder"] == "header:mp4"
+    assert len(by_ref["vid2"]) == 10  # 9999ms // 1000 + 1
+    assert len(by_ref["leg1"]) == 3 and by_ref["leg1"][0]["decoder"] == "stub"
+    assert "img1" not in by_ref
+    # frame payloads are the documented deterministic stubs in BOTH modes
+    import hashlib
+
+    expect = hashlib.md5(f"{make_mp4(4_500).hex()}:0".encode()).hexdigest().encode()
+    assert bytes(by_ref["vid1"][0]["frame_payload"]) == expect
 
 
 def test_resize_structural_and_passthrough(spark):
