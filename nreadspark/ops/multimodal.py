@@ -5,6 +5,9 @@ Decode strategy (three tiers, best available wins):
 
 1. **PIL pixel decode** -- real decompression, gated behind an import guard
    (``pillow`` is not in this container; the seam is ``decode_image_real``).
+   For complete PNGs the vendored pure-stdlib pixel decoder
+   (``decode_png_pixels``: zlib inflate + spec unfilter incl. Paeth) runs
+   the SAME mean-luma feature path without pillow (``decoder='pixels:png'``).
 2. **Header parse** -- real, spec-compliant stdlib parsers for PNG / GIF /
    JPEG image headers (``parse_image_header``) and ISO BMFF / MP4 video
    containers (``parse_mp4_header``: box walk, mvhd timescale+duration,
@@ -237,6 +240,112 @@ def _pil_available() -> bool:
         return False
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_pixels(raw: bytes):
+    """Vendored pure-stdlib PNG PIXEL decoder: chunk walk, zlib inflate of
+    the IDAT stream, per-scanline unfilter (None/Sub/Up/Average/Paeth as
+    the PNG spec defines them), palette lookup -- the runnable twin of the
+    PIL tier, so the mean-pixel path is exercised even where pillow is not
+    installed.  Supports the common 8-bit-depth, non-interlaced formats
+    (gray / RGB / palette / gray+alpha / RGBA).
+
+    Returns ``(codec, width, height, mean_pixel)`` where mean_pixel is the
+    mean ITU-R 601 luma (the formula behind PIL's ``convert('L')``), alpha
+    ignored.  Raises ``ValueError`` for anything that is not a decodable
+    PNG (the caller's tier logic falls back to the header parse)."""
+    import zlib
+
+    if len(raw) < 8 or raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
+    while pos + 8 <= len(raw):
+        clen = int.from_bytes(raw[pos : pos + 4], "big")
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h = struct.unpack(">II", ihdr[:8])
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG (depth={bit_depth}, color={color_type})")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    data = zlib.decompress(bytes(idat))
+    if len(data) < h * (stride + 1):
+        raise ValueError("short pixel data")
+    out = bytearray(h * stride)
+    prev_off = -stride
+    for y in range(h):
+        row_start = y * (stride + 1)
+        ftype = data[row_start]
+        line = data[row_start + 1 : row_start + 1 + stride]
+        off = y * stride
+        if ftype == 0:  # None
+            out[off : off + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                a = out[off + x - ch] if x >= ch else 0
+                out[off + x] = (line[x] + a) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                b = out[prev_off + off + x] if y else 0
+                out[off + x] = (line[x] + b) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = out[off + x - ch] if x >= ch else 0
+                b = out[prev_off + off + x] if y else 0
+                out[off + x] = (line[x] + (a + b) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = out[off + x - ch] if x >= ch else 0
+                b = out[prev_off + off + x] if y else 0
+                c = out[prev_off + off + x - ch] if (y and x >= ch) else 0
+                out[off + x] = (line[x] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+    # mean ITU-R 601 luma, alpha ignored (what PIL's convert('L') computes)
+    if color_type == 0:
+        total = sum(out)
+        n_px = w * h
+    elif color_type == 4:  # gray + alpha: luma channel only
+        total = sum(out[0::2])
+        n_px = w * h
+    else:
+        if color_type == 3:
+            if plte is None:
+                raise ValueError("palette PNG without PLTE")
+            rgb = bytearray()
+            for idx in out:
+                rgb += plte[idx * 3 : idx * 3 + 3]
+            out = rgb
+        total = 0.0
+        for i in range(0, len(out), 3 if color_type in (2, 3) else 4):
+            total += (out[i] * 299 + out[i + 1] * 587 + out[i + 2] * 114) / 1000
+        n_px = w * h
+    return ("png", w, h, total / n_px)
+
+
 def decode_image_real(payload: bytes):
     """Full pixel decode via PIL (import-guarded; pillow is absent in this
     container).  Returns ``(codec, width, height, mean_pixel)``."""
@@ -266,7 +375,9 @@ def extract_media_features(media_df: DataFrame, allow_pil: bool = True) -> DataF
     """Arrow-batched feature/metadata extraction over binary payloads.
 
     Per payload: sizes + hashes always; then the decode tiers -- PIL pixel
-    decode when importable (``decoder='pil'``), else the stdlib header parse
+    decode when importable (``decoder='pil'``), else the vendored stdlib
+    PNG pixel decode for complete PNGs (``decoder='pixels:png'``, same
+    mean-luma feature as the PIL tier), else the stdlib header parse
     (``decoder='header:<codec>'``), else the deterministic stub
     (``decoder='stub'``).  ``payload_md5`` is md5 of the lowercase hex of
     the bytes (SQL engines generally hash strings, not blobs)."""
@@ -299,6 +410,13 @@ def extract_media_features(media_df: DataFrame, allow_pil: bool = True) -> DataF
                     try:
                         _, w, h, mean_pixel = decode_image_real(raw)
                         decoder = "pil"
+                        feats = [mean_pixel / 255.0] * 8
+                    except Exception:
+                        w = h = None
+                if w is None:
+                    try:  # vendored pure-stdlib pixel tier (complete PNGs)
+                        _, w, h, mean_pixel = decode_png_pixels(raw)
+                        decoder = "pixels:png"
                         feats = [mean_pixel / 255.0] * 8
                     except Exception:
                         w = h = None

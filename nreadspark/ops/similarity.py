@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -219,6 +221,165 @@ def _train_ivf_centroids(corpus, n_lists, sample_size, id_col, vec_col, iters=8)
     return C
 
 
+def _ivf_assign_schema():
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("id", StringType()),
+            StructField("vec", ArrayType(DoubleType())),
+            StructField("list_id", IntegerType()),
+        ]
+    )
+
+
+def _ivf_assign_fn(bc, top_n: int):
+    """Arrow-batched list assignment: each vector -> its top_n nearest
+    centroids (1 for corpus rows, n_probe for queries), ONE GEMM per batch."""
+
+    def fn(iterator):
+        import numpy as np
+        import pyarrow as pa
+
+        cents = np.asarray(bc.value, dtype=np.float64)
+        dim = cents.shape[1]
+        for batch in iterator:
+            ids = batch.column(0).to_pylist()
+            vecs = batch.column(1).to_pylist()
+            # drop null/ragged vectors instead of failing the stage
+            keep = [
+                i
+                for i in range(len(ids))
+                if vecs[i] is not None
+                and len(vecs[i]) == dim
+                and not any(v is None for v in vecs[i])
+            ]
+            if not keep:
+                continue
+            ids = [ids[i] for i in keep]
+            vecs = [vecs[i] for i in keep]
+            X = np.asarray(vecs, dtype=np.float64)
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = X @ cents.T
+            order = np.argsort(-sims, axis=1)[:, :top_n]
+            out_ids, out_vecs, out_lists = [], [], []
+            for i, row_lists in enumerate(order):
+                for lid in row_lists:
+                    out_ids.append(ids[i])
+                    out_vecs.append(vecs[i])
+                    out_lists.append(int(lid))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, pa.string()),
+                    pa.array(out_vecs, pa.list_(pa.float64())),
+                    pa.array(out_lists, pa.int32()),
+                ],
+                names=["id", "vec", "list_id"],
+            )
+
+    return fn
+
+
+def _ivf_prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+
+
+@dataclass(frozen=True)
+class IvfIndex:
+    """A built IVF index: both halves are plain DataFrames, so the corpus
+    GEMM pass is paid ONCE and the index persists as ordinary tables --
+    write ``assignments`` parquet-partitioned by list_id and ``centroids``
+    as a tiny side table, read them back, and query forever."""
+
+    assignments: DataFrame  # (corpus_id, corpus_vec, list_id)
+    centroids: DataFrame  # (list_id, centroid)
+
+
+def ivf_build(
+    corpus: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Train the coarse quantizer and assign every corpus vector to its
+    nearest inverted list -- the expensive, ONCE-per-corpus half of IVF.
+
+    Centroids train driver-side on a deterministic ``sample_size``-row
+    sample (KB-scale collect, documented tradeoff); assignment is one
+    Arrow-batched GEMM pass over the corpus.
+    """
+    C = _train_ivf_centroids(corpus, n_lists, sample_size, id_col, vec_col)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(C.tolist())
+    assignments = (
+        _ivf_prep(corpus, id_col, vec_col)
+        .mapInArrow(_ivf_assign_fn(bc, 1), _ivf_assign_schema())
+        .select(
+            F.col("id").alias("corpus_id"),
+            F.col("vec").alias("corpus_vec"),
+            "list_id",
+        )
+    )
+    centroids = spark.createDataFrame(
+        [(i, list(map(float, c))) for i, c in enumerate(C.tolist())],
+        "list_id int, centroid array<double>",
+    )
+    return IvfIndex(assignments=assignments, centroids=centroids)
+
+
+def ivf_query(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a built :class:`IvfIndex`: queries probe their n_probe nearest
+    lists, exact cosine rerank inside the probed lists.  The per-query cost
+    is n_probe/n_lists of the corpus; the corpus itself is never re-assigned
+    (that GEMM was paid in :func:`ivf_build`)."""
+    rows = index.centroids.orderBy("list_id").collect()  # n_lists rows, KBs
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast([list(r["centroid"]) for r in rows])
+
+    query_probes = _ivf_prep(queries, id_col, vec_col).mapInArrow(
+        _ivf_assign_fn(bc, n_probe), _ivf_assign_schema()
+    )
+    q = query_probes.select(
+        F.col("id").alias("query_id"), F.col("vec").alias("query_vec"), "list_id"
+    )
+    joined = (
+        index.assignments.join(F.broadcast(q), "list_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id", "query_vec", "corpus_vec")
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    scored = joined.select(
+        "query_id",
+        "corpus_id",
+        F.round(_cosine(F.col("query_vec"), F.col("corpus_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -235,108 +396,14 @@ def ivf_topk(
     nearest lists, exact cosine rerank inside the probed lists.
 
     The 100TB shape: centroids are a driver-side broadcast (KBs), list
-    assignment is one Arrow-batched GEMM pass over the corpus (writable as a
-    list_id-partitioned table for reuse), and each query touches
-    n_probe/n_lists of the data.  Recall is tunable via n_probe.
+    assignment is one Arrow-batched GEMM pass over the corpus, and each
+    query touches n_probe/n_lists of the data.  Recall is tunable via
+    n_probe.  One-shot convenience over :func:`ivf_build` +
+    :func:`ivf_query`; use those directly to pay the corpus pass once
+    across many query batches.
     """
-    import pyarrow as pa
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import (
-        ArrayType,
-        DoubleType,
-        IntegerType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    C = _train_ivf_centroids(corpus, n_lists, sample_size, id_col, vec_col)
-    spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast(C.tolist())
-
-    assign_schema = StructType(
-        [
-            StructField("id", StringType()),
-            StructField("vec", ArrayType(DoubleType())),
-            StructField("list_id", IntegerType()),
-        ]
-    )
-
-    def assign_batches(top_n):
-        def fn(iterator):
-            import numpy as np
-
-            cents = np.asarray(bc.value, dtype=np.float64)
-            dim = cents.shape[1]
-            for batch in iterator:
-                ids = batch.column(0).to_pylist()
-                vecs = batch.column(1).to_pylist()
-                # drop null/ragged vectors instead of failing the stage
-                keep = [
-                    i
-                    for i in range(len(ids))
-                    if vecs[i] is not None
-                    and len(vecs[i]) == dim
-                    and not any(v is None for v in vecs[i])
-                ]
-                if not keep:
-                    continue
-                ids = [ids[i] for i in keep]
-                vecs = [vecs[i] for i in keep]
-                X = np.asarray(vecs, dtype=np.float64)
-                X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-                sims = X @ cents.T
-                # top_n nearest lists per row (1 for corpus, n_probe for queries)
-                order = np.argsort(-sims, axis=1)[:, :top_n]
-                out_ids, out_vecs, out_lists = [], [], []
-                for i, row_lists in enumerate(order):
-                    for lid in row_lists:
-                        out_ids.append(ids[i])
-                        out_vecs.append(vecs[i])
-                        out_lists.append(int(lid))
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(out_ids, pa.string()),
-                        pa.array(out_vecs, pa.list_(pa.float64())),
-                        pa.array(out_lists, pa.int32()),
-                    ],
-                    names=["id", "vec", "list_id"],
-                )
-
-        return fn
-
-    def prep(df):
-        return df.select(
-            F.col(id_col).cast("string").alias("id"),
-            F.col(vec_col).cast("array<double>").alias("vec"),
-        )
-
-    corpus_lists = prep(corpus).mapInArrow(assign_batches(1), assign_schema)
-    query_probes = prep(queries).mapInArrow(assign_batches(n_probe), assign_schema)
-
-    c = corpus_lists.select(
-        F.col("id").alias("corpus_id"), F.col("vec").alias("corpus_vec"), "list_id"
-    )
-    q = query_probes.select(
-        F.col("id").alias("query_id"), F.col("vec").alias("query_vec"), "list_id"
-    )
-    joined = (
-        c.join(F.broadcast(q), "list_id")
-        .filter(F.col("corpus_id") != F.col("query_id"))
-        .select("query_id", "corpus_id", "query_vec", "corpus_vec")
-        .dropDuplicates(["query_id", "corpus_id"])
-    )
-    scored = joined.select(
-        "query_id",
-        "corpus_id",
-        F.round(_cosine(F.col("query_vec"), F.col("corpus_vec")), 6).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "corpus_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
-    )
+    index = ivf_build(corpus, dim, n_lists, sample_size, id_col, vec_col)
+    return ivf_query(index, queries, k, n_probe, id_col, vec_col)
 
 
 def lsh_topk(

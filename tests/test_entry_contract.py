@@ -94,12 +94,12 @@ def test_query_matches_oracle(spark, duck, name):
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
 
 
-@pytest.mark.parametrize(
-    "name", sorted(set(ALL_QUERIES.keys()) - set(ORACLES.keys()))
-)
-def test_rows_only_queries_run(spark, name):
-    df = ALL_QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
+def test_rows_only_queries_run(spark):
+    """Queries without a SQL twin (none today -- every entry is
+    oracle-checked) must still at least execute; a plain loop rather than a
+    parametrize so the empty set passes instead of skipping."""
+    for name in sorted(set(ALL_QUERIES.keys()) - set(ORACLES.keys())):
+        assert ALL_QUERIES[name](spark, SF_DIR).count() >= 0
 
 
 def test_minhash_finds_planted_near_dups(spark):
@@ -172,6 +172,36 @@ def test_ann_ivf_pruned_probe_recall(spark):
     assert pairs, "pruned IVF returned nothing"
     recall = len(bf & pairs) / len(bf)
     assert recall > 0.3, f"suspiciously low pruned-IVF recall: {recall}"
+
+
+def test_ivf_build_once_query_many(spark, tmp_path):
+    """The build/query split: one ivf_build feeding two ivf_query calls must
+    equal two independent ivf_topk runs -- and the index must survive a
+    parquet round-trip (write assignments+centroids, read back, same
+    results), proving the corpus GEMM pass is paid once and reused."""
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.similarity import IvfIndex, ivf_build, ivf_query, ivf_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q1 = emb.filter(F.col("vec_id") < 4)
+    q2 = emb.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 8))
+
+    index = ivf_build(emb, dim=64, n_lists=16)
+    for queries in (q1, q2):
+        split = sorted(map(tuple, ivf_query(index, queries, k=5, n_probe=4).collect()))
+        oneshot = sorted(map(tuple, ivf_topk(emb, queries, dim=64, k=5, n_lists=16, n_probe=4).collect()))
+        assert split == oneshot
+
+    # persistence: the index is plain tables; a reloaded index answers the same
+    index.assignments.write.partitionBy("list_id").parquet(str(tmp_path / "assign"))
+    index.centroids.write.parquet(str(tmp_path / "cents"))
+    loaded = IvfIndex(
+        assignments=spark.read.parquet(str(tmp_path / "assign")),
+        centroids=spark.read.parquet(str(tmp_path / "cents")),
+    )
+    again = sorted(map(tuple, ivf_query(loaded, q1, k=5, n_probe=4).collect()))
+    assert again == sorted(map(tuple, ivf_query(index, q1, k=5, n_probe=4).collect()))
 
 
 def test_ann_null_and_ragged_vectors_skipped(spark):

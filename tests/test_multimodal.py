@@ -74,6 +74,85 @@ def test_header_parse_synthetic_fake_png():
     assert parse_image_header(bytes.fromhex(hx)) == ("png", 100, 50)
 
 
+def _filter_row(ftype: int, line: bytes, prev: bytes, ch: int) -> bytes:
+    """Forward PNG filter (the encoder side), to craft test vectors."""
+    out = bytearray()
+    for x, v in enumerate(line):
+        a = line[x - ch] if x >= ch else 0
+        b = prev[x] if prev else 0
+        c = prev[x - ch] if (prev and x >= ch) else 0
+        if ftype == 0:
+            out.append(v)
+        elif ftype == 1:
+            out.append((v - a) & 0xFF)
+        elif ftype == 2:
+            out.append((v - b) & 0xFF)
+        elif ftype == 3:
+            out.append((v - (a + b) // 2) & 0xFF)
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((v - pred) & 0xFF)
+    return bytes(out)
+
+
+def make_png_pixels(rows: list[bytes], ch: int, color_type: int, filters: list[int], plte: bytes | None = None) -> bytes:
+    """Encode raw pixel rows into a valid PNG using the given per-row filters."""
+    w = len(rows[0]) // ch
+    ihdr = struct.pack(">IIBBBBB", w, len(rows), 8, color_type, 0, 0, 0)
+    raw = b""
+    prev = b""
+    for ftype, line in zip(filters, rows):
+        raw += bytes([ftype]) + _filter_row(ftype, line, prev, ch)
+        prev = line
+    chunks = _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        chunks += _png_chunk(b"PLTE", plte)
+    chunks += _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + chunks
+
+
+def test_png_pixel_decode_all_filters():
+    """The vendored decoder must invert every PNG filter type (incl. Paeth)."""
+    from nreadspark.ops.multimodal import decode_png_pixels
+
+    rows = [bytes((x * 13 + y * 41) % 256 for x in range(6)) for y in range(5)]
+    expected = sum(sum(r) for r in rows) / 30
+    for filters in ([0] * 5, [1] * 5, [0, 2, 2, 2, 2], [3] * 5, [0, 4, 4, 4, 4], [0, 1, 2, 3, 4]):
+        png = make_png_pixels(rows, ch=1, color_type=0, filters=filters)
+        assert decode_png_pixels(png) == ("png", 6, 5, expected), filters
+
+
+def test_png_pixel_decode_color_formats():
+    from nreadspark.ops.multimodal import decode_png_pixels
+
+    # RGB 2x1: red + blue -> mean luma = (299/1000*255 + 114/1000*255) / 2
+    rgb = make_png_pixels([bytes([255, 0, 0, 0, 0, 255])], ch=3, color_type=2, filters=[0])
+    _, w, h, mean = decode_png_pixels(rgb)
+    assert (w, h) == (2, 1) and abs(mean - (0.299 * 255 + 0.114 * 255) / 2) < 1e-9
+    # RGBA: alpha ignored
+    rgba = make_png_pixels([bytes([255, 0, 0, 7, 0, 0, 255, 9])], ch=4, color_type=6, filters=[0])
+    assert abs(decode_png_pixels(rgba)[3] - mean) < 1e-9
+    # palette: index 0 -> white, index 1 -> black
+    pal = make_png_pixels([bytes([0, 1])], ch=1, color_type=3, filters=[0], plte=bytes([255, 255, 255, 0, 0, 0]))
+    assert abs(decode_png_pixels(pal)[3] - 127.5) < 1e-9
+    # gray+alpha: luma channel only
+    ga = make_png_pixels([bytes([100, 3, 200, 5])], ch=2, color_type=4, filters=[0])
+    assert decode_png_pixels(ga)[3] == 150.0
+
+
+def test_png_pixel_decode_rejects_incomplete():
+    from nreadspark.ops.multimodal import decode_png_pixels
+
+    # the synthetic header-only prefixes must NOT pixel-decode
+    hx = "89504e470d0a1a0a0000000d49484452" + format(10, "08x") + format(4, "08x") + "080600000000000000" + "abcdef"
+    with pytest.raises(ValueError):
+        decode_png_pixels(bytes.fromhex(hx))
+    with pytest.raises(ValueError):
+        decode_png_pixels(b"GIF89a" + b"\x00" * 16)
+
+
 def make_mp4(duration_ms: int, timescale: int = 1000, n_tracks: int = 1, version: int = 0) -> bytes:
     """Minimal valid ISO BMFF: ftyp + moov(mvhd + trak*n) + empty mdat."""
     ftyp = struct.pack(">I", 20) + b"ftypisom" + struct.pack(">I", 0x200) + b"isom"
@@ -164,7 +243,10 @@ def test_extract_features_decodes_real_images(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r["media_ref"]: r for r in extract_media_features(df).collect()}
     assert (out["png1"]["decoded_width"], out["png1"]["decoded_height"]) == (12, 34)
-    assert out["png1"]["decoder"] in ("pil", "header:png")
+    # a COMPLETE png pixel-decodes (pil or the vendored stdlib twin); the
+    # all-zero test image must surface mean luma 0 through the feature vec
+    assert out["png1"]["decoder"] in ("pil", "pixels:png")
+    assert out["png1"]["features"] == [0.0] * 8
     assert (out["gif1"]["decoded_width"], out["gif1"]["decoded_height"]) == (5, 6)
     assert (out["jpg1"]["decoded_width"], out["jpg1"]["decoded_height"]) == (7, 8)
     assert out["bin1"]["decoder"] == "stub"
