@@ -299,10 +299,16 @@ class IvfIndex:
     """A built IVF index: both halves are plain DataFrames, so the corpus
     GEMM pass is paid ONCE and the index persists as ordinary tables --
     write ``assignments`` parquet-partitioned by list_id and ``centroids``
-    as a tiny side table, read them back, and query forever."""
+    as a tiny side table, read them back, and query forever.
+
+    ``centroid_list`` is a driver-side cache of the centroid matrix (KBs):
+    ivf_build fills it so same-session queries skip the collect of the
+    centroids table; an index reloaded from disk leaves it None and
+    ivf_query collects the table instead."""
 
     assignments: DataFrame  # (corpus_id, corpus_vec, list_id)
     centroids: DataFrame  # (list_id, centroid)
+    centroid_list: list | None = None
 
 
 def ivf_build(
@@ -332,11 +338,13 @@ def ivf_build(
             "list_id",
         )
     )
+    centroid_list = [list(map(float, c)) for c in C.tolist()]
     centroids = spark.createDataFrame(
-        [(i, list(map(float, c))) for i, c in enumerate(C.tolist())],
-        "list_id int, centroid array<double>",
+        list(enumerate(centroid_list)), "list_id int, centroid array<double>"
     )
-    return IvfIndex(assignments=assignments, centroids=centroids)
+    return IvfIndex(
+        assignments=assignments, centroids=centroids, centroid_list=centroid_list
+    )
 
 
 def ivf_query(
@@ -351,9 +359,13 @@ def ivf_query(
     lists, exact cosine rerank inside the probed lists.  The per-query cost
     is n_probe/n_lists of the corpus; the corpus itself is never re-assigned
     (that GEMM was paid in :func:`ivf_build`)."""
-    rows = index.centroids.orderBy("list_id").collect()  # n_lists rows, KBs
+    if index.centroid_list is not None:  # same-session: skip the collect
+        cents = index.centroid_list
+    else:  # reloaded-from-disk index: n_lists rows, KBs
+        rows = index.centroids.orderBy("list_id").collect()
+        cents = [list(r["centroid"]) for r in rows]
     spark = queries.sparkSession
-    bc = spark.sparkContext.broadcast([list(r["centroid"]) for r in rows])
+    bc = spark.sparkContext.broadcast(cents)
 
     query_probes = _ivf_prep(queries, id_col, vec_col).mapInArrow(
         _ivf_assign_fn(bc, n_probe), _ivf_assign_schema()
