@@ -288,6 +288,7 @@ def _q_multimodal_features(spark, sf_dir):
         "payload_md5",
         "decoded_width",
         "decoded_height",
+        F.col("decoded_duration_ms").cast("bigint").alias("decoded_duration_ms"),
         "decoder",
     )
 
@@ -1014,7 +1015,8 @@ def _simhash_oracle_sql(bits: int = 60) -> str:
 def _media_hex_sql() -> str:
     """DuckDB twin of ``synthesize_media_df``: rebuilds the exact payload
     hex, including the structurally valid MP4 layout
-    (ftyp | moov[mvhd(dur@timescale 1000) + trak] | mdat[filler])."""
+    (ftyp | moov[mvhd(dur@timescale 1000) + trak] | mdat[filler]) and the
+    RIFF/WAVE layout (PCM 8-bit mono @1000 Hz: duration_ms == data bytes)."""
     from nreadspark.ops.multimodal import (
         _MP4_FTYP_HEX,
         _MP4_MDAT_TYPE_HEX,
@@ -1022,15 +1024,19 @@ def _media_hex_sql() -> str:
         _MP4_MVHD_POST_HEX,
         _MP4_MVHD_PRE_HEX,
         _MP4_TRAK_HEX,
+        _WAV_FMT_HEX,
+        _WAV_RIFF_HEX,
     )
 
     return f"""
             media AS (
               SELECT doc_id,
                      doc_id % 5 = 0 AS is_video,
+                     doc_id % 5 = 3 AS is_audio,
                      (doc_id % 1889) + 32 AS w,
                      (doc_id % 1049) + 32 AS h,
                      (doc_id % 29) * 1000 + 1000 AS dur,
+                     3 * (doc_id % 50 + 1) AS fill_bytes,
                      repeat('abcdef', CAST(doc_id % 50 + 1 AS INT)) AS filler
               FROM documents WHERE doc_id < 100
             ), hexes AS (
@@ -1039,16 +1045,24 @@ def _media_hex_sql() -> str:
                           THEN '{_MP4_FTYP_HEX}{_MP4_MOOV_HDR_HEX}{_MP4_MVHD_PRE_HEX}'
                                || lpad(lower(to_hex(dur)), 8, '0')
                                || '{_MP4_MVHD_POST_HEX}{_MP4_TRAK_HEX}'
-                               || lpad(lower(to_hex(8 + 3 * (doc_id % 50 + 1))), 8, '0')
+                               || lpad(lower(to_hex(8 + fill_bytes)), 8, '0')
                                || '{_MP4_MDAT_TYPE_HEX}' || filler
+                          WHEN is_audio
+                          THEN '{_WAV_RIFF_HEX}'
+                               || lpad(lower(to_hex(36 + fill_bytes)), 2, '0') || '000000'
+                               || '{_WAV_FMT_HEX}'
+                               || lpad(lower(to_hex(fill_bytes)), 2, '0') || '000000'
+                               || filler
                           ELSE '89504e470d0a1a0a0000000d49484452'
                                || lpad(lower(to_hex(w)), 8, '0')
                                || lpad(lower(to_hex(h)), 8, '0')
                                || '080600000000000000' || filler
                      END AS hx,
-                     CASE WHEN is_video THEN 'vid://' ELSE 'img://' END
+                     CASE WHEN is_video THEN 'vid://' WHEN is_audio THEN 'aud://'
+                          ELSE 'img://' END
                        || CAST(doc_id AS VARCHAR) AS media_ref,
-                     CASE WHEN is_video THEN 'video' ELSE 'image' END AS media_kind
+                     CASE WHEN is_video THEN 'video' WHEN is_audio THEN 'audio'
+                          ELSE 'image' END AS media_kind
               FROM media
             )
 """
@@ -1299,9 +1313,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_ref, media_kind,
                    CAST(length(hx) / 2 AS BIGINT) AS n_bytes,
                    md5(hx) AS payload_md5,
-                   CASE WHEN is_video THEN NULL ELSE CAST(w AS INT) END AS decoded_width,
-                   CASE WHEN is_video THEN NULL ELSE CAST(h AS INT) END AS decoded_height,
-                   CASE WHEN is_video THEN 'header:mp4' ELSE 'header:png' END AS decoder
+                   CASE WHEN is_video OR is_audio THEN NULL ELSE CAST(w AS INT) END AS decoded_width,
+                   CASE WHEN is_video OR is_audio THEN NULL ELSE CAST(h AS INT) END AS decoded_height,
+                   CASE WHEN is_video THEN CAST(dur AS BIGINT)
+                        WHEN is_audio THEN CAST(fill_bytes AS BIGINT)
+                        ELSE NULL END AS decoded_duration_ms,
+                   CASE WHEN is_video THEN 'header:mp4'
+                        WHEN is_audio THEN 'header:wav'
+                        ELSE 'header:png' END AS decoder
             FROM hexes
         """,
         # structural resize: images -> fixed 224x224 PNG prefix + 196-byte
@@ -1310,14 +1329,14 @@ def oracle_sql() -> dict[str, str]:
             WITH {_MEDIA_HEX_SQL.strip()},
             resized AS (
               SELECT media_ref,
-                     CASE WHEN is_video THEN hx
+                     CASE WHEN is_video OR is_audio THEN hx
                           ELSE '89504e470d0a1a0a0000000d49484452'
                                || '000000e0' || '000000e0' || '080600000000000000'
                                || substring(repeat('abcdef', 66), 1, 392)
                      END AS out_hx,
-                     NOT is_video AS resized,
-                     CASE WHEN is_video THEN NULL ELSE 224 END AS width,
-                     CASE WHEN is_video THEN NULL ELSE 224 END AS height
+                     NOT (is_video OR is_audio) AS resized,
+                     CASE WHEN is_video OR is_audio THEN NULL ELSE 224 END AS width,
+                     CASE WHEN is_video OR is_audio THEN NULL ELSE 224 END AS height
               FROM hexes
             )
             SELECT media_ref, CAST(width AS INT) AS width, CAST(height AS INT) AS height,

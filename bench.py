@@ -121,9 +121,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
 
     # --- flagship: materialized synthetic interleaved corpus -> spans ------
+    # best-of-4: this box shows 2-3x transient wall-time noise (documented
+    # in BENCH/BASELINE.md), and the headline docs/sec derives from this one
+    # number -- extra repetitions are cheap (~1s each) insurance
     corpus_path = materialize_corpus(spark, N_DOCS)
     corpus = spark.read.parquet(corpus_path)
-    runs = [_timed(lambda: _force(extract(corpus))) for _ in range(3)]
+    runs = [_timed(lambda: _force(extract(corpus))) for _ in range(4)]
     timings["extract_synthetic"] = min(runs)
 
     # --- the driver-contract battery over the sf tables --------------------

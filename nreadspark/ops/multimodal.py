@@ -62,6 +62,7 @@ FEATURES_SCHEMA = StructType(
         StructField("payload_md5", StringType()),  # md5 of the lowercase hex
         StructField("decoded_width", IntegerType()),
         StructField("decoded_height", IntegerType()),
+        StructField("decoded_duration_ms", IntegerType()),
         StructField("decoder", StringType()),
         StructField("features", ArrayType(DoubleType())),
     ]
@@ -97,9 +98,28 @@ _MP4_MVHD_POST_HEX = (
 _MP4_TRAK_HEX = "000000087472616b"  # one (empty) track box
 _MP4_MDAT_TYPE_HEX = "6d646174"
 
+# Structurally valid RIFF/WAVE pieces (little-endian!): PCM, mono, 8-bit at
+# 1000 Hz, so duration_ms == data-chunk byte length exactly -- closed-form
+# for the SQL oracle.  Layout: 'RIFF' | riff_size | 'WAVE' | fmt(16) |
+# 'data' | data_len | filler.
+_WAV_RIFF_HEX = "52494646"
+_WAV_FMT_HEX = (
+    "57415645"  # 'WAVE'
+    + "666d7420" + "10000000"  # 'fmt ', chunk size 16
+    + "0100" + "0100"  # PCM, 1 channel
+    + "e8030000" + "e8030000"  # sample rate 1000, byte rate 1000
+    + "0100" + "0800"  # block align 1, bits 8
+    + "64617461"  # 'data'
+)
+
 
 def _hex8(col):
     return F.lpad(F.lower(F.hex(col)), 8, "0")
+
+
+def _hex_u32le_small(col):
+    """Little-endian u32 hex for values < 256 (one live byte + 3 zeros)."""
+    return F.concat(F.lpad(F.lower(F.hex(col)), 2, "0"), F.lit("000000"))
 
 
 def synthesize_media_df(spark, docs_df: DataFrame) -> DataFrame:
@@ -107,12 +127,16 @@ def synthesize_media_df(spark, docs_df: DataFrame) -> DataFrame:
 
     Images are structurally valid PNG prefixes (signature + IHDR carrying
     the real width/height big-endian) + a repeated filler; every 5th row is
-    a 'video' with a structurally valid MP4: ftyp + moov(mvhd carrying the
-    real duration at timescale 1000 + one trak) + an mdat box wrapping the
-    filler -- so ``parse_mp4_header`` exercises the real box walk.  All
-    fields are closed-form in doc_id, so DuckDB can rebuild the exact
+    a 'video' with a structurally valid MP4 (ftyp + moov[mvhd carrying the
+    real duration at timescale 1000 + one trak] + an mdat box wrapping the
+    filler) and rows with doc_id % 5 == 3 are 'audio' with a structurally
+    valid RIFF/WAVE (PCM 8-bit mono at 1000 Hz, so duration_ms equals the
+    data-chunk byte count) -- the real box/chunk walks of
+    ``parse_mp4_header`` / ``parse_wav_header`` are exercised end to end.
+    All fields are closed-form in doc_id, so DuckDB can rebuild the exact
     hex/md5."""
     is_video = F.pmod("doc_id", F.lit(5)) == 0
+    is_audio = F.pmod("doc_id", F.lit(5)) == 3
     width = (F.pmod("doc_id", F.lit(1889)) + 32).cast("int")
     height = (F.pmod("doc_id", F.lit(1049)) + 32).cast("int")
     duration_ms = ((F.pmod("doc_id", F.lit(29)) * 1000) + 1000).cast("int")
@@ -133,16 +157,34 @@ def synthesize_media_df(spark, docs_df: DataFrame) -> DataFrame:
         F.lit(_MP4_MDAT_TYPE_HEX),
         filler,
     )
+    wav_hex = F.concat(
+        F.lit(_WAV_RIFF_HEX),
+        _hex_u32le_small(F.lit(36) + n_fill * 3),  # riff size = 36 + data
+        F.lit(_WAV_FMT_HEX),
+        _hex_u32le_small(n_fill * 3),  # data chunk length
+        filler,
+    )
+    audio_duration_ms = (n_fill * 3).cast("int")  # 1000 B/s, 8-bit mono
     return docs_df.select(
         F.concat(
-            F.when(is_video, F.lit("vid://")).otherwise(F.lit("img://")),
+            F.when(is_video, F.lit("vid://"))
+            .when(is_audio, F.lit("aud://"))
+            .otherwise(F.lit("img://")),
             F.col("doc_id").cast("string"),
         ).alias("media_ref"),
-        F.when(is_video, F.lit("video")).otherwise(F.lit("image")).alias("media_kind"),
-        F.unhex(F.when(is_video, mp4_hex).otherwise(png_hex)).alias("payload"),
+        F.when(is_video, F.lit("video"))
+        .when(is_audio, F.lit("audio"))
+        .otherwise(F.lit("image"))
+        .alias("media_kind"),
+        F.unhex(
+            F.when(is_video, mp4_hex).when(is_audio, wav_hex).otherwise(png_hex)
+        ).alias("payload"),
         width.alias("width"),
         height.alias("height"),
-        F.when(is_video, duration_ms).otherwise(F.lit(0).cast("int")).alias("duration_ms"),
+        F.when(is_video, duration_ms)
+        .when(is_audio, audio_duration_ms)
+        .otherwise(F.lit(0).cast("int"))
+        .alias("duration_ms"),
     )
 
 
@@ -229,6 +271,37 @@ def parse_mp4_header(raw: bytes):
     if timescale and duration is not None:
         duration_ms = duration * 1000 // timescale
     return (major_brand, timescale, duration_ms, n_tracks)
+
+
+def parse_wav_header(raw: bytes):
+    """Spec-compliant stdlib RIFF/WAVE metadata parse: chunk walk reading
+    the fmt chunk (channels, sample rate, bits) and the data chunk size,
+    exactly as the RIFF container defines them (little-endian u16/u32).
+
+    Returns ``(codec, n_channels, sample_rate, bits_per_sample,
+    duration_ms)`` or ``None`` when the payload is not RIFF/WAVE.
+    ``duration_ms`` is None if either chunk is missing/truncated."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    n_channels = sample_rate = bits = data_len = None
+    i, end = 12, len(raw)
+    while i + 8 <= end:
+        ctype = raw[i : i + 4]
+        clen = int.from_bytes(raw[i + 4 : i + 8], "little")
+        body = raw[i + 8 : i + 8 + clen]
+        if ctype == b"fmt " and len(body) >= 16:
+            n_channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif ctype == b"data":
+            data_len = clen  # declared size, even if payload is truncated
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    duration_ms = None
+    if data_len is not None and n_channels and sample_rate and bits:
+        bytes_per_sec = sample_rate * n_channels * (bits // 8)
+        if bytes_per_sec:
+            duration_ms = data_len * 1000 // bytes_per_sec
+    return ("wav", n_channels, sample_rate, bits, duration_ms)
 
 
 def _pil_available() -> bool:
@@ -395,6 +468,7 @@ def extract_media_features(media_df: DataFrame, allow_pil: bool = True) -> DataF
                 "payload_md5": [],
                 "decoded_width": [],
                 "decoded_height": [],
+                "decoded_duration_ms": [],
                 "decoder": [],
                 "features": [],
             }
@@ -420,15 +494,22 @@ def extract_media_features(media_df: DataFrame, allow_pil: bool = True) -> DataF
                         feats = [mean_pixel / 255.0] * 8
                     except Exception:
                         w = h = None
+                dur_ms = None
                 if w is None:
                     parsed = parse_image_header(raw)
                     if parsed is not None:
                         codec, w, h = parsed
                         decoder = f"header:{codec}"
-                    elif parse_mp4_header(raw) is not None:
-                        decoder = "header:mp4"  # container metadata tier
+                    else:  # container metadata tiers
+                        mp4 = parse_mp4_header(raw)
+                        wav = None if mp4 else parse_wav_header(raw)
+                        if mp4 is not None:
+                            decoder, dur_ms = "header:mp4", mp4[2]
+                        elif wav is not None:
+                            decoder, dur_ms = "header:wav", wav[4]
                 out["decoded_width"].append(w)
                 out["decoded_height"].append(h)
+                out["decoded_duration_ms"].append(dur_ms)
                 out["decoder"].append(decoder)
                 out["features"].append(feats if feats is not None else _fake_features(raw))
             yield pd.DataFrame(out)

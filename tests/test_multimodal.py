@@ -211,6 +211,40 @@ def test_synthetic_mp4_payload_round_trips():
         assert parse_mp4_header(bytes.fromhex(hx)) == ("isom", 1000, dur, 1)
 
 
+def make_wav(n_samples: int, sample_rate: int = 8000, channels: int = 1, bits: int = 16) -> bytes:
+    data = bytes(n_samples * channels * (bits // 8))
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * (bits // 8),
+        channels * (bits // 8), bits,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_header_parse():
+    from nreadspark.ops.multimodal import parse_wav_header
+
+    assert parse_wav_header(make_wav(16000)) == ("wav", 1, 8000, 16, 2000)
+    assert parse_wav_header(make_wav(4410, 44100, 2, 16)) == ("wav", 2, 44100, 16, 100)
+    assert parse_wav_header(b"") is None
+    assert parse_wav_header(b"RIFF\x00\x00\x00\x00JUNK") is None
+    # fmt-less RIFF/WAVE degrades to no-duration, not a crash
+    got = parse_wav_header(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    assert got == ("wav", None, None, None, None)
+
+
+def test_synthetic_wav_payload_round_trips():
+    from nreadspark.ops.multimodal import _WAV_FMT_HEX, _WAV_RIFF_HEX, parse_wav_header
+
+    for k in (1, 2, 50):
+        hx = (
+            _WAV_RIFF_HEX + format(36 + 3 * k, "02x") + "000000"
+            + _WAV_FMT_HEX + format(3 * k, "02x") + "000000" + "abcdef" * k
+        )
+        # PCM 8-bit mono @1000 Hz: duration_ms == data byte count == 3k
+        assert parse_wav_header(bytes.fromhex(hx)) == ("wav", 1, 1000, 8, 3 * k)
+
+
 @pytest.fixture(scope="module")
 def spark():
     pytest.importorskip("pyspark")
@@ -259,13 +293,18 @@ def test_features_tag_mp4_payloads(spark):
 
     rows = [
         ("vid1", "video", make_mp4(3_000), None, None, 3000),
+        ("aud1", "audio", make_wav(16000), None, None, 0),
         ("bin1", "audio", b"\x00\x01\x02\x03", None, None, 0),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r["media_ref"]: r for r in extract_media_features(df).collect()}
     assert out["vid1"]["decoder"] == "header:mp4"
     assert out["vid1"]["decoded_width"] is None
+    assert out["vid1"]["decoded_duration_ms"] == 3000
+    assert out["aud1"]["decoder"] == "header:wav"
+    assert out["aud1"]["decoded_duration_ms"] == 2000
     assert out["bin1"]["decoder"] == "stub"
+    assert out["bin1"]["decoded_duration_ms"] is None
 
 
 def test_frame_sampling_derives_duration_from_bytes(spark):
