@@ -550,6 +550,30 @@ def _q_text_repetition(spark, sf_dir):
     return repetition_stats(docs)
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster assembly (pairs -> connected components): chains of
+    5 consecutive doc_ids plus mirror stars exercise multi-round label
+    propagation; the DuckDB twin computes the same components independently
+    with a recursive CTE."""
+    from nreadspark.ops.dedup import connected_components
+
+    base = _table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    chain = base.filter(F.pmod("doc_id", F.lit(5)) != 4).select(
+        F.col("doc_id").alias("doc_id_a"), (F.col("doc_id") + 1).alias("doc_id_b")
+    )
+    star = base.filter(F.pmod("doc_id", F.lit(40)) == 0).select(
+        F.col("doc_id").alias("doc_id_a"),
+        (F.col("doc_id") + 1000000).alias("doc_id_b"),
+    )
+    out = connected_components(chain.unionByName(star))
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
 def _q_line_dedup(spark, sf_dir):
     """C4/CCNet-style cross-document repeated-line removal (training-data
     pipeline op): a comma-delimited segment appearing in >= 3 distinct
@@ -899,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debug_html": _q_debug_html,
         "pdf_extract": _q_pdf_extract,
         "line_dedup": _q_line_dedup,
+        "dedup_components": _q_dedup_components,
         "text_repetition": _q_text_repetition,
         "mixed_pipeline": _q_mixed_pipeline,
         "dedup_ngram_substring": _q_ngram_dup_stats,
@@ -1186,6 +1211,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lc LEFT JOIN bs ON lc.doc_id = bs.doc_id
         """,
         # line_dedup: full SQL twin (zipped unnests give segment positions)
+        # dedup_components: INDEPENDENT component computation -- DuckDB walks
+        # the same edge set transitively with a recursive CTE and takes the
+        # min reachable id, vs Spark's iterative min-label propagation
+        "dedup_components": """
+            WITH RECURSIVE nodes AS (
+              SELECT doc_id AS id FROM documents WHERE doc_id < 200
+              UNION ALL
+              SELECT doc_id + 1000000 FROM documents
+              WHERE doc_id < 200 AND doc_id % 40 = 0
+            ), raw_edges AS (
+              SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+              WHERE doc_id < 200 AND doc_id % 5 <> 4
+              UNION ALL
+              SELECT doc_id, doc_id + 1000000 FROM documents
+              WHERE doc_id < 200 AND doc_id % 40 = 0
+            ), bidir AS (
+              SELECT src, dst FROM raw_edges UNION SELECT dst, src FROM raw_edges
+            ), reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT b.dst, reach.r FROM reach JOIN bidir b ON b.src = reach.id
+            )
+            SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+            FROM reach GROUP BY id
+        """,
         "line_dedup": """
             WITH lines AS (
                 SELECT doc_id,

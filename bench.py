@@ -142,6 +142,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_simhash",
         "dedup_embedding_cosine",
         "dedup_embedding_lsh",
+        "dedup_components",
         "line_dedup",
         "pdf_extract",
         "ann_bruteforce_topk",

@@ -808,3 +808,89 @@ def ngram_duplicate_stats(
             F.sum((F.col("nd") > 1).cast("int")).cast("bigint").alias("n_dup_ngrams"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_id_a",
+    dst_col: str = "doc_id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Group duplicate PAIRS into clusters: ``(id, component)`` where
+    component is the minimum id reachable through the pair graph.  This is
+    the step every dedup pipeline needs after candidate generation --
+    pairwise output alone cannot answer "which documents do I keep".
+
+    Algorithm: iterative min-label propagation.  Each round every node
+    takes ``min(own label, labels of its neighbors)``; a round is one join
+    + one map-side-combined min-aggregation, and the frame is
+    ``localCheckpoint``-ed so lineage stays flat (the multipage pattern).
+    Rounds needed = graph diameter, and duplicate clusters are stars/short
+    chains around a canonical document (LSH star guards upstream make this
+    explicit), so 2-4 rounds is typical; ``max_iter`` bounds adversarial
+    chains and the loop exits as soon as a round changes nothing.  The
+    per-round driver-side convergence count runs on the checkpointed frame
+    (bounded work, same contract as multipage's frontier ``isEmpty``).
+
+    At 100 TB this is the standard alternative to collecting an edge list
+    into a graph library: every round is a bulk shuffle on the same keys,
+    no driver-side state beyond the loop counter.
+    """
+    edges = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["dst"], "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (F.coalesce("nbr_component", "component") < F.col("component")).alias(
+                    "__changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        n_changed = updated.filter("__changed").count()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_id_a",
+    dst_col: str = "doc_id_b",
+) -> DataFrame:
+    """Drop every document that belongs to a duplicate cluster but is not
+    its canonical (minimum-id) member -- the terminal step of the dedup
+    pipeline: candidate pairs -> components -> surviving corpus.
+
+    Documents that appear in no pair survive untouched (anti-join, no
+    shuffle of their payloads beyond the join on id)."""
+    comps = connected_components(pairs, src_col, dst_col)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -349,3 +349,42 @@ def test_sampling_rejects_bad_rates(spark):
         deterministic_sample(df, 1.5)
     with pytest.raises(ValueError):
         stratified_mix(df.withColumn("s", F.lit("a")), {"a": -0.1}, "s")
+
+
+def test_connected_components_chains_and_stars(spark):
+    from nreadspark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),     # 4-hop chain -> several rounds
+         (10, 11), (10, 12), (10, 13),        # star
+         (20, 21)],                           # lone pair
+        "doc_id_a bigint, doc_id_b bigint",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_order_insensitive(spark):
+    """Reversed/criss-cross edges (hi, lo) must not change components."""
+    from nreadspark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(9, 3), (3, 7), (7, 1)], "doc_id_a bigint, doc_id_b bigint"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 3: 1, 7: 1, 9: 1}
+
+
+def test_keep_canonical_survivors(spark):
+    from nreadspark.ops.dedup import keep_canonical
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 5), (6, 7)], "doc_id_a bigint, doc_id_b bigint"
+    )
+    kept = sorted(r["doc_id"] for r in keep_canonical(docs, pairs).collect())
+    # clusters {1,2,5} -> keep 1; {6,7} -> keep 6; untouched: 0,3,4
+    assert kept == [0, 1, 3, 4, 6]
