@@ -385,6 +385,7 @@ def embedding_near_duplicates_lsh(
     vec_col: str = "embedding",
     planes: str = "random",
     max_bucket_size: int = 4096,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """The 100 TB embedding near-dup route: LSH banding prunes candidates,
     then each bucket is verified with ONE numpy float64 GEMM.
@@ -430,6 +431,16 @@ def embedding_near_duplicates_lsh(
     _coerce = int if numeric_ids else str
 
     sigs = lsh_signatures(emb_df, dim, n_bits, n_bands, id_col, vec_col, planes)
+    if persist_signatures:
+        # the pre-split consumes sigs from several subplans (bucket counts,
+        # the anti-joined normal path, and -- when hot buckets exist -- the
+        # canonical-vector and star-member joins); without persistence each
+        # consumer would re-run the signature GEMM over the corpus.  One
+        # spill-to-disk materialization beats 2-4 recomputes; pass False to
+        # trade CPU for storage on corpora too large to spill.
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
     # -- hot-bucket pre-split: count first (map-side combine), so oversized
     # buckets are routed to the star path BEFORE any collect_list sees them
