@@ -550,6 +550,28 @@ def _q_text_repetition(spark, sf_dir):
     return repetition_stats(docs)
 
 
+def _q_text_c4_filter(spark, sf_dir):
+    """C4/Gopher rule-based corpus filter with explainable reasons.  The
+    synthetic documents are deterministically perturbed so every rule fires
+    somewhere: 'Lorem ipsum' boilerplate (doc_id%11), a code brace snippet
+    (%7), a 30-char token (%17), terminal punctuation (%3)."""
+    from nreadspark.ops.textstats import c4_quality_filter
+
+    base = F.col("text")
+    t1 = F.when(
+        F.pmod("doc_id", F.lit(11)) == 0, F.concat(F.lit("Lorem ipsum dolor "), base)
+    ).otherwise(base)
+    t2 = F.when(
+        F.pmod("doc_id", F.lit(7)) == 0, F.concat(t1, F.lit(" { var x = 1; }"))
+    ).otherwise(t1)
+    t3 = F.when(
+        F.pmod("doc_id", F.lit(17)) == 0, F.concat(t2, F.lit(" "), F.repeat(F.lit("z"), 30))
+    ).otherwise(t2)
+    t4 = F.when(F.pmod("doc_id", F.lit(3)) == 0, F.concat(t3, F.lit("."))).otherwise(t3)
+    docs = _table(spark, sf_dir, "documents").select("doc_id", t4.alias("text"))
+    return c4_quality_filter(docs, min_words=12)
+
+
 def _q_dedup_components(spark, sf_dir):
     """Duplicate-cluster assembly (pairs -> connected components): chains of
     5 consecutive doc_ids plus mirror stars exercise multi-round label
@@ -924,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": _q_pdf_extract,
         "line_dedup": _q_line_dedup,
         "dedup_components": _q_dedup_components,
+        "text_c4_filter": _q_text_c4_filter,
         "text_repetition": _q_text_repetition,
         "mixed_pipeline": _q_mixed_pipeline,
         "dedup_ngram_substring": _q_ngram_dup_stats,
@@ -1211,6 +1234,45 @@ def oracle_sql() -> dict[str, str]:
             FROM lc LEFT JOIN bs ON lc.doc_id = bs.doc_id
         """,
         # line_dedup: full SQL twin (zipped unnests give segment positions)
+        "text_c4_filter": r"""
+            WITH t1 AS (
+              SELECT doc_id, CASE WHEN doc_id % 11 = 0
+                     THEN 'Lorem ipsum dolor ' || text ELSE text END AS text
+              FROM documents
+            ), t2 AS (
+              SELECT doc_id, CASE WHEN doc_id % 7 = 0
+                     THEN text || ' { var x = 1; }' ELSE text END AS text FROM t1
+            ), t3 AS (
+              SELECT doc_id, CASE WHEN doc_id % 17 = 0
+                     THEN text || ' ' || repeat('z', 30) ELSE text END AS text FROM t2
+            ), t4 AS (
+              SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                     THEN text || '.' ELSE text END AS text FROM t3
+            ), w AS (
+              SELECT doc_id, text,
+                     len(string_split_regex(trim(text), '\s+')) AS n_words,
+                     length(regexp_replace(text, '\s', '', 'g')) AS n_chars,
+                     list_max(list_transform(string_split_regex(trim(text), '\s+'),
+                                             x -> length(x))) AS max_wlen
+              FROM t4
+            )
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   (NOT (n_words < 12) AND NOT (n_words > 100000)
+                    AND NOT (max_wlen > 25) AND NOT contains(text, '{')
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND regexp_matches(trim(text), '[.!?"]$')
+                    AND NOT (n_chars < 3 * n_words OR n_chars > 10 * n_words)) AS keep,
+                   concat_ws(';',
+                     CASE WHEN n_words < 12 THEN 'too_few_words' END,
+                     CASE WHEN n_words > 100000 THEN 'too_many_words' END,
+                     CASE WHEN max_wlen > 25 THEN 'long_word' END,
+                     CASE WHEN contains(text, '{') THEN 'brace' END,
+                     CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum' END,
+                     CASE WHEN NOT regexp_matches(trim(text), '[.!?"]$') THEN 'no_terminal_punct' END,
+                     CASE WHEN n_chars < 3 * n_words OR n_chars > 10 * n_words THEN 'mean_word_len_out' END
+                   ) AS reasons
+            FROM w
+        """,
         # dedup_components: INDEPENDENT component computation -- DuckDB walks
         # the same edge set transitively with a recursive CTE and takes the
         # min reachable id, vs Spark's iterative min-label propagation

@@ -149,6 +149,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "ann_lsh_topk",
         "ann_ivf_topk",
         "text_repetition",
+        "text_c4_filter",
         "sample_split_mix",
         "text_token_count",
         "text_quality",

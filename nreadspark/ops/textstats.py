@@ -236,3 +236,66 @@ def repetition_stats(
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
         F.coalesce("top_bigram_count", F.lit(0)).cast("bigint").alias("top_bigram_count"),
     )
+
+
+# C4 / Gopher rule-based corpus filtering (Raffel et al. 2020 §2.2; Rae et
+# al. 2021 table A1): the terminal pretraining-filter stage.  Rules are
+# integer/boolean-exact (no float thresholds), so any SQL engine reproduces
+# the decision bit-for-bit.
+_C4_TERMINAL_PUNCT = r'[.!?"]$'
+
+
+def c4_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    max_word_len: int = 25,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+) -> DataFrame:
+    """Rule-based keep/drop decision per document, with explainable reasons.
+
+    Output: ``(doc_id, n_words, keep, reasons)`` where ``reasons`` is a
+    ';'-joined list of fired rule ids in a fixed order ('' when keep=true).
+    The rule set is the public C4/Gopher core adapted to whole documents:
+    word-count bounds, over-long tokens (minified JS / base64 blobs),
+    a '{' code marker, 'lorem ipsum' boilerplate, terminal punctuation,
+    and mean-word-length bounds (compared via integer cross-multiplication
+    -- no division, no float drift).
+
+    Scale shape: pure whole-stage codegen over one scan -- no shuffle, no
+    Python; composes with :func:`repetition_stats` /
+    ``dedup.ngram_duplicate_stats`` for the repetition-based rules those
+    operators own.
+
+    Empty/whitespace text follows Spark split semantics (one empty token):
+    it fires too_few_words + no_terminal_punct and is dropped.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    n_chars = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    max_wlen = F.array_max(F.transform(words, lambda w: F.length(w)))
+    rules = [
+        ("too_few_words", n_words < min_words),
+        ("too_many_words", n_words > max_words),
+        ("long_word", max_wlen > max_word_len),
+        ("brace", F.col(text_col).contains("{")),
+        ("lorem_ipsum", F.lower(F.col(text_col)).contains("lorem ipsum")),
+        ("no_terminal_punct", ~F.trim(F.col(text_col)).rlike(_C4_TERMINAL_PUNCT)),
+        (
+            "mean_word_len_out",
+            (n_chars < F.lit(min_mean_word_len) * n_words)
+            | (n_chars > F.lit(max_mean_word_len) * n_words),
+        ),
+    ]
+    fired = [F.when(cond, F.lit(name)) for name, cond in rules]
+    keep = ~rules[0][1]
+    for _, cond in rules[1:]:
+        keep = keep & ~cond
+    return df.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        keep.alias("keep"),
+        F.concat_ws(";", *fired).alias("reasons"),
+    )

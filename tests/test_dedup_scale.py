@@ -388,3 +388,29 @@ def test_keep_canonical_survivors(spark):
     kept = sorted(r["doc_id"] for r in keep_canonical(docs, pairs).collect())
     # clusters {1,2,5} -> keep 1; {6,7} -> keep 6; untouched: 0,3,4
     assert kept == [0, 1, 3, 4, 6]
+
+
+def test_c4_quality_filter_rules(spark):
+    from nreadspark.ops.textstats import c4_quality_filter
+
+    rows = [
+        ("good", "This document has plenty of words and it ends properly today."),
+        ("short", "Too short."),
+        ("code", "This one has plenty of words but contains { a brace } today."),
+        ("lorem", "Lorem Ipsum filler with plenty of other words ending today."),
+        ("longword", "Plenty of words here but " + "z" * 30 + " ruins it today."),
+        ("nopunct", "Plenty of words here but it never terminates properly today"),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in c4_quality_filter(df, min_words=5).collect()}
+    assert out["good"]["keep"] is True and out["good"]["reasons"] == ""
+    assert out["short"]["reasons"] == "too_few_words"
+    assert out["code"]["reasons"] == "brace"
+    assert out["lorem"]["reasons"] == "lorem_ipsum"  # case-insensitive match
+    assert out["longword"]["reasons"] == "long_word"
+    assert out["nopunct"]["reasons"] == "no_terminal_punct"
+    # empty text: Spark split semantics -> one empty token, several rules fire
+    assert out["empty"]["keep"] is False
+    assert "too_few_words" in out["empty"]["reasons"]
+    assert all(not r["keep"] for k, r in out.items() if k != "good")
