@@ -826,22 +826,28 @@ def connected_components(
     src_col: str = "doc_id_a",
     dst_col: str = "doc_id_b",
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Group duplicate PAIRS into clusters: ``(id, component)`` where
     component is the minimum id reachable through the pair graph.  This is
     the step every dedup pipeline needs after candidate generation --
     pairwise output alone cannot answer "which documents do I keep".
 
-    Algorithm: iterative min-label propagation.  Each round every node
-    takes ``min(own label, labels of its neighbors)``; a round is one join
-    + one map-side-combined min-aggregation, and the frame is
-    ``localCheckpoint``-ed so lineage stays flat (the multipage pattern).
-    Rounds needed = graph diameter, and duplicate clusters are stars/short
-    chains around a canonical document (LSH star guards upstream make this
-    explicit), so 2-4 rounds is typical; ``max_iter`` bounds adversarial
-    chains and the loop exits as soon as a round changes nothing.  The
-    per-round driver-side convergence count runs on the checkpointed frame
-    (bounded work, same contract as multipage's frontier ``isEmpty``).
+    Algorithm: min-label propagation WITH pointer jumping.  Each round every
+    node takes ``min(own label, neighbor labels)`` (one join + one
+    map-side-combined min-aggregation), then jumps ``component <-
+    component's component`` (one more join) -- the pointer-jump squares the
+    effective propagation distance, so convergence needs O(log diameter)
+    rounds, not O(diameter): ``max_iter=25`` covers chains beyond 2^25
+    nodes.  Duplicate clusters in practice are stars/short chains around a
+    canonical document (the LSH star guards upstream make this explicit),
+    converging in 2-4 rounds.  Every round is ``localCheckpoint``-ed so
+    lineage stays flat (the multipage pattern); the per-round driver-side
+    convergence count runs on the checkpointed frame.
+
+    ``strict=True`` (default) raises RuntimeError if max_iter rounds did
+    not converge -- silently returning partial labels would split real
+    clusters; pass ``strict=False`` to accept the partial refinement.
 
     At 100 TB this is the standard alternative to collecting an edge list
     into a graph library: every round is a bulk shuffle on the same keys,
@@ -861,29 +867,47 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy("dst")
-            .agg(F.min("component").alias("nbr_component"))
+            .agg(F.min("component").alias("__nbr"))
+        )
+        stage1 = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["dst"], "left"
+        ).select(
+            "id",
+            F.col("component").alias("__prev"),
+            F.least("component", F.coalesce("__nbr", "component")).alias("component"),
+        )
+        # pointer jump: labels are ids of real reachable nodes, so the
+        # label's own label is also reachable -- following it doubles the
+        # propagation horizon each round
+        hops = stage1.select(
+            F.col("id").alias("__cid"), F.col("component").alias("__ccomp")
         )
         updated = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["dst"], "left")
+            stage1.join(hops, stage1["component"] == hops["__cid"], "left")
             .select(
                 "id",
-                F.least(
-                    "component", F.coalesce("nbr_component", "component")
-                ).alias("component"),
-                (F.coalesce("nbr_component", "component") < F.col("component")).alias(
-                    "__changed"
+                "__prev",
+                F.least("component", F.coalesce("__ccomp", "component")).alias(
+                    "component"
                 ),
             )
             .localCheckpoint()
         )
-        n_changed = updated.filter("__changed").count()
-        labels = updated.drop("__changed")
+        n_changed = updated.filter(F.col("component") < F.col("__prev")).count()
+        labels = updated.drop("__prev")
         if n_changed == 0:
+            converged = True
             break
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pathological graph?); raise max_iter or pass strict=False"
+        )
     return labels
 
 

@@ -414,3 +414,31 @@ def test_c4_quality_filter_rules(spark):
     assert out["empty"]["keep"] is False
     assert "too_few_words" in out["empty"]["reasons"]
     assert all(not r["keep"] for k, r in out.items() if k != "good")
+
+
+def test_connected_components_long_chain_pointer_jump(spark):
+    """A 2000-node chain converges within 25 rounds only because of the
+    pointer jump (pure neighbor propagation would need ~2000 rounds)."""
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.dedup import connected_components
+
+    pairs = spark.range(1999).select(
+        F.col("id").alias("doc_id_a"), (F.col("id") + 1).alias("doc_id_b")
+    )
+    out = connected_components(pairs)
+    assert out.count() == 2000
+    assert out.filter(F.col("component") != 0).count() == 0
+
+
+def test_connected_components_strict_raises_on_nonconvergence(spark):
+    from nreadspark.ops.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_id_a bigint, doc_id_b bigint"
+    )
+    with pytest.raises(RuntimeError):
+        connected_components(pairs, max_iter=1)
+    # non-strict mode returns the partial refinement instead
+    partial = connected_components(pairs, max_iter=1, strict=False)
+    assert partial.count() == 31
