@@ -550,6 +550,26 @@ def _q_text_repetition(spark, sf_dir):
     return repetition_stats(docs)
 
 
+def _q_dedup_survivors(spark, sf_dir):
+    """Terminal dedup stage: candidate pairs -> components ->
+    keep_canonical anti-join.  Over the same chain+star graph as
+    dedup_components, the surviving corpus is every document that is its
+    cluster's minimum (or in no cluster at all) -- closed-form for SQL."""
+    from nreadspark.ops.dedup import keep_canonical
+
+    docs = _table(spark, sf_dir, "documents")
+    base = docs.select("doc_id").filter(F.col("doc_id") < 200)
+    chain = base.filter(F.pmod("doc_id", F.lit(5)) != 4).select(
+        F.col("doc_id").alias("doc_id_a"), (F.col("doc_id") + 1).alias("doc_id_b")
+    )
+    star = base.filter(F.pmod("doc_id", F.lit(40)) == 0).select(
+        F.col("doc_id").alias("doc_id_a"),
+        (F.col("doc_id") + 1000000).alias("doc_id_b"),
+    )
+    out = keep_canonical(docs, chain.unionByName(star))
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
 def _q_text_c4_filter(spark, sf_dir):
     """C4/Gopher rule-based corpus filter with explainable reasons.  The
     synthetic documents are deterministically perturbed so every rule fires
@@ -947,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "dedup_components": _q_dedup_components,
         "text_c4_filter": _q_text_c4_filter,
+        "dedup_survivors": _q_dedup_survivors,
         "text_repetition": _q_text_repetition,
         "mixed_pipeline": _q_mixed_pipeline,
         "dedup_ngram_substring": _q_ngram_dup_stats,
@@ -1234,6 +1255,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lc LEFT JOIN bs ON lc.doc_id = bs.doc_id
         """,
         # line_dedup: full SQL twin (zipped unnests give segment positions)
+        # survivors: every doc that is its cluster's min (chain head ids
+        # divisible by 5) or untouched by any pair (doc_id >= 200)
+        "dedup_survivors": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+            WHERE doc_id >= 200 OR doc_id % 5 = 0
+        """,
         "text_c4_filter": r"""
             WITH t1 AS (
               SELECT doc_id, CASE WHEN doc_id % 11 = 0
