@@ -550,14 +550,11 @@ def _q_text_repetition(spark, sf_dir):
     return repetition_stats(docs)
 
 
-def _q_dedup_survivors(spark, sf_dir):
-    """Terminal dedup stage: candidate pairs -> components ->
-    keep_canonical anti-join.  Over the same chain+star graph as
-    dedup_components, the surviving corpus is every document that is its
-    cluster's minimum (or in no cluster at all) -- closed-form for SQL."""
-    from nreadspark.ops.dedup import keep_canonical
-
-    docs = _table(spark, sf_dir, "documents")
+def _chain_star_pairs(docs):
+    """The shared synthetic duplicate graph for the component queries:
+    chains of 5 consecutive doc_ids (<200) plus +1000000 mirror stars on
+    every multiple of 40.  Both DuckDB oracles encode THIS layout -- change
+    it here and in both twins together."""
     base = docs.select("doc_id").filter(F.col("doc_id") < 200)
     chain = base.filter(F.pmod("doc_id", F.lit(5)) != 4).select(
         F.col("doc_id").alias("doc_id_a"), (F.col("doc_id") + 1).alias("doc_id_b")
@@ -566,7 +563,18 @@ def _q_dedup_survivors(spark, sf_dir):
         F.col("doc_id").alias("doc_id_a"),
         (F.col("doc_id") + 1000000).alias("doc_id_b"),
     )
-    out = keep_canonical(docs, chain.unionByName(star))
+    return chain.unionByName(star)
+
+
+def _q_dedup_survivors(spark, sf_dir):
+    """Terminal dedup stage: candidate pairs -> components ->
+    keep_canonical anti-join.  Over the same chain+star graph as
+    dedup_components, the surviving corpus is every document that is its
+    cluster's minimum (or in no cluster at all) -- closed-form for SQL."""
+    from nreadspark.ops.dedup import keep_canonical
+
+    docs = _table(spark, sf_dir, "documents")
+    out = keep_canonical(docs, _chain_star_pairs(docs))
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"))
 
 
@@ -599,17 +607,7 @@ def _q_dedup_components(spark, sf_dir):
     with a recursive CTE."""
     from nreadspark.ops.dedup import connected_components
 
-    base = _table(spark, sf_dir, "documents").select("doc_id").filter(
-        F.col("doc_id") < 200
-    )
-    chain = base.filter(F.pmod("doc_id", F.lit(5)) != 4).select(
-        F.col("doc_id").alias("doc_id_a"), (F.col("doc_id") + 1).alias("doc_id_b")
-    )
-    star = base.filter(F.pmod("doc_id", F.lit(40)) == 0).select(
-        F.col("doc_id").alias("doc_id_a"),
-        (F.col("doc_id") + 1000000).alias("doc_id_b"),
-    )
-    out = connected_components(chain.unionByName(star))
+    out = connected_components(_chain_star_pairs(_table(spark, sf_dir, "documents")))
     return out.select(
         F.col("id").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("component"),

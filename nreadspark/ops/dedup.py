@@ -899,6 +899,10 @@ def connected_components(
             .localCheckpoint()
         )
         n_changed = updated.filter(F.col("component") < F.col("__prev")).count()
+        # the count materialized `updated`; the previous round's checkpoint
+        # blocks are no longer needed -- release them instead of pinning
+        # O(rounds) copies of the label frame in executor storage
+        labels.unpersist()
         labels = updated.drop("__prev")
         if n_changed == 0:
             converged = True

@@ -258,10 +258,15 @@ def parse_mp4_header(raw: bytes):
                 n_tracks += 1
             elif btype == b"mvhd":
                 body = raw[i + hdr : i + size]
-                if body and body[0] == 1 and len(body) >= 32:  # version 1
-                    timescale = int.from_bytes(body[20:24], "big")
-                    duration = int.from_bytes(body[24:32], "big")
-                elif len(body) >= 20:  # version 0
+                version = body[0] if body else None
+                # a truncated v1 body must NOT fall through to the v0 field
+                # offsets (that would read the middle of the u64 timestamps
+                # as timescale/duration) -- truncated boxes yield None
+                if version == 1:
+                    if len(body) >= 32:
+                        timescale = int.from_bytes(body[20:24], "big")
+                        duration = int.from_bytes(body[24:32], "big")
+                elif version == 0 and len(body) >= 20:
                     timescale = int.from_bytes(body[12:16], "big")
                     duration = int.from_bytes(body[16:20], "big")
             i += size
@@ -408,6 +413,10 @@ def decode_png_pixels(raw: bytes):
         if color_type == 3:
             if plte is None:
                 raise ValueError("palette PNG without PLTE")
+            # out-of-range indices would slice short/empty entries and
+            # corrupt the luma loop -- keep the documented ValueError contract
+            if max(out, default=0) * 3 + 3 > len(plte):
+                raise ValueError("palette index out of PLTE range")
             rgb = bytearray()
             for idx in out:
                 rgb += plte[idx * 3 : idx * 3 + 3]
@@ -637,7 +646,10 @@ def sample_video_frames(media_df: DataFrame, every_ms: int = 1000, max_frames: i
                 if parsed is not None and parsed[2] is not None:
                     dur_ms, decoder = parsed[2], "header:mp4"
                 else:
-                    dur_ms, decoder = int(dur or 0), "stub"
+                    # nullable ints arrive as float64 NaN through Arrow --
+                    # NaN is truthy, so guard with a self-equality check
+                    dur_ms = int(dur) if dur is not None and dur == dur else 0
+                    decoder = "stub"
                 if not dur_ms:
                     continue
                 n = min(dur_ms // every_ms + 1, max_frames)

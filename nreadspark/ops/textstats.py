@@ -242,7 +242,10 @@ def repetition_stats(
 # al. 2021 table A1): the terminal pretraining-filter stage.  Rules are
 # integer/boolean-exact (no float thresholds), so any SQL engine reproduces
 # the decision bit-for-bit.
-_C4_TERMINAL_PUNCT = r'[.!?"]$'
+# \z (absolute end) rather than $: Java's $ matches BEFORE a trailing
+# newline while RE2's (DuckDB) does not -- \z pins both engines to the
+# same absolute-end semantics for texts ending in '\n'
+_C4_TERMINAL_PUNCT = r'[.!?"]\z'
 
 
 def c4_quality_filter(

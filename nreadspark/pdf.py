@@ -121,7 +121,11 @@ def _inflate_capped(raw: bytes, cap: int = _MAX_INFLATE) -> bytes:
     d = zlib.decompressobj()
     out = d.decompress(raw, cap)
     if d.unconsumed_tail:
-        raise FlateBombError(f"FlateDecode output exceeds {cap} bytes")
+        # a stream that inflates to EXACTLY cap bytes parks its trailing
+        # checksum in unconsumed_tail -- only call it a bomb if feeding the
+        # tail back produces more output
+        if d.decompress(d.unconsumed_tail, 1):
+            raise FlateBombError(f"FlateDecode output exceeds {cap} bytes")
     if not d.eof:
         # parity with zlib.decompress on truncated input: per-doc parse error
         raise zlib.error("incomplete or truncated FlateDecode stream")

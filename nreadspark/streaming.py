@@ -160,7 +160,10 @@ def dedup_stream(
     the operator scales with the state store, not the driver.  sha256 rather
     than md5 because crawl input is adversarial: md5 chosen-prefix collisions
     are practical, and a collision here permanently suppresses a distinct
-    document.
+    document.  Migration note: the key change orphans state checkpointed by
+    the earlier md5 build -- resuming an old checkpoint re-emits each
+    already-seen text once under its new key; restart with a fresh
+    checkpoint dir (and backfill via the batch dedup) for a clean cutover.
 
     ``n_prior`` is the number of earlier sightings of the text at emit time:
     0 for every row in the default first-wins mode (only firsts are

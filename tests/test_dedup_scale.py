@@ -400,6 +400,10 @@ def test_c4_quality_filter_rules(spark):
         ("lorem", "Lorem Ipsum filler with plenty of other words ending today."),
         ("longword", "Plenty of words here but " + "z" * 30 + " ruins it today."),
         ("nopunct", "Plenty of words here but it never terminates properly today"),
+        # \z semantics: a trailing newline after the period means the text
+        # does NOT end in terminal punctuation (Java's $ would match before
+        # the \n; RE2/DuckDB's would not -- \z makes both engines agree)
+        ("newline", "Plenty of words that look terminated but are not.\n"),
         ("empty", ""),
     ]
     df = spark.createDataFrame(rows, "doc_id string, text string")
@@ -410,6 +414,7 @@ def test_c4_quality_filter_rules(spark):
     assert out["lorem"]["reasons"] == "lorem_ipsum"  # case-insensitive match
     assert out["longword"]["reasons"] == "long_word"
     assert out["nopunct"]["reasons"] == "no_terminal_punct"
+    assert out["newline"]["reasons"] == "no_terminal_punct"
     # empty text: Spark split semantics -> one empty token, several rules fire
     assert out["empty"]["keep"] is False
     assert "too_few_words" in out["empty"]["reasons"]

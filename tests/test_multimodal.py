@@ -151,6 +151,14 @@ def test_png_pixel_decode_rejects_incomplete():
         decode_png_pixels(bytes.fromhex(hx))
     with pytest.raises(ValueError):
         decode_png_pixels(b"GIF89a" + b"\x00" * 16)
+    # palette index beyond the PLTE table: documented ValueError, not an
+    # IndexError escaping the contract (nor a silently wrong mean)
+    bad_pal = make_png_pixels(
+        [bytes([0, 3])], ch=1, color_type=3, filters=[0],
+        plte=bytes([255, 255, 255, 0, 0, 0]),
+    )
+    with pytest.raises(ValueError):
+        decode_png_pixels(bad_pal)
 
 
 def make_mp4(duration_ms: int, timescale: int = 1000, n_tracks: int = 1, version: int = 0) -> bytes:
@@ -185,6 +193,21 @@ def test_mp4_header_parse_rejects_and_degrades():
     raw = make_mp4(9_000)
     got = parse_mp4_header(raw[:28])
     assert got is not None and got[0] == "isom" and got[2] is None
+
+
+def test_mp4_truncated_v1_mvhd_yields_no_duration():
+    """A version-1 mvhd body shorter than 32 bytes must NOT be read with
+    version-0 field offsets (that would return timestamp bytes as a bogus
+    timescale/duration)."""
+    from nreadspark.ops.multimodal import parse_mp4_header
+
+    ftyp = struct.pack(">I", 20) + b"ftypisom" + struct.pack(">I", 0x200) + b"isom"
+    # v1 marker + flags + 16 bytes of (nonzero) 64-bit times = 20-byte body
+    body = b"\x01\x00\x00\x00" + b"\xde\xad\xbe\xef" * 4
+    mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    got = parse_mp4_header(ftyp + moov)
+    assert got == ("isom", None, None, 0)
 
 
 def test_synthetic_mp4_payload_round_trips():
@@ -317,6 +340,9 @@ def test_frame_sampling_derives_duration_from_bytes(spark):
         ("vid1", "video", make_mp4(4_500), None, None, None),  # NULL column
         ("vid2", "video", make_mp4(9_999, timescale=90_000), None, None, 1),
         ("leg1", "video", b"not-a-container", None, None, 2_100),
+        # non-BMFF payload AND NULL duration column (arrives as NaN through
+        # Arrow): must be skipped, not crash the stage on int(NaN)
+        ("legnull", "video", b"also-not-a-container", None, None, None),
         ("img1", "image", b"\x89PNG", None, None, 0),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -327,6 +353,7 @@ def test_frame_sampling_derives_duration_from_bytes(spark):
     assert len(by_ref["vid1"]) == 5 and by_ref["vid1"][0]["decoder"] == "header:mp4"
     assert len(by_ref["vid2"]) == 10  # 9999ms // 1000 + 1
     assert len(by_ref["leg1"]) == 3 and by_ref["leg1"][0]["decoder"] == "stub"
+    assert "legnull" not in by_ref  # no duration from bytes OR column
     assert "img1" not in by_ref
     # frame payloads are the documented deterministic stubs in BOTH modes
     import hashlib

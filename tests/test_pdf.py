@@ -95,6 +95,9 @@ def test_inflate_cap_blocks_flate_bombs():
     assert _inflate_capped(zlib.compress(b"hello"), cap=10_000) == b"hello"
     with pytest.raises(zlib.error):
         _inflate_capped(bomb[:20], cap=1 << 20)
+    # a legit stream inflating to EXACTLY the cap parks its checksum in
+    # unconsumed_tail -- that is not a bomb
+    assert _inflate_capped(zlib.compress(b"x" * 1000), cap=1000) == b"x" * 1000
 
 
 def test_flate_bomb_pdf_is_a_contained_parse_error():
