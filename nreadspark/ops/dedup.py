@@ -226,12 +226,21 @@ def lsh_bucket_overflow(
 
 
 def verify_jaccard(
-    df: DataFrame, candidates: DataFrame, text_col: str = "text", threshold: float = 0.7
+    df: DataFrame, candidates: DataFrame, text_col: str = "text", threshold: float = 0.7,
+    persist_tokens: bool = True,
 ) -> DataFrame:
-    """Exact token-set Jaccard for candidate pairs (JVM set functions)."""
+    """Exact token-set Jaccard for candidate pairs (JVM set functions).
+
+    The token-set frame is consumed by BOTH join sides; ``persist_tokens``
+    (default True) materializes it once instead of re-tokenizing the corpus
+    per side."""
     toks = tokenize(df, text_col).select(
         "doc_id", F.array_distinct("__tokens").alias("token_set")
     )
+    if persist_tokens:
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     a = toks.select(F.col("doc_id").alias("doc_id_a"), F.col("token_set").alias("set_a"))
     b = toks.select(F.col("doc_id").alias("doc_id_b"), F.col("token_set").alias("set_b"))
     joined = candidates.join(a, "doc_id_a").join(b, "doc_id_b")
@@ -595,6 +604,11 @@ def embedding_near_duplicates(
             F.collect_list("vec").alias("vecs"),
         )
     )
+    # both tile sides consume the packed frame: materialize the block-pack
+    # (scan + collect_list) once instead of twice
+    from pyspark import StorageLevel
+
+    packed = packed.persist(StorageLevel.MEMORY_AND_DISK)
     a = packed.select(
         F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
     )
@@ -782,7 +796,8 @@ def line_dedup(
 
 
 def ngram_duplicate_stats(
-    df: DataFrame, text_col: str = "text", n: int = 8, exact: bool = False
+    df: DataFrame, text_col: str = "text", n: int = 8, exact: bool = False,
+    persist_ngrams: bool = True,
 ) -> DataFrame:
     """Corpus-wide exact-substring duplication signal (Lee et al. 2021,
     'Deduplicating Training Data Makes Language Models Better'): for each
@@ -821,6 +836,13 @@ def ngram_duplicate_stats(
         starts, lambda i: gram_key(F.concat_ws(" ", F.slice(words, i, n)))
     )
     exploded = df.select("doc_id", F.explode(grams).alias("h"))
+    if persist_ngrams:
+        # the exploded n-gram frame feeds the doc-frequency aggregation AND
+        # the join back -- materialize once instead of rebuilding the
+        # (slice + concat_ws + hash) n-gram construction per consumer
+        from pyspark import StorageLevel
+
+        exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
 
     docfreq = exploded.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
     return (
