@@ -47,6 +47,7 @@ def curate(
     -> near-dup order so the expensive MinHash pass sees only surviving,
     boilerplate-free text.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     from nreadspark.ops.dedup import (
@@ -57,6 +58,9 @@ def curate(
     )
     from nreadspark.ops.textstats import c4_quality_filter
 
+    # each stage's output feeds both the next stage AND its stats action --
+    # persist the hand-off frames so no stage recomputes its predecessors
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     stats: dict = {"input_docs": docs.count()}
 
     # 1. rule-based quality filter
@@ -76,7 +80,9 @@ def curate(
     # whose text was ALL boilerplate still flows to the dedup stage)
     cleaned = line_dedup(
         kept, text_col=text_col, min_repeats=line_min_repeats, keep_all_docs=True
-    ).select("doc_id", F.col("clean_text").alias(text_col), "n_removed")
+    ).select(
+        "doc_id", F.col("clean_text").alias(text_col), "n_removed"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     stats["boilerplate_lines_removed"] = (
         cleaned.agg(F.sum("n_removed")).collect()[0][0] or 0
     )
@@ -86,7 +92,7 @@ def curate(
     candidates = minhash_lsh_candidates(cleaned, text_col=text_col)
     verified = verify_jaccard(
         cleaned, candidates, text_col=text_col, threshold=minhash_threshold
-    ).select("doc_id_a", "doc_id_b")
+    ).select("doc_id_a", "doc_id_b").persist(StorageLevel.MEMORY_AND_DISK)
     surviving = keep_canonical(cleaned, verified)
     stats["near_dup_pairs"] = verified.count()
     stats["surviving_docs"] = surviving.count()
