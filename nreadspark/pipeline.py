@@ -280,8 +280,13 @@ def extract_from_html(df: DataFrame, html_col: str = "html", url_col: str | None
 # <meta charset="..."> form as an extension
 import re as _re
 
+# the reference's _MetaTagRegex (UrlFetcher.cs:48) is double-quote-only;
+# real crawl HTML uses single quotes and unquoted attributes just as often,
+# so this is a strict superset: the charset token itself is captured by
+# charclass, no closing quote required
 _META_CHARSET_RE = _re.compile(
-    rb"<meta[^>]+content=\"[^\"]*charset=(?P<charset>[^\"]+)\"", _re.IGNORECASE
+    rb"<meta[^>]+content=[\"']?[^\"'>]*charset=(?P<charset>[A-Za-z0-9_.:-]+)",
+    _re.IGNORECASE,
 )
 _META_CHARSET_MODERN_RE = _re.compile(
     rb"<meta\s+charset=[\"']?(?P<charset>[A-Za-z0-9_.:-]+)", _re.IGNORECASE
