@@ -447,3 +447,34 @@ def test_connected_components_strict_raises_on_nonconvergence(spark):
     # non-strict mode returns the partial refinement instead
     partial = connected_components(pairs, max_iter=1, strict=False)
     assert partial.count() == 31
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random graphs vs an independent driver-side union-find (union by
+    min-root, so each root IS its component minimum)."""
+    import random
+
+    from nreadspark.ops.dedup import connected_components
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        n = 40
+        edges = list({(a, b) for a, b in (
+            (rng.randrange(n), rng.randrange(n)) for _ in range(45)) if a != b})
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for e in edges for x in e}
+
+        pairs = spark.createDataFrame(edges, "doc_id_a bigint, doc_id_b bigint")
+        got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+        assert got == expected, f"seed {seed}"
