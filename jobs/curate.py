@@ -16,8 +16,8 @@ Stages (each pure-DataFrame, composing the ops/ layer):
 3. **Near-duplicate clustering**: MinHash/LSH candidates -> exact Jaccard
    verify -> `connected_components` -> `keep_canonical`: only each
    cluster's minimum-id document survives.
-4. **Write** surviving (doc_id, clean text, n_words) + a JSON summary with
-   per-stage counts on stdout.
+4. **Write** the surviving (doc_id, <text_col>) table + a JSON summary
+   with per-stage counts on stdout.
 
 No counterpart exists in the reference (it is a per-page library); this is
 the engine's "what you actually run at 10^12 documents" surface, and every
@@ -40,12 +40,21 @@ def curate(
     min_words: int = 5,
     minhash_threshold: float = 0.7,
     line_min_repeats: int = 2,
+    line_delimiter: str = "\n",
 ):
     """The pipeline as a reusable function: (surviving_df, stats dict).
 
     ``docs`` needs (doc_id, <text_col>).  Stages run in quality -> line-dedup
     -> near-dup order so the expensive MinHash pass sees only surviving,
-    boilerplate-free text.
+    boilerplate-free text.  ``line_delimiter`` defaults to newline -- real
+    extracted text is line-structured; pass ',' for clause-structured
+    corpora like the synthetic test tables.
+
+    Caching contract: ``cleaned`` and ``verified`` stay persisted because
+    the RETURNED surviving frame is computed from them (the caller's write
+    reuses the cache); the input frame is unpersisted as soon as the
+    line-dedup stage has materialized.  One curate() call per session is
+    the intended shape (it is a job, not a library primitive).
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
@@ -79,19 +88,30 @@ def curate(
     # 2. cross-document boilerplate line removal (keep every doc: a doc
     # whose text was ALL boilerplate still flows to the dedup stage)
     cleaned = line_dedup(
-        kept, text_col=text_col, min_repeats=line_min_repeats, keep_all_docs=True
+        kept, text_col=text_col, delimiter=line_delimiter,
+        min_repeats=line_min_repeats, keep_all_docs=True
     ).select(
         "doc_id", F.col("clean_text").alias(text_col), "n_removed"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     stats["boilerplate_lines_removed"] = (
         cleaned.agg(F.sum("n_removed")).collect()[0][0] or 0
     )
+    docs.unpersist()  # cleaned is materialized; the input cache is done
     cleaned = cleaned.drop("n_removed")
 
-    # 3. near-dup: candidates -> exact verify -> components -> survivors
-    candidates = minhash_lsh_candidates(cleaned, text_col=text_col)
+    # 3. near-dup: candidates -> exact verify -> components -> survivors.
+    # Documents EMPTIED by line dedup are excluded from the pair graph: all
+    # empty texts tokenize identically (Jaccard 1.0), so leaving them in
+    # would cluster mutually unrelated documents as "duplicates" of each
+    # other.  They bypass dedup and survive (stats expose the count so a
+    # caller can drop them).
+    dedup_input = cleaned.filter(F.length(text_col) > 0)
+    stats["emptied_by_line_dedup"] = stats["input_docs"] - stats[
+        "quality_dropped"
+    ] - dedup_input.count()
+    candidates = minhash_lsh_candidates(dedup_input, text_col=text_col)
     verified = verify_jaccard(
-        cleaned, candidates, text_col=text_col, threshold=minhash_threshold
+        dedup_input, candidates, text_col=text_col, threshold=minhash_threshold
     ).select("doc_id_a", "doc_id_b").persist(StorageLevel.MEMORY_AND_DISK)
     surviving = keep_canonical(cleaned, verified)
     stats["near_dup_pairs"] = verified.count()
@@ -107,6 +127,10 @@ def main() -> None:
     parser.add_argument("--min-words", type=int, default=5)
     parser.add_argument("--minhash-threshold", type=float, default=0.7)
     parser.add_argument("--line-min-repeats", type=int, default=2)
+    parser.add_argument(
+        "--line-delimiter", default="\n",
+        help="boilerplate line delimiter (default newline; ',' for clause-structured text)",
+    )
     parser.add_argument(
         "--synthetic", type=int, default=0,
         help="curate N synthetic docs instead of reading --input",
@@ -146,6 +170,7 @@ def main() -> None:
         min_words=args.min_words,
         minhash_threshold=args.minhash_threshold,
         line_min_repeats=args.line_min_repeats,
+        line_delimiter=args.line_delimiter,
     )
     surviving.write.mode("overwrite").parquet(args.output)
     print(json.dumps(stats))

@@ -571,6 +571,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     block_size: int = 512,
     n_blocks: int | None = None,
+    persist_blocks: bool = True,
 ) -> DataFrame:
     """All-pairs cosine near-dup via blocked matrix multiply.
 
@@ -604,11 +605,14 @@ def embedding_near_duplicates(
             F.collect_list("vec").alias("vecs"),
         )
     )
-    # both tile sides consume the packed frame: materialize the block-pack
-    # (scan + collect_list) once instead of twice
-    from pyspark import StorageLevel
+    if persist_blocks:
+        # both tile sides consume the packed frame: materialize the
+        # block-pack (scan + collect_list) once instead of twice.  The cache
+        # is session-scoped (Spark pins it until the session ends or the
+        # LRU evicts) -- pass False on frames too large to spill.
+        from pyspark import StorageLevel
 
-    packed = packed.persist(StorageLevel.MEMORY_AND_DISK)
+        packed = packed.persist(StorageLevel.MEMORY_AND_DISK)
     a = packed.select(
         F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
     )

@@ -23,9 +23,12 @@ def spark():
 
 
 def test_curate_pipeline_stages(spark):
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo/jobs")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+    )
     from curate import curate
 
     body = (
@@ -48,7 +51,8 @@ def test_curate_pipeline_stages(spark):
     # survivors) counts as boilerplate; the trio's shared body segments
     # (3 docs) stay, so the near-dup stage still sees them
     surviving, stats = curate(
-        docs, min_words=5, minhash_threshold=0.5, line_min_repeats=4
+        docs, min_words=5, minhash_threshold=0.5, line_min_repeats=4,
+        line_delimiter=",",
     )
 
     assert stats["input_docs"] == 6
@@ -61,3 +65,32 @@ def test_curate_pipeline_stages(spark):
     assert set(out) == {"1", "4"}
     assert "SUBSCRIBE NOW" not in out["1"] and out["1"].startswith("this article")
     assert stats["surviving_docs"] == 2
+    assert stats["emptied_by_line_dedup"] == 0
+
+
+def test_curate_emptied_docs_are_not_cross_clustered(spark):
+    """Docs fully emptied by boilerplate removal must NOT be treated as
+    near-duplicates of each other (all empty texts tokenize identically);
+    they bypass the pair graph and survive with the count exposed."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+    )
+    from curate import curate
+
+    rows = [
+        ("a", "SAME BANNER."),
+        ("b", "SAME BANNER."),
+        ("c", "SAME BANNER."),
+        ("d", "a genuinely unique article, with plenty of words, ending properly."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    surviving, stats = curate(
+        docs, min_words=2, minhash_threshold=0.5, line_min_repeats=3,
+        line_delimiter=",",
+    )
+    assert stats["emptied_by_line_dedup"] == 3
+    assert stats["near_dup_pairs"] == 0  # empties never enter the graph
+    assert {r["doc_id"] for r in surviving.collect()} == {"a", "b", "c", "d"}
