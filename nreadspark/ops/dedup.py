@@ -15,7 +15,57 @@ Scale notes (the point of doing this in Spark):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
+
+# -- persisted-intermediate registry ----------------------------------------
+# Several operators persist frames consumed by 2+ downstream subplans (band
+# self-joins, token sets on both join sides).  Those frames are only safe to
+# unpersist AFTER the caller materializes the returned lazy DataFrame, so the
+# operator cannot release them internally; each persist is registered here
+# and long-lived sessions (bench loops, notebooks) call release_caches()
+# between invocations.  Without that, pinned storage accumulates until LRU
+# eviction or session end.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> DataFrame:
+    df = df.persist(level)
+    _PERSISTED.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate frame persisted by this module's
+    operators since the last call.  Call only after the returned DataFrames
+    are materialized (collected / written / counted); returns the number of
+    frames released."""
+    n = 0
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already torn down; nothing to release
+            pass
+    return n
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a localCheckpoint'd DataFrame's RDD blocks.
+
+    ``DataFrame.unpersist`` only uncaches plans registered via
+    ``persist()``; a localCheckpoint's blocks are normally freed only when
+    the ContextCleaner garbage-collects the underlying RDD, which on large
+    graphs can leave O(rounds) label-frame copies pinned in executor
+    storage non-deterministically.  The checkpointed Dataset's analyzed
+    plan is a ``LogicalRDD`` holding that RDD, so reach it through py4j and
+    unpersist it directly; when the plan shape differs (non-checkpointed
+    input) fall back to GC."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: ContextCleaner reclaims via GC eventually
 
 # MinHash parameters: h_j(x) = (a_j * x + b_j) mod p, p Mersenne-ish prime
 _MINHASH_PRIME = (1 << 61) - 1
@@ -169,9 +219,7 @@ def minhash_lsh_candidates(
     """
     banded = _banded_signatures(df, text_col, k, n_hashes, n_bands, hash_fn)
     if persist_bands:
-        from pyspark import StorageLevel
-
-        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+        banded = _persist(banded)
 
     if max_bucket_size is not None:
         # per-bucket size + canonical doc: partial-aggregated (map-side
@@ -238,9 +286,7 @@ def verify_jaccard(
         "doc_id", F.array_distinct("__tokens").alias("token_set")
     )
     if persist_tokens:
-        from pyspark import StorageLevel
-
-        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+        toks = _persist(toks)
     a = toks.select(F.col("doc_id").alias("doc_id_a"), F.col("token_set").alias("set_a"))
     b = toks.select(F.col("doc_id").alias("doc_id_b"), F.col("token_set").alias("set_b"))
     joined = candidates.join(a, "doc_id_a").join(b, "doc_id_b")
@@ -459,9 +505,7 @@ def embedding_near_duplicates_lsh(
         # consumer would re-run the signature GEMM over the corpus.  One
         # spill-to-disk materialization beats 2-4 recomputes; pass False to
         # trade CPU for storage on corpora too large to spill.
-        from pyspark import StorageLevel
-
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs = _persist(sigs)
 
     # -- hot-bucket pre-split: count first (map-side combine), so oversized
     # buckets are routed to the star path BEFORE any collect_list sees them
@@ -609,10 +653,9 @@ def embedding_near_duplicates(
         # both tile sides consume the packed frame: materialize the
         # block-pack (scan + collect_list) once instead of twice.  The cache
         # is session-scoped (Spark pins it until the session ends or the
-        # LRU evicts) -- pass False on frames too large to spill.
-        from pyspark import StorageLevel
-
-        packed = packed.persist(StorageLevel.MEMORY_AND_DISK)
+        # LRU evicts; release_caches() frees it explicitly) -- pass False
+        # on frames too large to spill.
+        packed = _persist(packed)
     a = packed.select(
         F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"), F.col("vecs").alias("vecs_a")
     )
@@ -772,7 +815,9 @@ def line_dedup(
     if broadcast == "auto":
         # measure-then-choose: the set is persisted so the measuring count
         # and the membership join share one corpus aggregation pass
-        boiler = boiler.persist()
+        # (registered: release_caches() frees it after the caller
+        # materializes the result)
+        boiler = _persist(boiler)
         use_broadcast = boiler.count() <= broadcast_limit
     right = F.broadcast(boiler) if use_broadcast else boiler
 
@@ -781,10 +826,15 @@ def line_dedup(
     # collect_list drops NULLs: removed lines contribute to n_lines but not
     # to the kept-struct list, so one aggregation yields everything
     kept_struct = F.when(F.col("line_key").isNull(), F.struct("pos", "line"))
+    # reassembly joiner: lines are trim()'d at explode, so single-character
+    # punctuation delimiters (',') read back naturally as ', '; for every
+    # other delimiter -- newline above all -- join with the BARE delimiter,
+    # or the curated text gains a space at the start of every line
+    joiner = delimiter + " " if len(delimiter) == 1 and not delimiter.isspace() and not delimiter.isalnum() else delimiter
     out = flagged.groupBy("doc_id").agg(
         F.array_join(
             F.transform(F.sort_array(F.collect_list(kept_struct)), lambda s: s["line"]),
-            delimiter + " ",
+            joiner,
         ).alias("clean_text"),
         F.count("*").cast("bigint").alias("n_lines"),
         F.count("line_key").cast("bigint").alias("n_removed"),
@@ -844,9 +894,7 @@ def ngram_duplicate_stats(
         # the exploded n-gram frame feeds the doc-frequency aggregation AND
         # the join back -- materialize once instead of rebuilding the
         # (slice + concat_ws + hash) n-gram construction per consumer
-        from pyspark import StorageLevel
-
-        exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+        exploded = _persist(exploded)
 
     docfreq = exploded.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
     return (
@@ -906,6 +954,7 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
+    prev_ckpt = labels  # the checkpointed frame itself (labels may later be a projection over it)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -938,9 +987,11 @@ def connected_components(
         )
         n_changed = updated.filter(F.col("component") < F.col("__prev")).count()
         # the count materialized `updated`; the previous round's checkpoint
-        # blocks are no longer needed -- release them instead of pinning
-        # O(rounds) copies of the label frame in executor storage
-        labels.unpersist()
+        # blocks are no longer needed -- release the underlying RDD (plain
+        # DataFrame.unpersist would NOT touch localCheckpoint blocks)
+        # instead of pinning O(rounds) label-frame copies in storage
+        _release_local_checkpoint(prev_ckpt)
+        prev_ckpt = updated
         labels = updated.drop("__prev")
         if n_changed == 0:
             converged = True
@@ -950,6 +1001,9 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds "
             "(pathological graph?); raise max_iter or pass strict=False"
         )
+    # the returned frame's checkpoint is self-contained -- the symmetrized
+    # edge frame's blocks can go now
+    _release_local_checkpoint(edges)
     return labels
 
 

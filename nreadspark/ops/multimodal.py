@@ -453,7 +453,9 @@ def _fake_features(payload: bytes, n: int = 8) -> list[float]:
     return [int.from_bytes(digest[i * 4 : i * 4 + 4], "big") / 2**32 for i in range(n)]
 
 
-def extract_media_features(media_df: DataFrame, allow_pil: bool = True) -> DataFrame:
+def extract_media_features(
+    media_df: DataFrame, allow_pil: bool = True, max_decode_pixels: int | None = 1 << 16
+) -> DataFrame:
     """Arrow-batched feature/metadata extraction over binary payloads.
 
     Per payload: sizes + hashes always; then the decode tiers -- PIL pixel
@@ -462,7 +464,16 @@ def extract_media_features(media_df: DataFrame, allow_pil: bool = True) -> DataF
     mean-luma feature as the PIL tier), else the stdlib header parse
     (``decoder='header:<codec>'``), else the deterministic stub
     (``decoder='stub'``).  ``payload_md5`` is md5 of the lowercase hex of
-    the bytes (SQL engines generally hash strings, not blobs)."""
+    the bytes (SQL engines generally hash strings, not blobs).
+
+    ``max_decode_pixels`` caps the VENDORED pixel tier: the stdlib PNG
+    unfilter is a pure-Python per-pixel loop, O(width*height*channels), so
+    a single camera photo would cost tens of millions of Python iterations
+    and dominate a metadata sweep.  The header (IHDR) dimensions are read
+    first -- O(1) -- and payloads beyond the cap take the header tier
+    instead, keeping header-only sweeps header-speed.  Default 65 536
+    pixels (256x256); pass ``None`` to opt in to full decode at any size
+    (or install PIL, whose C loops need no cap)."""
 
     def batches(iterator):
         import pandas as pd
@@ -496,16 +507,20 @@ def extract_media_features(media_df: DataFrame, allow_pil: bool = True) -> DataF
                         feats = [mean_pixel / 255.0] * 8
                     except Exception:
                         w = h = None
-                if w is None:
-                    try:  # vendored pure-stdlib pixel tier (complete PNGs)
-                        _, w, h, mean_pixel = decode_png_pixels(raw)
-                        decoder = "pixels:png"
-                        feats = [mean_pixel / 255.0] * 8
-                    except Exception:
-                        w = h = None
+                parsed = parse_image_header(raw) if w is None else None
+                if w is None and parsed is not None and parsed[0] == "png":
+                    # vendored pure-stdlib pixel tier: O(w*h*channels)
+                    # per-pixel Python -- only below the pixel cap, sized
+                    # from the O(1) IHDR parse above
+                    if max_decode_pixels is None or parsed[1] * parsed[2] <= max_decode_pixels:
+                        try:
+                            _, w, h, mean_pixel = decode_png_pixels(raw)
+                            decoder = "pixels:png"
+                            feats = [mean_pixel / 255.0] * 8
+                        except Exception:
+                            w = h = None
                 dur_ms = None
                 if w is None:
-                    parsed = parse_image_header(raw)
                     if parsed is not None:
                         codec, w, h = parsed
                         decoder = f"header:{codec}"

@@ -478,3 +478,85 @@ def test_connected_components_matches_union_find(spark):
         pairs = spark.createDataFrame(edges, "doc_id_a bigint, doc_id_b bigint")
         got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
         assert got == expected, f"seed {seed}"
+
+
+def test_line_dedup_newline_delimiter_joins_bare(spark):
+    """With a newline delimiter the reassembled text must use the BARE
+    delimiter -- the old ``delimiter + ' '`` joiner prepended a space to
+    every line after the first, altering curated-document bytes beyond
+    boilerplate removal.  Single-char punctuation delimiters (',') keep the
+    readable ', ' joiner (and the SQL twin's string_agg(line, ', '))."""
+    from nreadspark.ops.dedup import line_dedup
+
+    rows = [
+        ("a", "COOKIE BANNER\nfirst real line\nsecond real line"),
+        ("b", "COOKIE BANNER\nother content here"),
+        ("c", "COOKIE BANNER\nmore words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs, delimiter="\n", min_repeats=3).collect()}
+    assert out["a"]["clean_text"] == "first real line\nsecond real line"
+    assert out["a"]["n_removed"] == 1
+    # comma delimiter keeps the ', ' joiner (oracle parity)
+    out2 = {r["doc_id"]: r for r in line_dedup(
+        spark.createDataFrame(
+            [("a", "BANNER, one, two"), ("b", "BANNER, three"), ("c", "BANNER, four")],
+            "doc_id string, text string",
+        ),
+        delimiter=",", min_repeats=3,
+    ).collect()}
+    assert out2["a"]["clean_text"] == "one, two"
+
+
+def test_release_caches_frees_persisted_intermediates(spark):
+    """Operators persist frames consumed by several subplans; a long-lived
+    session must be able to release them between invocations instead of
+    accumulating pinned storage until LRU eviction."""
+    from nreadspark.ops import dedup
+
+    dedup.release_caches()  # clear anything registered by earlier tests
+    sc = spark.sparkContext
+
+    docs = spark.createDataFrame(
+        [(i, f"some words number {i} plus shared tail of tokens") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    n_before = len(sc._jsc.sc().getRDDStorageInfo())
+    pairs = dedup.minhash_lsh_candidates(docs)
+    pairs.count()  # materializes -> the banded frame's cache fills
+    assert len(dedup._PERSISTED) >= 1
+    released = dedup.release_caches()
+    assert released >= 1 and not dedup._PERSISTED
+    assert len(sc._jsc.sc().getRDDStorageInfo()) <= n_before
+
+
+def test_release_local_checkpoint_frees_blocks(spark):
+    """DataFrame.unpersist does NOT free localCheckpoint blocks (only
+    persist()-registered plans); the helper must reach the underlying RDD.
+    connected_components relies on this to avoid pinning O(rounds) label
+    frames."""
+    from pyspark.storagelevel import StorageLevel
+
+    from nreadspark.ops.dedup import _release_local_checkpoint, connected_components
+
+    sc = spark.sparkContext
+    df = spark.range(500).localCheckpoint()
+    names_with_blocks = lambda: sum(  # noqa: E731
+        1 for i in sc._jsc.sc().getRDDStorageInfo() if i.numCachedPartitions() > 0
+    )
+    n_with = names_with_blocks()
+    assert n_with >= 1
+    _release_local_checkpoint(df)
+    assert names_with_blocks() < n_with
+    # non-checkpointed input: helper is a silent no-op (GC fallback)
+    _release_local_checkpoint(spark.range(3))
+
+    # end-to-end: components over a 200-node chain (several pointer-jump
+    # rounds) leaves at most the final labels checkpoint pinned
+    base = names_with_blocks()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_id_a bigint, doc_id_b bigint"
+    )
+    labels = connected_components(pairs)
+    assert labels.filter("component <> 0").count() == 0
+    assert names_with_blocks() <= base + 1

@@ -375,3 +375,30 @@ def test_resize_structural_and_passthrough(spark):
     assert parse_image_header(bytes(out["png1"]["payload"]))[1:] == (224, 224)
     assert out["bin1"]["resized"] is False
     assert bytes(out["bin1"]["payload"]) == b"\x99" * 10
+
+
+def test_png_pixel_tier_capped_by_pixel_count(spark):
+    """The vendored PNG pixel decode is a pure-Python per-pixel loop; on a
+    metadata sweep it must not run for large images.  Dimensions come from
+    the O(1) IHDR parse first: payloads beyond ``max_decode_pixels`` take
+    the header tier, small ones still pixel-decode, and ``None`` opts in to
+    full decode at any size."""
+    from nreadspark.ops.multimodal import MEDIA_SCHEMA, extract_media_features
+
+    big = make_real_png(400, 400)  # 160k pixels > default 64k cap
+    small = make_real_png(12, 34)
+    df = spark.createDataFrame(
+        [("big", "image", big, 400, 400, 0), ("small", "image", small, 12, 34, 0)],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_ref"]: r for r in extract_media_features(df, allow_pil=False).collect()}
+    assert out["big"]["decoder"] == "header:png"
+    assert (out["big"]["decoded_width"], out["big"]["decoded_height"]) == (400, 400)
+    assert out["small"]["decoder"] == "pixels:png"
+    # opt-in uncapped: the big PNG pixel-decodes (all-zero image -> luma 0)
+    out2 = {
+        r["media_ref"]: r
+        for r in extract_media_features(df, allow_pil=False, max_decode_pixels=None).collect()
+    }
+    assert out2["big"]["decoder"] == "pixels:png"
+    assert out2["big"]["features"] == [0.0] * 8
