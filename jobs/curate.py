@@ -30,8 +30,234 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+STAGES_DIR = "_stages"
+STAGE_MARKER = "_stage.json"
+# pipeline order; each entry is (stage name, bucket id column of its output)
+STAGE_ORDER = [("quality", "doc_id"), ("line_clean", "doc_id"), ("pairs", "doc_id_a")]
+
+
+def _stage_path(output_path: str, stage: str) -> str:
+    return output_path if stage == "final" else os.path.join(output_path, STAGES_DIR, stage)
+
+
+def _commit_stage(
+    spark, df, output_path, stage, n_buckets, stage_stats, resume,
+    id_col="doc_id", rows_stat_key=None,
+):
+    """Write one stage's output ``partitionBy(bucket)`` with per-bucket
+    manifests (the run_extraction pattern, lineage.py:111): buckets whose
+    manifest already exists are SKIPPED (their parquet partition is already
+    committed -- idempotent via dynamic partition overwrite), the rest are
+    (re)written, then the stage marker with the stage's stats commits
+    atomically LAST, so a marker's existence proves the whole stage.
+    Returns the stage's total row count (pre-existing + new buckets)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from nreadspark import lineage
+
+    stage_out = _stage_path(output_path, stage)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    done = lineage.completed_buckets_fs(spark, stage_out) if resume else set()
+    bucketed = df.withColumn("bucket", lineage.bucket_col(n_buckets, id_col))
+    todo = bucketed.filter(~F.col("bucket").isin(list(done))) if done else bucketed
+    todo = todo.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        rows = [
+            r.asDict()
+            for r in todo.groupBy("bucket").agg(F.count("*").cast("bigint").alias("docs")).collect()
+        ]
+        todo.write.partitionBy("bucket").mode("overwrite").parquet(stage_out)
+        for r in rows:
+            r["committed_at"] = time.time()
+            lineage.write_marker(stage_out, f"bucket={int(r['bucket'])}.json", r, spark=spark)
+    finally:
+        todo.unpersist()
+    total = sum(r["docs"] for r in rows) + sum(
+        (lineage.read_marker(stage_out, f"bucket={b}.json", spark=spark) or {}).get("docs", 0)
+        for b in done
+    )
+    stage_stats = dict(stage_stats)
+    if rows_stat_key is not None:
+        stage_stats[rows_stat_key] = int(total)
+    lineage.write_marker(
+        stage_out,
+        STAGE_MARKER,
+        {
+            "stage": stage,
+            "rows": int(total),
+            "n_buckets": n_buckets,
+            "schema_json": df.schema.json(),
+            "stats": stage_stats,
+            "committed_at": time.time(),
+        },
+        spark=spark,
+    )
+    return int(total)
+
+
+def _read_stage(spark, output_path, stage):
+    """(DataFrame, stats) for a COMPLETED stage (marker committed), else
+    None.  Zero-row stages rebuild an empty frame from the recorded schema
+    (an empty partitioned parquet dir has no footers to infer from)."""
+    from pyspark.sql.types import StructType
+
+    from nreadspark import lineage
+
+    stage_out = _stage_path(output_path, stage)
+    marker = lineage.read_marker(stage_out, STAGE_MARKER, spark=spark)
+    if marker is None:
+        return None
+    if marker["rows"] == 0:
+        schema = StructType.fromJson(json.loads(marker["schema_json"]))
+        return spark.createDataFrame([], schema), marker["stats"]
+    return spark.read.parquet(stage_out).drop("bucket"), marker["stats"]
+
+
+def curate_resumable(
+    spark,
+    docs,
+    output_path: str,
+    text_col: str = "text",
+    min_words: int = 5,
+    minhash_threshold: float = 0.7,
+    line_min_repeats: int = 2,
+    line_delimiter: str = "\n",
+    n_buckets: int = 16,
+    resume: bool = True,
+    fail_after_stage: str | None = None,
+):
+    """:func:`curate` with per-stage, per-bucket checkpointed lineage.
+
+    Each stage hand-off (quality-kept docs, line-cleaned text, verified
+    pairs) is committed under ``<output>/_stages/<stage>/`` exactly like
+    the extract job's output (parquet partitioned by the deterministic
+    doc-id bucket + one manifest per bucket + an atomic stage marker
+    carrying the stage's stats); the final survivors commit at the output
+    root the same way.  A crash mid-near-dup therefore re-pays only the
+    near-dup stage: on the next run completed stages load from their
+    committed parquet (stats from the marker -- summed correctly across
+    the resume), and a PARTIALLY-written stage recomputes its global
+    aggregates but skips the bucket partitions already committed.
+
+    Downstream stages always consume the RE-READ committed parquet, never
+    the in-memory plan, so within a single run each stage's lineage is one
+    scan of its predecessor's files -- the same property resume relies on.
+
+    ``fail_after_stage`` ('quality' | 'line_clean' | 'pairs') injects a
+    crash right after that stage's marker commits -- the kill-and-resume
+    test hook.  Returns ``(surviving_df, stats)`` like :func:`curate`,
+    with ``stats['resumed_stages']`` listing the stages loaded from
+    checkpoint.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.dedup import (
+        keep_canonical,
+        line_dedup,
+        minhash_lsh_candidates,
+        release_caches,
+        verify_jaccard,
+    )
+    from nreadspark.ops.textstats import c4_quality_filter
+
+    stats: dict = {"resumed_stages": []}
+
+    def _fail_hook(stage: str) -> None:
+        if fail_after_stage == stage:
+            raise RuntimeError(f"injected failure after stage {stage}")
+
+    # -- stage 1: quality filter ------------------------------------------
+    st = _read_stage(spark, output_path, "quality") if resume else None
+    if st is None:
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        qstats = {"input_docs": docs.count()}
+        verdicts = c4_quality_filter(docs, text_col=text_col, min_words=min_words)
+        reason_counts = {
+            r["reasons"]: r["n"]
+            for r in verdicts.filter(~F.col("keep"))
+            .groupBy("reasons")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        qstats["quality_dropped"] = sum(reason_counts.values())
+        qstats["quality_drop_reasons"] = reason_counts
+        kept = docs.join(verdicts.filter("keep").select("doc_id"), "doc_id").select(
+            "doc_id", text_col
+        )
+        _commit_stage(spark, kept, output_path, "quality", n_buckets, qstats, resume)
+        docs.unpersist()
+        kept, qstats = _read_stage(spark, output_path, "quality")
+    else:
+        kept, qstats = st
+        stats["resumed_stages"].append("quality")
+    stats.update(qstats)
+    _fail_hook("quality")
+
+    # -- stage 2: boilerplate line removal --------------------------------
+    st = _read_stage(spark, output_path, "line_clean") if resume else None
+    if st is None:
+        cleaned = line_dedup(
+            kept,
+            text_col=text_col,
+            delimiter=line_delimiter,
+            min_repeats=line_min_repeats,
+            keep_all_docs=True,
+        ).select(
+            "doc_id", F.col("clean_text").alias(text_col), "n_removed"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        lstats = {
+            "boilerplate_lines_removed": int(
+                cleaned.agg(F.sum("n_removed")).collect()[0][0] or 0
+            ),
+            "emptied_by_line_dedup": cleaned.filter(F.length(text_col) == 0).count(),
+        }
+        _commit_stage(spark, cleaned, output_path, "line_clean", n_buckets, lstats, resume)
+        cleaned.unpersist()
+        release_caches()  # line_dedup's auto-mode boilerplate set is spent
+        cleaned, lstats = _read_stage(spark, output_path, "line_clean")
+    else:
+        cleaned, lstats = st
+        stats["resumed_stages"].append("line_clean")
+    stats.update(lstats)
+    _fail_hook("line_clean")
+
+    # -- stage 3: near-dup pair verification ------------------------------
+    st = _read_stage(spark, output_path, "pairs") if resume else None
+    if st is None:
+        # docs emptied by line dedup bypass the pair graph (all empty texts
+        # tokenize identically -- they are not duplicates of each other)
+        dedup_input = cleaned.filter(F.length(text_col) > 0).select("doc_id", text_col)
+        candidates = minhash_lsh_candidates(dedup_input, text_col=text_col)
+        verified = verify_jaccard(
+            dedup_input, candidates, text_col=text_col, threshold=minhash_threshold
+        ).select("doc_id_a", "doc_id_b")
+        _commit_stage(
+            spark, verified, output_path, "pairs", n_buckets,
+            {}, resume, id_col="doc_id_a", rows_stat_key="near_dup_pairs",
+        )
+        release_caches()  # the banded/token-set persists are spent now
+        pairs, pstats = _read_stage(spark, output_path, "pairs")
+    else:
+        pairs, pstats = st
+        stats["resumed_stages"].append("pairs")
+    stats.update(pstats)
+    _fail_hook("pairs")
+
+    # -- stage 4: survivors (final output at the root) --------------------
+    surviving = keep_canonical(cleaned.drop("n_removed"), pairs)
+    _commit_stage(
+        spark, surviving, output_path, "final", n_buckets, {}, resume,
+        rows_stat_key="surviving_docs",
+    )
+    final_df, fstats = _read_stage(spark, output_path, "final")
+    stats.update(fstats)
+    return final_df, stats
 
 
 def curate(
@@ -136,6 +362,14 @@ def main() -> None:
         help="curate N synthetic docs instead of reading --input",
     )
     parser.add_argument("--master", default=None)
+    parser.add_argument(
+        "--n-buckets", type=int, default=16,
+        help="deterministic doc-id buckets for stage checkpoints (lineage granularity)",
+    )
+    parser.add_argument(
+        "--no-resume", action="store_true",
+        help="ignore committed stage checkpoints and recompute everything",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -164,15 +398,18 @@ def main() -> None:
         parser.error("either --input or --synthetic is required")
         return
 
-    surviving, stats = curate(
+    _surviving, stats = curate_resumable(
+        spark,
         docs,
+        args.output,
         text_col=args.text_col,
         min_words=args.min_words,
         minhash_threshold=args.minhash_threshold,
         line_min_repeats=args.line_min_repeats,
         line_delimiter=args.line_delimiter,
+        n_buckets=args.n_buckets,
+        resume=not args.no_resume,
     )
-    surviving.write.mode("overwrite").parquet(args.output)
     print(json.dumps(stats))
     spark.stop()
 

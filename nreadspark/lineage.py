@@ -79,12 +79,16 @@ def completed_buckets_fs(spark, output_path: str) -> set[int]:
     return done
 
 
-def _write_manifest(output_path: str, bucket: int, payload: dict, spark=None) -> None:
+def write_marker(output_path: str, name: str, payload: dict, spark=None) -> None:
+    """Atomically commit one JSON file under ``<output>/_lineage/<name>``
+    (tmp file + rename -- atomic on local/HDFS, best-effort on object
+    stores).  The commit unit of both per-bucket manifests and stage
+    markers."""
     data = json.dumps(payload, sort_keys=True)
     if spark is None or _is_local_path(output_path):
         lineage_path = os.path.join(output_path.removeprefix("file:"), LINEAGE_DIR)
         os.makedirs(lineage_path, exist_ok=True)
-        final = os.path.join(lineage_path, f"bucket={bucket}.json")
+        final = os.path.join(lineage_path, name)
         tmp = final + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(data)
@@ -92,12 +96,10 @@ def _write_manifest(output_path: str, bucket: int, payload: dict, spark=None) ->
             os.fsync(fh.fileno())
         os.replace(tmp, final)  # atomic commit
         return
-    # remote store: write tmp object then rename (atomic on HDFS; the
-    # standard best-effort commit on object stores)
     fs, _, jvm = _hadoop_fs(spark, output_path)
     Path = jvm.org.apache.hadoop.fs.Path
-    final = Path(f"{output_path}/{LINEAGE_DIR}/bucket={bucket}.json")
-    tmp = Path(f"{output_path}/{LINEAGE_DIR}/.bucket={bucket}.json.tmp")
+    final = Path(f"{output_path}/{LINEAGE_DIR}/{name}")
+    tmp = Path(f"{output_path}/{LINEAGE_DIR}/.{name}.tmp")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(data, "utf-8"))
@@ -106,6 +108,30 @@ def _write_manifest(output_path: str, bucket: int, payload: dict, spark=None) ->
     if fs.exists(final):
         fs.delete(final, False)
     fs.rename(tmp, final)
+
+
+def read_marker(output_path: str, name: str, spark=None) -> dict | None:
+    """Read a committed marker back, or None if it was never committed."""
+    if spark is None or _is_local_path(output_path):
+        path = os.path.join(output_path.removeprefix("file:"), LINEAGE_DIR, name)
+        if not os.path.isfile(path):
+            return None
+        with open(path, encoding="utf-8") as fh:
+            return json.load(fh)
+    fs, _, jvm = _hadoop_fs(spark, output_path)
+    path = jvm.org.apache.hadoop.fs.Path(f"{output_path}/{LINEAGE_DIR}/{name}")
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        data = bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def _write_manifest(output_path: str, bucket: int, payload: dict, spark=None) -> None:
+    write_marker(output_path, f"bucket={bucket}.json", payload, spark=spark)
 
 
 def run_extraction(

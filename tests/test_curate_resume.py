@@ -1,0 +1,148 @@
+"""Kill-and-resume for the curation job's per-stage, per-bucket lineage
+(jobs/curate.py curate_resumable): a crash mid-pipeline must not re-pay
+completed stages, stage stats must sum correctly across the resume, and a
+partially-written stage must fill in only its missing buckets with no
+duplicate or lost doc_ids (mirrors lineage.run_extraction's contract)."""
+
+import os
+import shutil
+import sys
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("curate-resume-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def _docs(spark):
+    body = (
+        "this article has plenty of decent words, proper length, and it "
+        "even terminates with punctuation."
+    )
+    rows = [
+        ("1", "SUBSCRIBE NOW, " + body),
+        ("2", "SUBSCRIBE NOW, " + body + " tiny tail."),
+        ("3", "SUBSCRIBE NOW, " + body + " other tail."),
+        ("4", "SUBSCRIBE NOW, a completely different story, told with other words, ends well."),
+        ("5", "too short."),
+        ("6", "this one has braces { code } and plenty of words to pass the length rule today."),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+_KW = dict(
+    min_words=5, minhash_threshold=0.5, line_min_repeats=4,
+    line_delimiter=",", n_buckets=4,
+)
+
+
+def _run(spark, docs, out, **kw):
+    from curate import curate_resumable
+
+    merged = {**_KW, **kw}
+    return curate_resumable(spark, docs, out, **merged)
+
+
+def test_kill_after_line_clean_resumes_without_recompute(spark, tmp_path, monkeypatch):
+    docs = _docs(spark)
+
+    # reference: one clean uninterrupted run
+    ref_df, ref_stats = _run(spark, docs, str(tmp_path / "clean"))
+    ref_ids = {r["doc_id"] for r in ref_df.select("doc_id").collect()}
+    assert ref_ids == {"1", "4"}
+    assert ref_stats["resumed_stages"] == []
+
+    # crashed run: dies right after the line_clean stage marker commits
+    out = str(tmp_path / "curated")
+    with pytest.raises(RuntimeError, match="injected failure after stage line_clean"):
+        _run(spark, docs, out, fail_after_stage="line_clean")
+    assert os.path.isfile(os.path.join(out, "_stages", "quality", "_lineage", "_stage.json"))
+    assert os.path.isfile(os.path.join(out, "_stages", "line_clean", "_lineage", "_stage.json"))
+    assert not os.path.isdir(os.path.join(out, "_stages", "pairs"))
+
+    # resume: completed stages must load from checkpoint -- poison their
+    # operators so any recompute fails loudly
+    import nreadspark.ops.dedup as dedup_mod
+    import nreadspark.ops.textstats as textstats_mod
+
+    def _boom(name):
+        def _fail(*_a, **_k):
+            raise AssertionError(f"{name} recomputed on resume")
+
+        return _fail
+
+    monkeypatch.setattr(textstats_mod, "c4_quality_filter", _boom("quality stage"))
+    monkeypatch.setattr(dedup_mod, "line_dedup", _boom("line_clean stage"))
+    got_df, got_stats = _run(spark, docs, out)
+
+    assert got_stats.pop("resumed_stages") == ["quality", "line_clean"]
+    ref_stats.pop("resumed_stages")
+    assert got_stats == ref_stats  # summed identically across the resume
+    assert {r["doc_id"] for r in got_df.select("doc_id").collect()} == ref_ids
+
+
+def test_partial_final_stage_fills_missing_buckets_only(spark, tmp_path):
+    docs = _docs(spark)
+    out = str(tmp_path / "curated")
+    _, stats = _run(spark, docs, out)
+
+    # simulate a crash mid-write of the FINAL stage: one bucket's manifest
+    # + data vanish, and the stage marker (committed last) never landed
+    lineage_dir = os.path.join(out, "_lineage")
+    victims = [n for n in os.listdir(lineage_dir) if n.startswith("bucket=")]
+    assert victims
+    victim = victims[0]
+    bucket = victim[len("bucket=") : -len(".json")]
+    os.remove(os.path.join(lineage_dir, victim))
+    shutil.rmtree(os.path.join(out, f"bucket={bucket}"), ignore_errors=True)
+    os.remove(os.path.join(lineage_dir, "_stage.json"))
+
+    survivors = {n for n in os.listdir(lineage_dir) if n.startswith("bucket=")}
+    mtimes = {
+        n: os.path.getmtime(os.path.join(lineage_dir, n)) for n in survivors
+    }
+
+    got_df, got_stats = _run(spark, docs, out)
+    assert {r["doc_id"] for r in got_df.select("doc_id").collect()} == {"1", "4"}
+    assert got_stats["surviving_docs"] == stats["surviving_docs"]
+    # earlier stages loaded from checkpoint; final recomputed only the hole
+    assert set(got_stats["resumed_stages"]) == {"quality", "line_clean", "pairs"}
+    for n in survivors:  # intact bucket manifests were not rewritten
+        assert os.path.getmtime(os.path.join(lineage_dir, n)) == mtimes[n]
+
+
+def test_zero_pair_stage_resumes_from_empty_schema(spark, tmp_path):
+    """A corpus with no near-duplicates commits a ZERO-row pairs stage;
+    resume must rebuild the empty frame from the recorded schema (an empty
+    partitioned parquet dir has nothing to infer from)."""
+    rows = [
+        ("a", "a genuinely unique article, with plenty of words, ending properly."),
+        ("b", "another entirely different story, told at decent length, closing well."),
+        ("c", "thirdly a separate report, containing its own words, finishing cleanly."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = str(tmp_path / "curated")
+    with pytest.raises(RuntimeError, match="injected failure after stage pairs"):
+        _run(spark, docs, out, line_min_repeats=3, fail_after_stage="pairs")
+    got_df, got_stats = _run(spark, docs, out, line_min_repeats=3)
+    assert got_stats["near_dup_pairs"] == 0
+    assert got_stats["resumed_stages"] == ["quality", "line_clean", "pairs"]
+    assert {r["doc_id"] for r in got_df.collect()} == {"a", "b", "c"}
