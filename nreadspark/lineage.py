@@ -141,8 +141,13 @@ def run_extraction(
     n_buckets: int = 64,
     url_col: str | None = None,
     resume: bool = True,
+    max_doc_bytes: int | None = None,
 ) -> dict:
     """Run (or resume) the extraction job with per-bucket lineage.
+
+    ``max_doc_bytes`` is the per-document truncate-with-flag byte budget
+    (pipeline.extract); truncation counts surface per bucket as
+    ``docs_truncated`` in the manifests.
 
     Returns a run summary dict (buckets computed/skipped, doc counts, ms).
     """
@@ -153,7 +158,7 @@ def run_extraction(
     df = input_df.withColumn("bucket", bucket_col(n_buckets))
     todo_df = df.filter(~F.col("bucket").isin(list(done))) if done else df
 
-    extracted = extract(todo_df, url_col=url_col)
+    extracted = extract(todo_df, url_col=url_col, max_doc_bytes=max_doc_bytes)
     # bucket is deterministic from doc_id: recompute on the output side so it
     # survives the mapInPandas schema boundary without widening the kernel IO
     extracted = extracted.withColumn("bucket", bucket_col(n_buckets))
@@ -201,6 +206,7 @@ def _bucket_stats(extracted: DataFrame):
             F.sum(F.col("metrics.fallback_rerun").cast("int")).alias("fallback_reruns"),
             F.sum(F.col("metrics.parse_retried").cast("int")).alias("parse_retries"),
             F.sum((F.col("metrics.n_candidates") < 0).cast("int")).alias("kernel_failures"),
+            F.sum(F.col("metrics.truncated").cast("int")).alias("docs_truncated"),
             F.sum("metrics.in_bytes").alias("in_bytes"),
             F.sum("metrics.ms").alias("kernel_ms"),
             F.max("metrics.ms").alias("max_doc_ms"),

@@ -55,6 +55,7 @@ METRICS_TYPE = StructType(
         StructField("parse_retried", BooleanType()),
         StructField("in_bytes", LongType()),
         StructField("ms", DoubleType()),
+        StructField("truncated", BooleanType()),
     ]
 )
 
@@ -111,6 +112,7 @@ def _arrow_output_schema():
             pa.field("parse_retried", pa.bool_()),
             pa.field("in_bytes", pa.int64()),
             pa.field("ms", pa.float64()),
+            pa.field("truncated", pa.bool_()),
         ]
     )
     return pa.schema(
@@ -125,8 +127,9 @@ def _arrow_output_schema():
     )
 
 
-def _extract_batches(iterator):
-    """mapInArrow kernel: (doc_id, __html[, __url]) -> OUTPUT_SCHEMA batches.
+def _extract_batches(iterator, max_doc_bytes: int | None = None):
+    """mapInArrow kernel: (doc_id, __html[, __url[, __over]]) ->
+    OUTPUT_SCHEMA batches.
 
     Arrow-native on both sides: the per-document span sequences are written
     into flat columnar builders (kind/text/media_ref/offset + list offsets)
@@ -135,6 +138,14 @@ def _extract_batches(iterator):
     a mapInPandas list-of-dict encoding, which matters because the exchange
     boundary -- not the extraction kernel -- is the hot path at high core
     counts.
+
+    ``max_doc_bytes`` is the per-document byte budget (see :func:`extract`):
+    documents over it are truncated to exactly that many UTF-8 bytes before
+    the kernel runs and their row is flagged ``metrics.truncated`` -- a
+    pathological mega-document can therefore never hold a task beyond the
+    budget's parse cost.  An optional ``__over`` input column carries the
+    upstream (JVM-side) over-budget verdict for rows whose transfer was
+    already capped.
     """
     import pyarrow as pa
 
@@ -156,6 +167,11 @@ def _extract_batches(iterator):
             if "__url" in names
             else [None] * n
         )
+        overs = (
+            batch.column(names.index("__over")).to_pylist()
+            if "__over" in names
+            else [None] * n
+        )
 
         # flat span builders (one set for the whole batch)
         s_kind: list = []
@@ -173,6 +189,7 @@ def _extract_batches(iterator):
         m_retry = [False] * n
         m_bytes = [0] * n
         m_ms = [0.0] * n
+        m_trunc = [False] * n
 
         for i in range(n):
             html = htmls[i]
@@ -181,6 +198,16 @@ def _extract_batches(iterator):
                 list_offsets.append(len(s_kind))
                 m_ms[i] = (time.perf_counter() - started) * 1000.0
                 continue
+            if max_doc_bytes is not None:
+                truncated = bool(overs[i])  # JVM already capped the transfer
+                # chars <= utf-8 bytes, so only candidates can exceed; the
+                # encode pass is skipped for everything comfortably under
+                if len(html) * 4 > max_doc_bytes:
+                    encoded = html.encode("utf-8", errors="replace")
+                    if len(encoded) > max_doc_bytes:
+                        html = encoded[:max_doc_bytes].decode("utf-8", errors="ignore")
+                        truncated = True
+                m_trunc[i] = truncated
             try:
                 result = transcode(html, urls[i], opts)
                 extract_spans_flat(result.article_content, s_kind, s_text, s_ref, s_off)
@@ -223,6 +250,7 @@ def _extract_batches(iterator):
                 pa.array(m_retry, pa.bool_()),
                 pa.array(m_bytes, pa.int64()),
                 pa.array(m_ms, pa.float64()),
+                pa.array(m_trunc, pa.bool_()),
             ],
             fields=list(metrics_type),
         )
@@ -239,12 +267,28 @@ def _extract_batches(iterator):
         )
 
 
+def _budget_cols(html_col, max_doc_bytes: int | None):
+    """(html expr, extra cols) for the per-document byte budget: the JVM
+    pre-chops to ``max_doc_bytes`` CHARS -- one UTF-8 char is >= 1 byte, so
+    the shuffle/Arrow transfer of a mega-document is bounded at ~4x the
+    budget worst-case instead of its full (possibly GB) size -- and flags
+    rows whose ORIGINAL byte length exceeded the budget; the kernel then
+    truncates to the exact byte count.  Both expressions stay in codegen."""
+    if max_doc_bytes is None:
+        return html_col, []
+    return (
+        F.substring(html_col, 1, max_doc_bytes),
+        [(F.octet_length(html_col) > max_doc_bytes).alias("__over")],
+    )
+
+
 def extract(
     df: DataFrame,
     url_col: str | None = None,
     spans_col: str = "spans",
     repartition: bool = False,
     num_partitions: int | None = None,
+    max_doc_bytes: int | None = None,
 ) -> DataFrame:
     """Extract main content for every document of an interleaved-spans table.
 
@@ -252,22 +296,41 @@ def extract(
              [, url string])
     Output: OUTPUT_SCHEMA (doc_id, spans, title, content_extracted,
             next_page_url, metrics)
+
+    ``max_doc_bytes``: optional per-document byte budget.  A crawl tail
+    contains pathological mega-documents (concatenated feeds, binary blobs
+    mislabeled as HTML) whose parse cost alone can hold a task for minutes;
+    with a budget set, such documents are truncated to exactly that many
+    UTF-8 bytes BEFORE parsing and the row is flagged
+    ``metrics.truncated`` (content_extracted still reflects whatever the
+    truncated prefix yielded -- callers decide whether flagged rows are
+    usable).  The chop happens JVM-side first, so the oversized payload
+    never crosses the exchange at full size.
     """
-    cols = [F.col("doc_id"), html_from_spans_col(spans_col).alias("__html")]
+    html_col, extra = _budget_cols(html_from_spans_col(spans_col), max_doc_bytes)
+    cols = [F.col("doc_id"), html_col.alias("__html")]
     if url_col:
         cols.append(F.col(url_col).alias("__url"))
-    prepared = df.select(*cols)
+    prepared = df.select(*cols, *extra)
     if repartition:
         prepared = repartition_for_extraction(prepared, num_partitions)
-    return prepared.mapInArrow(_extract_batches, OUTPUT_SCHEMA)
+    kernel = lambda it: _extract_batches(it, max_doc_bytes)  # noqa: E731
+    return prepared.mapInArrow(kernel, OUTPUT_SCHEMA)
 
 
-def extract_from_html(df: DataFrame, html_col: str = "html", url_col: str | None = None) -> DataFrame:
+def extract_from_html(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str | None = None,
+    max_doc_bytes: int | None = None,
+) -> DataFrame:
     """Same kernel over a plain (doc_id, html[, url]) table."""
-    cols = [F.col("doc_id"), F.col(html_col).alias("__html")]
+    html_expr, extra = _budget_cols(F.col(html_col), max_doc_bytes)
+    cols = [F.col("doc_id"), html_expr.alias("__html")]
     if url_col:
         cols.append(F.col(url_col).alias("__url"))
-    return df.select(*cols).mapInArrow(_extract_batches, OUTPUT_SCHEMA)
+    kernel = lambda it: _extract_batches(it, max_doc_bytes)  # noqa: E731
+    return df.select(*cols, *extra).mapInArrow(kernel, OUTPUT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -417,11 +480,14 @@ def extract_from_html_bytes(
     content_type_col: str | None = None,
     content_encoding_col: str | None = None,
     fallback_encoding: str = "utf-8",
+    max_doc_bytes: int | None = None,
 ) -> DataFrame:
     """Extraction over a raw-bytes crawl table: decompress + charset-sniff +
     transcode in ONE ``mapInArrow`` pass (the decode generator feeds the
     kernel generator inside the same worker -- bytes cross the Arrow
-    boundary once, strings never do)."""
+    boundary once, strings never do).  ``max_doc_bytes`` applies to the
+    DECODED text (post-decompression -- the guard that matters for
+    deflate-bombed bodies); see :func:`extract`."""
     cols = [F.col("doc_id"), F.col(bytes_col).alias("__bytes")]
     if url_col:
         cols.append(F.col(url_col).alias("__url"))
@@ -431,7 +497,9 @@ def extract_from_html_bytes(
         cols.append(F.col(content_encoding_col).alias("__cenc"))
 
     def kernel(iterator):
-        return _extract_batches(_decode_bytes_batches(iterator, fallback_encoding))
+        return _extract_batches(
+            _decode_bytes_batches(iterator, fallback_encoding), max_doc_bytes
+        )
 
     return df.select(*cols).mapInArrow(kernel, OUTPUT_SCHEMA)
 
@@ -446,6 +514,7 @@ def extraction_metrics(df: DataFrame) -> DataFrame:
         F.sum((F.col("metrics.n_candidates") < 0).cast("int")).alias("kernel_failures"),
         F.sum(F.col("metrics.fallback_rerun").cast("int")).alias("fallback_reruns"),
         F.sum(F.col("metrics.parse_retried").cast("int")).alias("parse_retries"),
+        F.sum(F.col("metrics.truncated").cast("int")).alias("docs_truncated"),
         F.sum("metrics.in_bytes").alias("in_bytes"),
         F.round(F.sum("metrics.ms") / 1000.0, 3).alias("kernel_cpu_sec"),
         F.round(F.avg("metrics.ms"), 3).alias("avg_ms_per_doc"),

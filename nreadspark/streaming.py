@@ -173,8 +173,15 @@ def dedup_stream(
 
     ``ttl_minutes`` bounds state for unbounded corpora: a key idle longer
     than the TTL is evicted (a re-crawl after eviction is re-emitted --
-    at-least-once dedup, the standard tradeoff).  Default keeps state
-    forever (exact dedup).
+    at-least-once dedup, the standard tradeoff).  The default (None) keeps
+    state forever -- exact dedup, but the state store grows with every
+    distinct text ever seen.  **At crawl scale the state store, not the
+    logic, is the risk**: set a TTL matched to the re-crawl horizon (days,
+    not None) unless the corpus is finite, configure the RocksDB state
+    store so state spills to local disk instead of living on the JVM heap
+    (:data:`ROCKSDB_STATE_STORE_CONF` -- the HDFSBackedStateStoreProvider
+    default keeps every key in executor memory), and monitor per-batch
+    state size with :func:`state_store_metrics`.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -215,3 +222,48 @@ def dedup_stream(
     return hashed.groupBy("__text_hash").applyInPandasWithState(
         fn, out_schema, state_schema, "update", timeout
     )
+
+
+# Session config for disk-backed streaming state: RocksDB keeps the working
+# set off-heap and spills to local SSD, so stateful-operator capacity scales
+# with executor disk instead of JVM heap (the default HDFS-backed provider
+# holds every key in memory).  changelogCheckpointing uploads per-batch
+# deltas instead of full snapshots -- the right default for large state.
+# Apply at session build:  for k, v in ROCKSDB_STATE_STORE_CONF.items():
+#     builder = builder.config(k, v)
+ROCKSDB_STATE_STORE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
+def state_store_metrics(query, last_only: bool = True) -> list[dict]:
+    """Per-batch, per-operator state-store size metrics for a running (or
+    finished) streaming query -- the monitoring hook for unbounded-state
+    operators like :func:`dedup_stream`.
+
+    Reads ``query.lastProgress`` (or the whole ``recentProgress`` ring with
+    ``last_only=False``) and flattens each ``stateOperators`` entry to
+    ``{batch_id, operator, state_rows, rows_updated, rows_removed,
+    memory_used_bytes}``.  ``state_rows`` is the total keys held (for
+    dedup_stream: distinct texts seen and not yet TTL-evicted) -- alert on
+    its growth rate; ``rows_removed`` confirms TTL eviction is actually
+    happening.  Returns [] when no progress has been reported yet."""
+    progresses = [query.lastProgress] if last_only else list(query.recentProgress)
+    out = []
+    for p in progresses:
+        if not p:
+            continue
+        for op in p.get("stateOperators") or []:
+            out.append(
+                {
+                    "batch_id": p.get("batchId"),
+                    "operator": op.get("operatorName"),
+                    "state_rows": op.get("numRowsTotal"),
+                    "rows_updated": op.get("numRowsUpdated"),
+                    "rows_removed": op.get("numRowsRemoved"),
+                    "memory_used_bytes": op.get("memoryUsedBytes"),
+                }
+            )
+    return out

@@ -11,8 +11,7 @@ drops, while every later paragraph extracts -- so the first-paragraph
 probes are strict xfails (shared, documented divergence) and the
 rest-of-article probes are plain passing locks.  Case 7 has no probe block
 in the reference at all; our from-scratch engine extracts that article
-end-to-end, recorded as a non-strict xfail that XPASSes (the reference's
-intent, never enabled there).
+end-to-end, locked as an explicit plain-pass divergence test.
 """
 
 import os
@@ -76,13 +75,15 @@ def test_disabled_samples_nested_div_first_paragraph(num, url):
     assert _FIRST_PARAGRAPH in _extract_text(num, url)
 
 
-@pytest.mark.xfail(
-    strict=False,
-    reason="reference never enabled case 7 (cs:453: sample 'needs fixing', no "
-    "probe block exists); this engine extracts the article end-to-end, so "
-    "the intended probes XPASS here -- recorded for parity documentation",
-)
 def test_disabled_sample_07_extracts_article():
+    """EXPLICIT divergence lock: the reference never enabled case 7
+    (NReadabilityTranscoderTests.cs:453 comments it out of the [Values]
+    list -- "TODO: if time, add test case 7 (the sample is already in the
+    repo but needs fixing)" -- and no probe block for it exists anywhere in
+    the suite).  This from-scratch engine extracts the article end-to-end,
+    i.e. we succeed where the reference's own bug kept the case disabled;
+    asserted as a plain pass so a regression to the reference's behavior is
+    caught rather than hidden in an xfail/xpass."""
     text = _extract_text("07", "http://nplusonemag.com/treasure-island")
     assert "In June 1985, TV Guide published a cover story" in text
     assert "what holds them together is love." in text or "what holds them together is" in text

@@ -123,6 +123,21 @@ def test_dedup_stream_suppresses_cross_batch_duplicates(spark, tmp_path):
     assert all(r["n_prior"] == 0 for r in rows)
     assert len(rows) == 3
 
+    # state-size monitoring: the progress feed exposes per-batch state-store
+    # rows -- after both batches the store holds the 3 distinct texts, and
+    # memory accounting is live (the metric an unbounded-state alert uses)
+    from nreadspark.streaming import state_store_metrics
+
+    metrics = state_store_metrics(q, last_only=False)
+    assert metrics, "no stateOperators progress reported"
+    by_batch = {m["batch_id"]: m for m in metrics}
+    final = by_batch[max(by_batch)]
+    assert final["state_rows"] == 3
+    assert final["memory_used_bytes"] > 0
+    # batch 1 held 2 keys (alpha, beta); batch 2 added delta
+    if len(by_batch) > 1:
+        assert by_batch[min(by_batch)]["state_rows"] == 2
+
 
 def test_dedup_stream_emit_suppressed_counts_priors(spark, tmp_path):
     """Debug/audit mode: suppressed duplicates are also emitted with their
