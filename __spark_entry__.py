@@ -1003,7 +1003,7 @@ def _minhash_oracle_sql() -> str:
 
     seeds = _seeds(16, salt=3)
     sig_exprs = ",\n                     ".join(
-        f"list_min(list_transform(h31, x -> (x * {a % (1 << 31)} + {b % (1 << 31)}) % {_MINHASH_PRIME}))"
+        f"list_min(list_transform(h31, x -> (x * {a} + {b}) % {_MINHASH_PRIME}))"
         for a, b in seeds
     )
     band_keys = ",\n                   ".join(

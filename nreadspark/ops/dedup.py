@@ -67,8 +67,18 @@ def _release_local_checkpoint(df: DataFrame) -> None:
     except Exception:
         pass  # best-effort: ContextCleaner reclaims via GC eventually
 
-# MinHash parameters: h_j(x) = (a_j * x + b_j) mod p, p Mersenne-ish prime
-_MINHASH_PRIME = (1 << 61) - 1
+# MinHash parameters: h_j(x) = (a_j * x + b_j) mod p over 31-bit base
+# hashes.  p MUST be close to the base-hash range (Mersenne prime 2^31-1):
+# with a much larger modulus (an earlier build used 2^61-1) the affine map
+# wraps at most twice over the 2^31-value domain, making every h_j
+# piecewise-MONOTONIC in the base hash -- all "independent" signature rows
+# then pick their minima from nearly the same elements, the rows correlate,
+# and banding recall goes config-insensitive (measured: ~0.82 planted-pair
+# recall at Jaccard 0.7 regardless of (n_hashes, n_bands); theory and the
+# fixed build separate the configs properly -- see COVERAGE.md calibration
+# table).  With p = 2^31-1 the map wraps ~a times: proper 2-universal
+# mixing, and a*h+b still fits signed 64-bit on every engine.
+_MINHASH_PRIME = (1 << 31) - 1
 _N_HASHES = 16
 _N_BANDS = 4  # 4 rows per band
 
@@ -150,10 +160,10 @@ def minhash_signatures(
 
     def perm(a: int, b: int):
         # closure factory: pyspark introspects lambda arity, so the
-        # coefficients must be captured here, not as default args
-        return lambda h: F.pmod(
-            h * F.lit(a % (1 << 31)) + F.lit(b % (1 << 31)), F.lit(_MINHASH_PRIME)
-        )
+        # coefficients must be captured here, not as default args.
+        # a, b are already reduced into [1, p) / [0, p) by _seeds; the
+        # product is < 2^62, safely inside a signed 64-bit long
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_PRIME))
 
     sig = F.array(
         *[F.array_min(F.transform("__h31", perm(a, b))) for (a, b) in seeds]
