@@ -50,3 +50,28 @@ def write_documents(df: DataFrame, target: str, mode: str = "append") -> None:
         df.writeTo(target[len(ICEBERG_PREFIX) :]).append()
         return
     df.write.mode(mode).parquet(target)
+
+
+def create_documents_table(
+    df: DataFrame, target: str, partition_buckets: int | None = 16
+) -> None:
+    """Create (or replace) the Iceberg documents table and load ``df`` as
+    its first snapshot; subsequent increments land via
+    :func:`write_documents` appends.
+
+    The table is bucket-partitioned on ``doc_id`` (Iceberg hidden
+    partitioning -- readers never see the bucket column), matching the
+    lineage layer's deterministic doc-id bucketing (lineage.py:32): scans
+    of a resumed bucket prune to its files, and the hash layout spreads
+    mega-document skew exactly like ``repartition_for_extraction``.
+    Requires the Iceberg runtime (guard with :func:`iceberg_available`);
+    exercised by the availability-guarded round-trip smoke in
+    tests/test_sources_metrics.py wherever the jar exists."""
+    from pyspark.sql import functions as F
+
+    if not target.startswith(ICEBERG_PREFIX):
+        raise ValueError(f"expected an '{ICEBERG_PREFIX}<catalog.db.table>' spec, got {target!r}")
+    writer = df.writeTo(target[len(ICEBERG_PREFIX) :]).using("iceberg")
+    if partition_buckets:
+        writer = writer.partitionedBy(F.bucket(partition_buckets, F.col("doc_id")))
+    writer.createOrReplace()
