@@ -162,10 +162,19 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "events_daily",
         "events_top_per_type",
     ]
+    from nreadspark.ops.dedup import release_caches
+
     for name in headline:
         fn = qs[name]
         runs = [_timed(lambda fn=fn: _force(fn(spark, sf_dir))) for _ in range(2)]
         timings[name] = min(runs)
+        # the dedup operators register persisted intermediates; release them
+        # AFTER each query's run pair (run 2 may legitimately reuse run 1's
+        # cache via logical-plan matching -- that steady-state number is
+        # what rounds 1-3 recorded) so the battery never accumulates pinned
+        # frames across QUERIES, which eventually thrashes the LRU and
+        # shows up as multi-second eviction spikes.
+        release_caches()
     return timings
 
 

@@ -19,6 +19,14 @@ Stages (each pure-DataFrame, composing the ops/ layer):
 4. **Write** the surviving (doc_id, <text_col>) table + a JSON summary
    with per-stage counts on stdout.
 
+The CLI runs `curate_resumable`: every stage hand-off commits under
+`<output>/_stages/<stage>/` as bucket-partitioned parquet with per-bucket
+manifests and an atomic stage marker (the extract job's lineage contract,
+lineage.py:111), so a crash mid-near-dup re-pays only the near-dup stage
+and a partially-written stage fills in just its missing buckets.
+`--no-resume` forces a clean recompute; `--n-buckets` sets checkpoint
+granularity.
+
 No counterpart exists in the reference (it is a per-page library); this is
 the engine's "what you actually run at 10^12 documents" surface, and every
 stage is the oracle-checked operator from __spark_entry__.py.

@@ -318,3 +318,33 @@ def test_divergence_email_like_tag_is_element():
     doc = build_document(CASES[17][1])
     el = _one(doc, "something@something.com")
     assert el.value == "" and not el.children
+
+
+def test_bom_and_messy_head_yield_single_root():
+    """SgmlReaderDll9.Tests/SgmlReaderTests.cs:44 (Builder_handles_UTF16):
+    a BOM-prefixed page with a messy real-world head -- DOCTYPE with PUBLIC
+    ids, single-quoted and entity-bearing attributes, comments, styles with
+    CSS braces, scripts with nested quotes -- must produce exactly ONE
+    <html> element (no synthetic wrapper duplicating the root)."""
+    html = (
+        "﻿<!DOCTYPE html PUBLIC \"-//W3C//DTD XHTML 1.0 Transitional//EN\" "
+        "\"http://www.w3.org/TR/xhtml1/DTD/xhtml1-transitional.dtd\">\n"
+        "<html xmlns=\"http://www.w3.org/1999/xhtml\" dir=\"ltr\" lang=\"pl-PL\">\n"
+        "<head profile=\"http://gmpg.org/xfn/11\">\n"
+        "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=UTF-8\" />\n"
+        "<title>Pewność siebie | blog</title>\n"
+        "<meta name=\"generator\" content=\"WordPress abc\" /> <!-- leave this for stats -->\n"
+        "<link rel='stylesheet' id='wp-polls-css' href='http://example.pl/polls.css?ver=2.50' media='all' />\n"
+        "<link rel=\"alternate\" title=\"komentarze &raquo; kanał\" href=\"http://example.pl/feed/\" />\n"
+        "<script type='text/javascript' src='http://example.pl/js.js?a=1&amp;b=2'></script>\n"
+        "<style>\t.gsc-control {\n\t  width: 280px;\n\t\toverflow: hidden\n\t}\n</style>\n"
+        "<script type='text/javascript'>\nfunction OnLoad()\n{\n  var s = \"it's\";\n}\n</script>\n"
+        "<style type=\"text/css\">.pollbar { background-image: url('http://example.pl/bg.gif'); }</style>\n"
+        "</head>\n<body>Some body</body></html>"
+    )
+    doc = build_document(html)
+    assert doc.root.tag == "html" and doc.root.parent is None
+    assert len(doc.elements_list_by_tag_name("html")) == 1
+    assert _serialize(doc).count("<html") == 1
+    assert doc.get_body().value == "Some body"
+    assert doc.get_title_text() == "Pewność siebie | blog"
