@@ -627,6 +627,61 @@ def _q_line_dedup(spark, sf_dir):
     return line_dedup(docs, min_repeats=3)
 
 
+def _q_extract_byte_budget(spark, sf_dir):
+    """Per-document byte budget (pipeline.extract max_doc_bytes): documents
+    are wrapped as single-span HTML, every 7th one repeated 80x so it is
+    guaranteed over the 4000-byte budget; the pipeline must truncate those
+    to EXACTLY the budget (ASCII corpus -> in_bytes == LEAST(len, 4000)),
+    flag them metrics.truncated, leave everything else untouched, and still
+    extract content from every document.  The oracle recomputes the
+    constructed HTML's length closed-form in SQL -- the truncation contract
+    is fully checkable without running the kernel."""
+    from nreadspark.pipeline import extract
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans_df = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(
+                    F.lit('<html><body><div id="main">'),
+                    F.expr(
+                        "repeat('<p>' || text || '</p>', CASE WHEN doc_id % 7 = 0 THEN 80 ELSE 1 END)"
+                    ),
+                    F.lit("</div></body></html>"),
+                ).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    out = extract(spans_df, max_doc_bytes=4000)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("metrics.truncated").alias("truncated"),
+        F.col("metrics.in_bytes").cast("bigint").alias("in_bytes"),
+        F.col("content_extracted").alias("extracted"),
+    )
+
+
+def _q_line_dedup_newline(spark, sf_dir):
+    """line_dedup under its PRODUCTION delimiter (newline): comma-separated
+    segments are rewritten to newline-separated lines in both engines, then
+    cross-document boilerplate lines (>= 3 distinct docs) are removed and
+    documents reassemble with the BARE newline joiner -- the round-4 fix
+    (the old ``delimiter + ' '`` joiner prepended a space to every line
+    after the first, corrupting curated bytes; single-char punctuation
+    delimiters like ',' keep the readable ', ' joiner, which the plain
+    ``line_dedup`` query locks)."""
+    from nreadspark.ops.dedup import line_dedup
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", ", ", "\n").alias("text")
+    )
+    return line_dedup(docs, delimiter="\n", min_repeats=3)
+
+
 def _q_pdf_extract(spark, sf_dir):
     """PDF/layout extraction tier (north rule: 'HTML boilerplate strip,
     PDF/layout parse, DOM heuristics').  Synthesizes deterministic 2-page
@@ -963,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debug_html": _q_debug_html,
         "pdf_extract": _q_pdf_extract,
         "line_dedup": _q_line_dedup,
+        "line_dedup_newline": _q_line_dedup_newline,
+        "extract_byte_budget": _q_extract_byte_budget,
         "dedup_components": _q_dedup_components,
         "text_c4_filter": _q_text_c4_filter,
         "dedup_survivors": _q_dedup_survivors,
@@ -1351,6 +1408,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n_lines AS BIGINT) AS n_lines,
                    CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
             FROM totals t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        """,
+        # the production-delimiter twin of line_dedup: newline lines, BARE
+        # newline joiner on reassembly (the round-4 joiner fix)
+        "line_dedup_newline": """
+            WITH src AS (
+                SELECT doc_id, regexp_replace(text, ', ', chr(10), 'g') AS text
+                FROM documents
+            ), lines AS (
+                SELECT doc_id,
+                       unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+                       trim(unnest(string_split(text, chr(10)))) AS line
+                FROM src
+            ), nz AS (
+                SELECT * FROM lines WHERE length(line) > 0
+            ), boiler AS (
+                SELECT line FROM nz GROUP BY line
+                HAVING count(DISTINCT doc_id) >= 3
+            ), kept AS (
+                SELECT nz.doc_id, nz.pos, nz.line
+                FROM nz LEFT JOIN boiler ON nz.line = boiler.line
+                WHERE boiler.line IS NULL
+            ), agg AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ), totals AS (
+                SELECT doc_id, count(*) AS n_lines FROM nz GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(a.clean_text, '') AS clean_text,
+                   CAST(t.n_lines AS BIGINT) AS n_lines,
+                   CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM totals t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        """,
+        # extract_byte_budget: the truncate-with-flag contract is closed-form
+        # (ASCII corpus): the oracle rebuilds the exact HTML the Spark side
+        # wraps and predicts truncation flag + post-truncation byte count
+        "extract_byte_budget": """
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><body><div id="main">' ||
+                     repeat('<p>' || text || '</p>',
+                            CASE WHEN doc_id % 7 = 0 THEN 80 ELSE 1 END) ||
+                     '</div></body></html>' AS html
+              FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   length(html) > 4000 AS truncated,
+                   CAST(LEAST(length(html), 4000) AS BIGINT) AS in_bytes,
+                   TRUE AS extracted
+            FROM h
         """,
         # pdf_extract: the PDF writer/parser round-trip is closed-form --
         # fixed page shape (p1 text + image, p2 text), title 'Doc <id>'

@@ -128,8 +128,8 @@ def _arrow_output_schema():
 
 
 def _extract_batches(iterator, max_doc_bytes: int | None = None):
-    """mapInArrow kernel: (doc_id, __html[, __url[, __over]]) ->
-    OUTPUT_SCHEMA batches.
+    """mapInArrow kernel: (doc_id, __html[, __url]) -> OUTPUT_SCHEMA
+    batches.
 
     Arrow-native on both sides: the per-document span sequences are written
     into flat columnar builders (kind/text/media_ref/offset + list offsets)
@@ -143,9 +143,9 @@ def _extract_batches(iterator, max_doc_bytes: int | None = None):
     documents over it are truncated to exactly that many UTF-8 bytes before
     the kernel runs and their row is flagged ``metrics.truncated`` -- a
     pathological mega-document can therefore never hold a task beyond the
-    budget's parse cost.  An optional ``__over`` input column carries the
-    upstream (JVM-side) over-budget verdict for rows whose transfer was
-    already capped.
+    budget's parse cost.  Upstream chopping (``_budget_col``) keeps
+    ``max_doc_bytes + 1`` chars so the over-budget signal survives the
+    capped transfer.
     """
     import pyarrow as pa
 
@@ -165,11 +165,6 @@ def _extract_batches(iterator, max_doc_bytes: int | None = None):
         urls = (
             batch.column(names.index("__url")).to_pylist()
             if "__url" in names
-            else [None] * n
-        )
-        overs = (
-            batch.column(names.index("__over")).to_pylist()
-            if "__over" in names
             else [None] * n
         )
 
@@ -199,10 +194,12 @@ def _extract_batches(iterator, max_doc_bytes: int | None = None):
                 m_ms[i] = (time.perf_counter() - started) * 1000.0
                 continue
             if max_doc_bytes is not None:
-                truncated = bool(overs[i])  # JVM already capped the transfer
-                # chars <= utf-8 bytes, so only candidates can exceed; the
-                # encode pass is skipped for everything comfortably under
-                if len(html) * 4 > max_doc_bytes:
+                # chars <= utf-8 bytes: more chars than the budget (the JVM
+                # chop keeps budget+1 chars exactly so this signal survives)
+                # means the original exceeded it in bytes
+                truncated = len(html) > max_doc_bytes
+                # the encode pass is skipped for everything comfortably under
+                if truncated or len(html) * 4 > max_doc_bytes:
                     encoded = html.encode("utf-8", errors="replace")
                     if len(encoded) > max_doc_bytes:
                         html = encoded[:max_doc_bytes].decode("utf-8", errors="ignore")
@@ -267,19 +264,19 @@ def _extract_batches(iterator, max_doc_bytes: int | None = None):
         )
 
 
-def _budget_cols(html_col, max_doc_bytes: int | None):
-    """(html expr, extra cols) for the per-document byte budget: the JVM
-    pre-chops to ``max_doc_bytes`` CHARS -- one UTF-8 char is >= 1 byte, so
-    the shuffle/Arrow transfer of a mega-document is bounded at ~4x the
-    budget worst-case instead of its full (possibly GB) size -- and flags
-    rows whose ORIGINAL byte length exceeded the budget; the kernel then
-    truncates to the exact byte count.  Both expressions stay in codegen."""
+def _budget_col(html_col, max_doc_bytes: int | None):
+    """Budgeted html expression: the JVM pre-chops to ``max_doc_bytes + 1``
+    CHARS, bounding the shuffle/Arrow transfer of a mega-document at ~4x
+    the budget worst-case instead of its full (possibly GB) size.  The +1
+    makes the over-budget signal survive the chop: one UTF-8 char is >= 1
+    byte, so ``len(chopped) > max_doc_bytes`` chars implies the original
+    exceeded the budget in bytes -- no second evaluation of the (possibly
+    expensive) reassembly expression for an ``octet_length`` flag column,
+    and the projection stays a single codegen pass.  The kernel then
+    measures exact bytes and lands the cut on a UTF-8 boundary."""
     if max_doc_bytes is None:
-        return html_col, []
-    return (
-        F.substring(html_col, 1, max_doc_bytes),
-        [(F.octet_length(html_col) > max_doc_bytes).alias("__over")],
-    )
+        return html_col
+    return F.substring(html_col, 1, max_doc_bytes + 1)
 
 
 def extract(
@@ -307,11 +304,11 @@ def extract(
     usable).  The chop happens JVM-side first, so the oversized payload
     never crosses the exchange at full size.
     """
-    html_col, extra = _budget_cols(html_from_spans_col(spans_col), max_doc_bytes)
+    html_col = _budget_col(html_from_spans_col(spans_col), max_doc_bytes)
     cols = [F.col("doc_id"), html_col.alias("__html")]
     if url_col:
         cols.append(F.col(url_col).alias("__url"))
-    prepared = df.select(*cols, *extra)
+    prepared = df.select(*cols)
     if repartition:
         prepared = repartition_for_extraction(prepared, num_partitions)
     kernel = lambda it: _extract_batches(it, max_doc_bytes)  # noqa: E731
@@ -325,12 +322,12 @@ def extract_from_html(
     max_doc_bytes: int | None = None,
 ) -> DataFrame:
     """Same kernel over a plain (doc_id, html[, url]) table."""
-    html_expr, extra = _budget_cols(F.col(html_col), max_doc_bytes)
+    html_expr = _budget_col(F.col(html_col), max_doc_bytes)
     cols = [F.col("doc_id"), html_expr.alias("__html")]
     if url_col:
         cols.append(F.col(url_col).alias("__url"))
     kernel = lambda it: _extract_batches(it, max_doc_bytes)  # noqa: E731
-    return df.select(*cols, *extra).mapInArrow(kernel, OUTPUT_SCHEMA)
+    return df.select(*cols).mapInArrow(kernel, OUTPUT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
