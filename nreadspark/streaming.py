@@ -41,13 +41,18 @@ def extract_stream(
     checkpoint_path: str,
     trigger_available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    max_doc_bytes: int | None = None,
 ):
     """Continuously extract newly-landed parquet files.
 
     Returns the started ``StreamingQuery``.  Exactly-once: the streaming
     checkpoint records which input files each micro-batch consumed; the
     parquet sink write inside ``foreachBatch`` is keyed by batch_id via
-    idempotent overwrite of per-batch subdirectories.
+    idempotent overwrite of per-batch subdirectories.  ``max_doc_bytes``
+    is the batch path's truncate-with-flag budget (pipeline.extract) --
+    on a live crawl feed the budget matters MORE than in batch, because
+    one pathological document would otherwise stall every subsequent
+    micro-batch behind its task.
     """
     reader = spark.readStream.schema(input_schema())
     if max_files_per_trigger:
@@ -64,7 +69,7 @@ def extract_stream(
         started = _time.time()
         # persist once: the batch is WRITTEN once and READ zero times --
         # metrics come off the cached frame, not a re-scan of the sink dir
-        out = extract(batch_df).persist()
+        out = extract(batch_df, max_doc_bytes=max_doc_bytes).persist()
         try:
             # per-batch subdirectory + overwrite => replaying a failed batch
             # replaces its partial output instead of duplicating it
@@ -194,12 +199,26 @@ def dedup_stream(
         if ttl_minutes is not None
         else GroupStateTimeout.NoTimeout
     )
-    ttl_ms = (ttl_minutes or 0) * 60_000
+    ttl_ms = int((ttl_minutes or 0) * 60_000)
+
+    return hashed.groupBy("__text_hash").applyInPandasWithState(
+        _make_dedup_fn(emit_suppressed, ttl_ms), out_schema, state_schema,
+        "update", timeout,
+    )
+
+
+def _make_dedup_fn(emit_suppressed: bool, ttl_ms: int):
+    """The applyInPandasWithState kernel of :func:`dedup_stream`, factored
+    out so the timeout branch -- which an in-process test cannot reach
+    without wall-clock TTL waits -- is unit-testable with a stub state."""
 
     def fn(key, pdfs, state):
         import pandas as pd
 
         if state.hasTimedOut:
+            # TTL eviction: drop the key's state; a later re-crawl of the
+            # same text is re-emitted (at-least-once dedup, the documented
+            # tradeoff).  Nothing is emitted for the eviction itself.
             state.remove()
             yield pd.DataFrame(
                 {"text_hash": pd.Series(dtype="object"),
@@ -219,9 +238,7 @@ def dedup_stream(
             state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(rows, columns=["text_hash", "doc_id", "n_prior"])
 
-    return hashed.groupBy("__text_hash").applyInPandasWithState(
-        fn, out_schema, state_schema, "update", timeout
-    )
+    return fn
 
 
 # Session config for disk-backed streaming state: RocksDB keeps the working

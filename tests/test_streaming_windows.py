@@ -177,3 +177,51 @@ def test_dedup_stream_emit_suppressed_counts_priors(spark, tmp_path):
     assert rows["a"] == 0 and rows["b"] == 0
     # batch-2 'alpha text' dups are both emitted with prior counts 1 and 2
     assert sorted([rows["c"], rows["e"]]) == [1, 2]
+
+
+def test_dedup_fn_ttl_timeout_branch():
+    """Unit drive of the stateful kernel's TTL path (wall-clock TTL waits
+    are untestable in-process): a timed-out key removes its state and
+    emits nothing; a live key re-arms its timeout; after eviction the same
+    text is treated as first-seen again (at-least-once dedup)."""
+    import pandas as pd
+
+    from nreadspark.streaming import _make_dedup_fn
+
+    class StubState:
+        def __init__(self, exists=False, value=None, timed_out=False):
+            self.exists, self._v, self.hasTimedOut = exists, value, timed_out
+            self.removed, self.updated, self.timeout_set = False, None, None
+
+        @property
+        def get(self):
+            return self._v
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    fn = _make_dedup_fn(emit_suppressed=False, ttl_ms=120_000)
+
+    # timed-out key: state dropped, empty emission, no timer re-arm
+    st = StubState(exists=True, value=(3,), timed_out=True)
+    (out,) = list(fn(("h1",), iter([]), st))
+    assert st.removed and st.updated is None and st.timeout_set is None
+    assert len(out) == 0 and list(out.columns) == ["text_hash", "doc_id", "n_prior"]
+
+    # live first-seen key: emits, updates count, arms the TTL timer
+    st = StubState()
+    batch = pd.DataFrame({"doc_id": ["a", "b"]})
+    (out,) = list(fn(("h2",), iter([batch]), st))
+    assert list(out["doc_id"]) == ["a"] and list(out["n_prior"]) == [0]
+    assert st.updated == (2,) and st.timeout_set == 120_000
+
+    # post-eviction re-sight: state gone -> first-wins again
+    st = StubState(exists=False)
+    (out,) = list(fn(("h2",), iter([pd.DataFrame({"doc_id": ["c"]})]), st))
+    assert list(out["doc_id"]) == ["c"] and st.updated == (1,)
