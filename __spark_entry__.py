@@ -682,6 +682,28 @@ def _q_line_dedup_newline(spark, sf_dir):
     return line_dedup(docs, delimiter="\n", min_repeats=3)
 
 
+def _q_text_chunking(spark, sf_dir):
+    """Sliding word-window chunking (context-length prep for training
+    pipelines): 64-word chunks with 16-word overlap, all JVM-side
+    (split -> sequence of starts -> slice -> posexplode), zero shuffles --
+    the doc->chunks expansion happens inside the scan stage."""
+    from nreadspark.ops.chunking import chunk_documents
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, max_words=64, overlap=16)
+
+
+def _q_shard_packing(spark, sf_dir):
+    """Greedy fixed-budget shard packing (training-shard construction):
+    docs ordered within md5-hash buckets, assigned to ~500-word shards by
+    running word-count offset.  One shuffle (bucket repartition) + a
+    per-bucket window -- no global sort, parallel across buckets."""
+    from nreadspark.ops.chunking import pack_shards
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_shards(docs, words_per_shard=500, n_buckets=8, hash_fn="md5")
+
+
 def _q_pdf_extract(spark, sf_dir):
     """PDF/layout extraction tier (north rule: 'HTML boilerplate strip,
     PDF/layout parse, DOM heuristics').  Synthesizes deterministic 2-page
@@ -1020,6 +1042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "line_dedup_newline": _q_line_dedup_newline,
         "extract_byte_budget": _q_extract_byte_budget,
+        "text_chunking": _q_text_chunking,
+        "shard_packing": _q_shard_packing,
         "dedup_components": _q_dedup_components,
         "text_c4_filter": _q_text_c4_filter,
         "dedup_survivors": _q_dedup_survivors,
@@ -1442,6 +1466,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n_lines AS BIGINT) AS n_lines,
                    CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
             FROM totals t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        """,
+        # text_chunking: exact SQL twin of the sliding-window chunker
+        # (stride 48 = 64 - 16; chunk_id recovered as (start-1)/stride)
+        "text_chunking": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents
+            ), nn AS (
+              SELECT doc_id, w,
+                     CASE WHEN len(w) = 1 AND w[1] = '' THEN 0 ELSE len(w) END AS n
+              FROM t
+            ), st AS (
+              SELECT doc_id, w, unnest(generate_series(1, n, 48)) AS start
+              FROM nn WHERE n > 0
+            ), ch AS (
+              SELECT doc_id,
+                     CAST((start - 1) / 48 AS INT) AS chunk_id,
+                     array_to_string(list_slice(w, start, start + 63), ' ') AS chunk_text
+              FROM st
+            )
+            SELECT doc_id, chunk_id, chunk_text,
+                   CAST(len(string_split_regex(chunk_text, '\s+')) AS BIGINT) AS n_words
+            FROM ch
+        """,
+        # shard_packing: md5 buckets + per-bucket running-offset window
+        "shard_packing": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS bucket,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words
+              FROM documents
+            )
+            SELECT doc_id, bucket,
+                   CAST(FLOOR(COALESCE(SUM(n_words) OVER (
+                          PARTITION BY bucket ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) / 500) AS BIGINT) AS shard_id,
+                   n_words
+            FROM b
         """,
         # extract_byte_budget: the truncate-with-flag contract is closed-form
         # (ASCII corpus): the oracle rebuilds the exact HTML the Spark side

@@ -1,0 +1,109 @@
+"""Chunking + shard packing: sliding-window chunk contract (coverage,
+overlap, final short chunk, empty docs), greedy shard budget packing
+(running-offset assignment, determinism under repartitioning)."""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("chunking-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def test_chunk_windows_cover_and_overlap(spark):
+    from nreadspark.ops.chunking import chunk_documents
+
+    words = [f"w{i}" for i in range(100)]
+    df = spark.createDataFrame([("d", " ".join(words))], "doc_id string, text string")
+    out = sorted(
+        chunk_documents(df, max_words=40, overlap=10).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # stride 30 over 100 words -> starts 1, 31, 61, 91 -> 4 chunks
+    assert [r["chunk_id"] for r in out] == [0, 1, 2, 3]
+    chunks = [r["chunk_text"].split(" ") for r in out]
+    assert chunks[0] == words[0:40]
+    assert chunks[1] == words[30:70]   # 10-word overlap with chunk 0
+    assert chunks[2] == words[60:100]
+    assert chunks[3] == words[90:100]  # final short chunk
+    assert [r["n_words"] for r in out] == [40, 40, 40, 10]
+    # every word appears in at least one chunk (coverage)
+    assert set(words) == {w for c in chunks for w in c}
+
+
+def test_chunk_empty_and_short_docs(spark):
+    from nreadspark.ops.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [("empty", ""), ("ws", "   "), ("short", "just three words")],
+        "doc_id string, text string",
+    )
+    out = chunk_documents(df, max_words=64, overlap=16).collect()
+    assert {r["doc_id"] for r in out} == {"short"}  # no rows for empty docs
+    assert out[0]["chunk_text"] == "just three words" and out[0]["n_words"] == 3
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    from nreadspark.ops.chunking import chunk_documents
+
+    df = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_words=16, overlap=16)
+
+
+def test_pack_shards_budget_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.chunking import pack_shards
+
+    # 50 docs x 100 words, one bucket -> shards of exactly 5 docs (500-word
+    # budget, doc starts at multiples of 100)
+    rows = [(f"{i:03d}", " ".join(["w"] * 100)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = pack_shards(df, words_per_shard=500, n_buckets=1).collect()
+    by_shard: dict = {}
+    for r in out:
+        assert r["bucket"] == 0 and r["n_words"] == 100
+        by_shard.setdefault(r["shard_id"], []).append(r["doc_id"])
+    assert {len(v) for v in by_shard.values()} == {5}
+    assert sorted(by_shard) == list(range(10))
+    # packing follows doc_id order within the bucket
+    assert sorted(by_shard[0]) == [f"{i:03d}" for i in range(5)]
+
+    # determinism: partitioning of the input must not change assignments
+    again = pack_shards(df.repartition(7), words_per_shard=500, n_buckets=1).collect()
+    assert {(r["doc_id"], r["shard_id"]) for r in again} == {
+        (r["doc_id"], r["shard_id"]) for r in out
+    }
+
+    # greedy overflow contract: a doc STARTING inside a shard's budget
+    # belongs to it even if it overflows the budget
+    mixed = spark.createDataFrame(
+        [("a", " ".join(["w"] * 400)), ("b", " ".join(["w"] * 400)), ("c", "w w")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r["shard_id"] for r in pack_shards(mixed, words_per_shard=500, n_buckets=1).collect()}
+    assert got == {"a": 0, "b": 0, "c": 1}  # b starts at offset 400 < 500
+
+
+def test_pack_shards_md5_mode_buckets(spark):
+    """md5 bucket mode is the oracle-portable twin; buckets must spread."""
+    from nreadspark.ops.chunking import pack_shards
+
+    rows = [(str(i), "some words here") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = pack_shards(df, words_per_shard=50, n_buckets=8, hash_fn="md5").collect()
+    buckets = {r["bucket"] for r in out}
+    assert buckets <= set(range(8)) and len(buckets) == 8
