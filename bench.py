@@ -154,6 +154,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "text_token_count",
         "text_quality",
         "text_lang_id",
+        "text_chunking",
+        "shard_packing",
         "e1_title_rules",
         "f5_f6_regex_rewrite",
         "tpch_q1_like",

@@ -107,3 +107,37 @@ def test_pack_shards_md5_mode_buckets(spark):
     out = pack_shards(df, words_per_shard=50, n_buckets=8, hash_fn="md5").collect()
     buckets = {r["bucket"] for r in out}
     assert buckets <= set(range(8)) and len(buckets) == 8
+
+
+def test_chunking_matches_python_reference_on_random_docs(spark):
+    """Randomized cross-check: the JVM higher-order-function chunker must
+    agree with an independent pure-Python reference on documents of random
+    lengths (incl. n < max_words, n == stride multiples, n == 0) across
+    several (max_words, overlap) shapes."""
+    import random
+
+    from nreadspark.ops.chunking import chunk_documents
+
+    rng = random.Random(42)
+    docs = []
+    for i in range(40):
+        n = rng.choice([0, 1, 2, rng.randrange(3, 150)])
+        docs.append((f"d{i:02d}", " ".join(f"t{i}_{j}" for j in range(n))))
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+
+    def reference(text, max_words, overlap):
+        words = text.split()
+        stride = max_words - overlap
+        return {
+            (k, " ".join(words[s : s + max_words]))
+            for k, s in enumerate(range(0, len(words), stride))
+        }
+
+    for max_words, overlap in [(64, 16), (10, 3), (5, 0)]:
+        got: dict = {}
+        for r in chunk_documents(df, max_words=max_words, overlap=overlap).collect():
+            got.setdefault(r["doc_id"], set()).add((r["chunk_id"], r["chunk_text"]))
+            assert r["n_words"] == len(r["chunk_text"].split())
+        for doc_id, text in docs:
+            expected = reference(text, max_words, overlap)
+            assert got.get(doc_id, set()) == expected, (doc_id, max_words, overlap)
