@@ -1478,7 +1478,9 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN len(w) = 1 AND w[1] = '' THEN 0 ELSE len(w) END AS n
               FROM t
             ), st AS (
-              SELECT doc_id, w, unnest(generate_series(1, n, 48)) AS start
+              -- starts stop at n - overlap (16): a later window is fully
+              -- contained in its predecessor and is never emitted
+              SELECT doc_id, w, unnest(generate_series(1, greatest(n - 16, 1), 48)) AS start
               FROM nn WHERE n > 0
             ), ch AS (
               SELECT doc_id,

@@ -38,14 +38,10 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES_DIR = "_stages"
-STAGE_MARKER = "_stage.json"
-# pipeline order; each entry is (stage name, bucket id column of its output)
-STAGE_ORDER = [("quality", "doc_id"), ("line_clean", "doc_id"), ("pairs", "doc_id_a")]
 
 
 def _stage_path(output_path: str, stage: str) -> str:
@@ -56,74 +52,26 @@ def _commit_stage(
     spark, df, output_path, stage, n_buckets, stage_stats, resume,
     id_col="doc_id", rows_stat_key=None,
 ):
-    """Write one stage's output ``partitionBy(bucket)`` with per-bucket
-    manifests (the run_extraction pattern, lineage.py:111): buckets whose
-    manifest already exists are SKIPPED (their parquet partition is already
-    committed -- idempotent via dynamic partition overwrite), the rest are
-    (re)written, then the stage marker with the stage's stats commits
-    atomically LAST, so a marker's existence proves the whole stage.
-    Returns the stage's total row count (pre-existing + new buckets)."""
-    from pyspark import StorageLevel
-    from pyspark.sql import functions as F
-
+    """Delegates to the shared bucket-commit protocol
+    (``lineage.commit_bucketed_stage`` -- one implementation for both the
+    extraction job and these stage checkpoints): per-bucket manifests,
+    done-bucket skip, per-write dynamic partition overwrite, stale-layout
+    cleaning on ``resume=False`` / ``n_buckets`` change, atomic stage
+    marker last."""
     from nreadspark import lineage
 
-    stage_out = _stage_path(output_path, stage)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    done = lineage.completed_buckets_fs(spark, stage_out) if resume else set()
-    bucketed = df.withColumn("bucket", lineage.bucket_col(n_buckets, id_col))
-    todo = bucketed.filter(~F.col("bucket").isin(list(done))) if done else bucketed
-    todo = todo.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        rows = [
-            r.asDict()
-            for r in todo.groupBy("bucket").agg(F.count("*").cast("bigint").alias("docs")).collect()
-        ]
-        todo.write.partitionBy("bucket").mode("overwrite").parquet(stage_out)
-        for r in rows:
-            r["committed_at"] = time.time()
-            lineage.write_marker(stage_out, f"bucket={int(r['bucket'])}.json", r, spark=spark)
-    finally:
-        todo.unpersist()
-    total = sum(r["docs"] for r in rows) + sum(
-        (lineage.read_marker(stage_out, f"bucket={b}.json", spark=spark) or {}).get("docs", 0)
-        for b in done
+    return lineage.commit_bucketed_stage(
+        spark, df, _stage_path(output_path, stage), stage, n_buckets,
+        stage_stats, resume, id_col=id_col, rows_stat_key=rows_stat_key,
     )
-    stage_stats = dict(stage_stats)
-    if rows_stat_key is not None:
-        stage_stats[rows_stat_key] = int(total)
-    lineage.write_marker(
-        stage_out,
-        STAGE_MARKER,
-        {
-            "stage": stage,
-            "rows": int(total),
-            "n_buckets": n_buckets,
-            "schema_json": df.schema.json(),
-            "stats": stage_stats,
-            "committed_at": time.time(),
-        },
-        spark=spark,
-    )
-    return int(total)
 
 
-def _read_stage(spark, output_path, stage):
-    """(DataFrame, stats) for a COMPLETED stage (marker committed), else
-    None.  Zero-row stages rebuild an empty frame from the recorded schema
-    (an empty partitioned parquet dir has no footers to infer from)."""
-    from pyspark.sql.types import StructType
-
+def _read_stage(spark, output_path, stage, n_buckets=None):
     from nreadspark import lineage
 
-    stage_out = _stage_path(output_path, stage)
-    marker = lineage.read_marker(stage_out, STAGE_MARKER, spark=spark)
-    if marker is None:
-        return None
-    if marker["rows"] == 0:
-        schema = StructType.fromJson(json.loads(marker["schema_json"]))
-        return spark.createDataFrame([], schema), marker["stats"]
-    return spark.read.parquet(stage_out).drop("bucket"), marker["stats"]
+    return lineage.read_bucketed_stage(
+        spark, _stage_path(output_path, stage), n_buckets=n_buckets
+    )
 
 
 def curate_resumable(
@@ -138,6 +86,7 @@ def curate_resumable(
     n_buckets: int = 16,
     resume: bool = True,
     fail_after_stage: str | None = None,
+    clean_stages: bool = False,
 ):
     """:func:`curate` with per-stage, per-bucket checkpointed lineage.
 
@@ -161,6 +110,14 @@ def curate_resumable(
     test hook.  Returns ``(surviving_df, stats)`` like :func:`curate`,
     with ``stats['resumed_stages']`` listing the stages loaded from
     checkpoint.
+
+    ``clean_stages=True`` deletes ``<output>/_stages/`` after the final
+    marker commits: the checkpoints total roughly three corpus-sized
+    copies (quality + line_clean outputs dominate), which at production
+    scale is dead weight once the survivors are committed.  The default
+    keeps them -- crash forensics and incremental re-runs with different
+    downstream parameters need the upstream stages intact.  The CLI
+    defaults to cleaning (pass ``--keep-stages`` to retain).
     """
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
@@ -181,7 +138,7 @@ def curate_resumable(
             raise RuntimeError(f"injected failure after stage {stage}")
 
     # -- stage 1: quality filter ------------------------------------------
-    st = _read_stage(spark, output_path, "quality") if resume else None
+    st = _read_stage(spark, output_path, "quality", n_buckets) if resume else None
     if st is None:
         docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
         qstats = {"input_docs": docs.count()}
@@ -200,7 +157,7 @@ def curate_resumable(
         )
         _commit_stage(spark, kept, output_path, "quality", n_buckets, qstats, resume)
         docs.unpersist()
-        kept, qstats = _read_stage(spark, output_path, "quality")
+        kept, qstats = _read_stage(spark, output_path, "quality", n_buckets)
     else:
         kept, qstats = st
         stats["resumed_stages"].append("quality")
@@ -208,7 +165,7 @@ def curate_resumable(
     _fail_hook("quality")
 
     # -- stage 2: boilerplate line removal --------------------------------
-    st = _read_stage(spark, output_path, "line_clean") if resume else None
+    st = _read_stage(spark, output_path, "line_clean", n_buckets) if resume else None
     if st is None:
         cleaned = line_dedup(
             kept,
@@ -228,7 +185,7 @@ def curate_resumable(
         _commit_stage(spark, cleaned, output_path, "line_clean", n_buckets, lstats, resume)
         cleaned.unpersist()
         release_caches()  # line_dedup's auto-mode boilerplate set is spent
-        cleaned, lstats = _read_stage(spark, output_path, "line_clean")
+        cleaned, lstats = _read_stage(spark, output_path, "line_clean", n_buckets)
     else:
         cleaned, lstats = st
         stats["resumed_stages"].append("line_clean")
@@ -236,7 +193,7 @@ def curate_resumable(
     _fail_hook("line_clean")
 
     # -- stage 3: near-dup pair verification ------------------------------
-    st = _read_stage(spark, output_path, "pairs") if resume else None
+    st = _read_stage(spark, output_path, "pairs", n_buckets) if resume else None
     if st is None:
         # docs emptied by line dedup bypass the pair graph (all empty texts
         # tokenize identically -- they are not duplicates of each other)
@@ -250,7 +207,7 @@ def curate_resumable(
             {}, resume, id_col="doc_id_a", rows_stat_key="near_dup_pairs",
         )
         release_caches()  # the banded/token-set persists are spent now
-        pairs, pstats = _read_stage(spark, output_path, "pairs")
+        pairs, pstats = _read_stage(spark, output_path, "pairs", n_buckets)
     else:
         pairs, pstats = st
         stats["resumed_stages"].append("pairs")
@@ -263,8 +220,13 @@ def curate_resumable(
         spark, surviving, output_path, "final", n_buckets, {}, resume,
         rows_stat_key="surviving_docs",
     )
-    final_df, fstats = _read_stage(spark, output_path, "final")
+    final_df, fstats = _read_stage(spark, output_path, "final", n_buckets)
     stats.update(fstats)
+    if clean_stages:
+        from nreadspark import lineage
+
+        lineage.delete_dir(spark, os.path.join(output_path, STAGES_DIR))
+        stats["stages_cleaned"] = True
     return final_df, stats
 
 
@@ -376,7 +338,12 @@ def main() -> None:
     )
     parser.add_argument(
         "--no-resume", action="store_true",
-        help="ignore committed stage checkpoints and recompute everything",
+        help="recompute everything (cleans stale stage data first)",
+    )
+    parser.add_argument(
+        "--keep-stages", action="store_true",
+        help="retain <output>/_stages/ checkpoints after success (~3 corpus-sized "
+        "copies; default deletes them once the final output commits)",
     )
     args = parser.parse_args()
 
@@ -417,6 +384,7 @@ def main() -> None:
         line_delimiter=args.line_delimiter,
         n_buckets=args.n_buckets,
         resume=not args.no_resume,
+        clean_stages=not args.keep_stages,
     )
     print(json.dumps(stats))
     spark.stop()

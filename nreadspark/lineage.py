@@ -134,6 +134,152 @@ def _write_manifest(output_path: str, bucket: int, payload: dict, spark=None) ->
     write_marker(output_path, f"bucket={bucket}.json", payload, spark=spark)
 
 
+def clean_bucketed_output(spark, output_path: str) -> None:
+    """Remove a bucketed commit's data + lineage (``bucket=*`` partition
+    dirs, the ``_lineage`` dir, ``_SUCCESS``) WITHOUT touching anything
+    else under the path -- safe on an output root that also hosts
+    ``_stages/`` checkpoints.  Needed before a non-resume recompute:
+    dynamic partition overwrite only replaces buckets present in the NEW
+    data, so stale partitions/manifests from a previous (possibly
+    different-``n_buckets``) run would otherwise survive and be read back
+    as live rows."""
+    import shutil
+
+    if _is_local_path(output_path):
+        root = output_path.removeprefix("file:")
+        if not os.path.isdir(root):
+            return
+        for name in os.listdir(root):
+            full = os.path.join(root, name)
+            if name.startswith("bucket=") or name == LINEAGE_DIR:
+                shutil.rmtree(full, ignore_errors=True)
+            elif name == "_SUCCESS":
+                os.remove(full)
+        return
+    fs, path, jvm = _hadoop_fs(spark, output_path)
+    if not fs.exists(path):
+        return
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if name.startswith("bucket=") or name in (LINEAGE_DIR, "_SUCCESS"):
+            fs.delete(status.getPath(), True)
+
+
+def delete_dir(spark, path: str) -> None:
+    """Recursively delete a directory on any supported filesystem."""
+    import shutil
+
+    if _is_local_path(path):
+        shutil.rmtree(path.removeprefix("file:"), ignore_errors=True)
+        return
+    fs, p, _ = _hadoop_fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+STAGE_MARKER = "_stage.json"
+
+
+def commit_bucketed_stage(
+    spark,
+    df: DataFrame,
+    stage_out: str,
+    stage: str,
+    n_buckets: int,
+    stage_stats: dict,
+    resume: bool = True,
+    id_col: str = "doc_id",
+    rows_stat_key: str | None = None,
+) -> int:
+    """The bucket-commit protocol shared by the extraction job and the
+    curation job's stage checkpoints: write ``df`` partitioned by the
+    deterministic id bucket with one manifest per bucket, then commit an
+    atomic stage marker (stats + total rows + schema) LAST, so a marker's
+    existence proves the whole stage.
+
+    Buckets whose manifest already exists are SKIPPED (their partition is
+    already committed; the write is idempotent via per-write dynamic
+    partition overwrite -- the writer OPTION, not the session conf, so the
+    caller's session semantics are untouched).  ``resume=False``, or an
+    existing marker whose ``n_buckets`` differs from the request, first
+    CLEANS the stage's data+lineage: stale partitions from a previous
+    layout must not survive into the re-read.
+
+    Returns the stage's total row count (pre-existing + new buckets)."""
+    existing = read_marker(stage_out, STAGE_MARKER, spark=spark)
+    if not resume or (existing is not None and existing.get("n_buckets") != n_buckets):
+        clean_bucketed_output(spark, stage_out)
+        done: set[int] = set()
+    else:
+        done = completed_buckets_fs(spark, stage_out)
+    bucketed = df.withColumn("bucket", bucket_col(n_buckets, id_col))
+    todo = bucketed.filter(~F.col("bucket").isin(list(done))) if done else bucketed
+
+    from pyspark import StorageLevel
+
+    todo = todo.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        rows = [
+            r.asDict()
+            for r in todo.groupBy("bucket")
+            .agg(F.count("*").cast("bigint").alias("docs"))
+            .collect()
+        ]
+        (
+            todo.write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(stage_out)
+        )
+        for r in rows:
+            r["committed_at"] = time.time()
+            write_marker(stage_out, f"bucket={int(r['bucket'])}.json", r, spark=spark)
+    finally:
+        todo.unpersist()
+    total = sum(r["docs"] for r in rows) + sum(
+        (read_marker(stage_out, f"bucket={b}.json", spark=spark) or {}).get("docs", 0)
+        for b in done
+    )
+    stage_stats = dict(stage_stats)
+    if rows_stat_key is not None:
+        stage_stats[rows_stat_key] = int(total)
+    write_marker(
+        stage_out,
+        STAGE_MARKER,
+        {
+            "stage": stage,
+            "rows": int(total),
+            "n_buckets": n_buckets,
+            "schema_json": df.schema.json(),
+            "stats": stage_stats,
+            "committed_at": time.time(),
+        },
+        spark=spark,
+    )
+    return int(total)
+
+
+def read_bucketed_stage(spark, stage_out: str, n_buckets: int | None = None):
+    """(DataFrame, stats) for a COMPLETED stage (marker committed), else
+    None.  A marker recorded under a different ``n_buckets`` layout is
+    treated as not-committed (the rerun recomputes and cleans).  Zero-row
+    stages rebuild an empty frame from the recorded schema (an empty
+    partitioned parquet dir has no footers to infer from)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    marker = read_marker(stage_out, STAGE_MARKER, spark=spark)
+    if marker is None:
+        return None
+    if n_buckets is not None and marker.get("n_buckets") != n_buckets:
+        return None
+    if marker["rows"] == 0:
+        schema = StructType.fromJson(_json.loads(marker["schema_json"]))
+        return spark.createDataFrame([], schema), marker["stats"]
+    return spark.read.parquet(stage_out).drop("bucket"), marker["stats"]
+
+
 def run_extraction(
     spark,
     input_df: DataFrame,
@@ -152,9 +298,14 @@ def run_extraction(
     Returns a run summary dict (buckets computed/skipped, doc counts, ms).
     """
     started = time.perf_counter()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
-    done = completed_buckets_fs(spark, output_path) if resume else set()
+    if resume:
+        done = completed_buckets_fs(spark, output_path)
+    else:
+        # a fresh run must not inherit stale partitions/manifests from a
+        # previous (possibly different-n_buckets) layout: dynamic overwrite
+        # only replaces buckets present in the new data
+        clean_bucketed_output(spark, output_path)
+        done = set()
     df = input_df.withColumn("bucket", bucket_col(n_buckets))
     todo_df = df.filter(~F.col("bucket").isin(list(done))) if done else df
 
@@ -174,8 +325,12 @@ def run_extraction(
 
     extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
     try:
+        # dynamic partition overwrite as a per-WRITE option (not session
+        # conf): replaying a bucket replaces only its partition, and the
+        # caller's session overwrite semantics stay untouched
         (
-            extracted.write.partitionBy("bucket")
+            extracted.write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
             .mode("overwrite")
             .parquet(output_path)
         )

@@ -31,9 +31,13 @@ def chunk_documents(
     chunk may be shorter).  Documents with no words (empty/whitespace
     text) produce NO rows, mirroring ``line_dedup``'s per-doc contract.
 
-    A trailing window that would only repeat the previous chunk's overlap
-    (start > n_words) is never generated: starts are
-    ``1, 1+stride, ... <= n_words``.
+    A trailing window whose content is already fully contained in the
+    previous chunk is never generated: window starts stop at
+    ``n_words - overlap`` (any later start covers only words the previous
+    window -- which by then reaches the document end -- already emitted,
+    and duplicated tails over-weight document endings in training data).
+    Coverage still holds: the last generated start is within ``max_words``
+    of the end.
 
     Scale shape: one projection pass -- ``split`` -> ``sequence`` of
     window starts -> ``transform``+``slice`` -> ``posexplode`` -- entirely
@@ -50,7 +54,8 @@ def chunk_documents(
     n = F.when(
         (F.size(words) == 1) & (F.element_at(words, 1) == ""), F.lit(0)
     ).otherwise(F.size(words))
-    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+    last_start = F.greatest(n - overlap, F.lit(1))
+    starts = F.when(n > 0, F.sequence(F.lit(1), last_start, F.lit(stride))).otherwise(
         F.array().cast("array<int>")
     )
     chunks = F.transform(

@@ -31,16 +31,28 @@ def test_chunk_windows_cover_and_overlap(spark):
         chunk_documents(df, max_words=40, overlap=10).collect(),
         key=lambda r: r["chunk_id"],
     )
-    # stride 30 over 100 words -> starts 1, 31, 61, 91 -> 4 chunks
-    assert [r["chunk_id"] for r in out] == [0, 1, 2, 3]
+    # stride 30 over 100 words, starts stop at n - overlap = 90 ->
+    # starts 1, 31, 61: a start-91 window (words 91-100) would be fully
+    # contained in the start-61 chunk and must NOT be emitted
+    assert [r["chunk_id"] for r in out] == [0, 1, 2]
     chunks = [r["chunk_text"].split(" ") for r in out]
     assert chunks[0] == words[0:40]
     assert chunks[1] == words[30:70]   # 10-word overlap with chunk 0
-    assert chunks[2] == words[60:100]
-    assert chunks[3] == words[90:100]  # final short chunk
-    assert [r["n_words"] for r in out] == [40, 40, 40, 10]
+    assert chunks[2] == words[60:100]  # reaches the document end
+    assert [r["n_words"] for r in out] == [40, 40, 40]
     # every word appears in at least one chunk (coverage)
     assert set(words) == {w for c in chunks for w in c}
+
+    # a window-sized doc yields exactly ONE chunk (the old stop condition
+    # emitted a redundant tail chunk here)
+    one = chunk_documents(
+        spark.createDataFrame(
+            [("d", " ".join(words[:40]))], "doc_id string, text string"
+        ),
+        max_words=40,
+        overlap=10,
+    ).collect()
+    assert len(one) == 1 and one[0]["n_words"] == 40
 
 
 def test_chunk_empty_and_short_docs(spark):
@@ -127,10 +139,14 @@ def test_chunking_matches_python_reference_on_random_docs(spark):
 
     def reference(text, max_words, overlap):
         words = text.split()
+        if not words:
+            return set()  # contract: empty docs produce no rows
         stride = max_words - overlap
+        # starts stop at n - overlap (0-based: max(n - overlap, 1)) so no
+        # window is fully contained in its predecessor
         return {
             (k, " ".join(words[s : s + max_words]))
-            for k, s in enumerate(range(0, len(words), stride))
+            for k, s in enumerate(range(0, max(len(words) - overlap, 1), stride))
         }
 
     for max_words, overlap in [(64, 16), (10, 3), (5, 0)]:

@@ -146,3 +146,50 @@ def test_zero_pair_stage_resumes_from_empty_schema(spark, tmp_path):
     assert got_stats["near_dup_pairs"] == 0
     assert got_stats["resumed_stages"] == ["quality", "line_clean", "pairs"]
     assert {r["doc_id"] for r in got_df.collect()} == {"a", "b", "c"}
+
+
+def test_no_resume_with_changed_buckets_cleans_stale_layout(spark, tmp_path):
+    """Dynamic partition overwrite only replaces buckets present in the new
+    data: a --no-resume rerun with a DIFFERENT --n-buckets must not leak
+    the old layout's partitions/manifests into the re-read stage output."""
+    docs = _docs(spark)
+    out = str(tmp_path / "curated")
+    _run(spark, docs, out, n_buckets=4)
+    # sanity: the 4-bucket layout committed some bucket dirs
+    old_buckets = {n for n in os.listdir(out) if n.startswith("bucket=")}
+    assert old_buckets and max(int(b.split("=")[1]) for b in old_buckets) >= 2
+
+    got_df, got_stats = _run(spark, docs, out, n_buckets=2, resume=False)
+    assert {r["doc_id"] for r in got_df.select("doc_id").collect()} == {"1", "4"}
+    assert got_stats["surviving_docs"] == 2
+    # no stale 4-bucket partitions or manifests anywhere
+    for stage_dir in [out] + [
+        os.path.join(out, "_stages", s) for s in ("quality", "line_clean", "pairs")
+    ]:
+        for name in os.listdir(stage_dir):
+            if name.startswith("bucket="):
+                assert int(name.split("=")[1]) < 2, (stage_dir, name)
+        lineage_dir = os.path.join(stage_dir, "_lineage")
+        for name in os.listdir(lineage_dir):
+            if name.startswith("bucket="):
+                assert int(name[len("bucket=") : -len(".json")]) < 2, (stage_dir, name)
+
+    # a RESUME against the new layout is a clean no-op (markers match)
+    again_df, again_stats = _run(spark, docs, out, n_buckets=2)
+    assert set(again_stats["resumed_stages"]) == {"quality", "line_clean", "pairs"}
+    assert {r["doc_id"] for r in again_df.select("doc_id").collect()} == {"1", "4"}
+    # while a mismatched n_buckets invalidates the markers and recomputes
+    redo_df, redo_stats = _run(spark, docs, out, n_buckets=4)
+    assert redo_stats["resumed_stages"] == []
+    assert {r["doc_id"] for r in redo_df.select("doc_id").collect()} == {"1", "4"}
+
+
+def test_clean_stages_removes_checkpoints_after_success(spark, tmp_path):
+    docs = _docs(spark)
+    out = str(tmp_path / "curated")
+    got_df, got_stats = _run(spark, docs, out, clean_stages=True)
+    assert {r["doc_id"] for r in got_df.select("doc_id").collect()} == {"1", "4"}
+    assert got_stats["stages_cleaned"] is True
+    assert not os.path.isdir(os.path.join(out, "_stages"))
+    # the final output + its lineage survive untouched
+    assert os.path.isfile(os.path.join(out, "_lineage", "_stage.json"))

@@ -109,7 +109,11 @@ def test_iceberg_write_path_round_trip(spark, tmp_path):
     got = load_documents(spark, tbl)
     assert got.count() == 2
 
-    inc = base.withColumn("doc_id", base["doc_id"] + "_v2")
+    from pyspark.sql import functions as F
+
+    # NOT `col + "_v2"`: Spark + is arithmetic Add (casts both sides to
+    # double -> NULL doc_ids); concat is the string operation
+    inc = base.withColumn("doc_id", F.concat(base["doc_id"], F.lit("_v2")))
     write_documents(inc, tbl)  # append path
     assert load_documents(spark, tbl).count() == 4
     assert {r["doc_id"] for r in load_documents(spark, tbl).select("doc_id").collect()} == {
