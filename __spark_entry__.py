@@ -1471,33 +1471,32 @@ def oracle_sql() -> dict[str, str]:
         # (stride 48 = 64 - 16; chunk_id recovered as (start-1)/stride)
         "text_chunking": r"""
             WITH t AS (
-              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              -- empty tokens filtered: split emits phantoms at tab/newline
+              -- edges, and a whitespace-only doc must count zero words
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
               FROM documents
             ), nn AS (
-              SELECT doc_id, w,
-                     CASE WHEN len(w) = 1 AND w[1] = '' THEN 0 ELSE len(w) END AS n
-              FROM t
+              SELECT doc_id, w, len(w) AS n FROM t
             ), st AS (
               -- starts stop at n - overlap (16): a later window is fully
               -- contained in its predecessor and is never emitted
-              SELECT doc_id, w, unnest(generate_series(1, greatest(n - 16, 1), 48)) AS start
+              SELECT doc_id, w, n,
+                     unnest(generate_series(1, greatest(n - 16, 1), 48)) AS start
               FROM nn WHERE n > 0
-            ), ch AS (
-              SELECT doc_id,
-                     CAST((start - 1) / 48 AS INT) AS chunk_id,
-                     array_to_string(list_slice(w, start, start + 63), ' ') AS chunk_text
-              FROM st
             )
-            SELECT doc_id, chunk_id, chunk_text,
-                   CAST(len(string_split_regex(chunk_text, '\s+')) AS BIGINT) AS n_words
-            FROM ch
+            SELECT doc_id,
+                   CAST((start - 1) / 48 AS INT) AS chunk_id,
+                   array_to_string(list_slice(w, start, start + 63), ' ') AS chunk_text,
+                   CAST(least(n - start + 1, 64) AS BIGINT) AS n_words
+            FROM st
         """,
         # shard_packing: md5 buckets + per-bucket running-offset window
         "shard_packing": r"""
             WITH b AS (
               SELECT doc_id,
                      CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS bucket,
-                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words
+                     CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_words
               FROM documents
             )
             SELECT doc_id, bucket,

@@ -133,6 +133,20 @@ def curate_resumable(
 
     stats: dict = {"resumed_stages": []}
 
+    # short-circuit: a COMPLETED job (final marker present, matching
+    # layout) returns its committed survivors immediately -- without this,
+    # rerunning after the default stage cleanup would recompute all three
+    # upstream stages at full corpus cost and then discard the result
+    # (every final bucket manifest already exists, so nothing would be
+    # written).  The final marker carries the full merged stats dict.
+    if resume:
+        done = _read_stage(spark, output_path, "final", n_buckets)
+        if done is not None:
+            final_df, fstats = done
+            stats.update(fstats)
+            stats["resumed_stages"] = ["quality", "line_clean", "pairs", "final"]
+            return final_df, stats
+
     def _fail_hook(stage: str) -> None:
         if fail_after_stage == stage:
             raise RuntimeError(f"injected failure after stage {stage}")
@@ -216,8 +230,12 @@ def curate_resumable(
 
     # -- stage 4: survivors (final output at the root) --------------------
     surviving = keep_canonical(cleaned.drop("n_removed"), pairs)
+    # the final marker carries the FULL merged stats so a completed job's
+    # rerun can short-circuit with them (resumed_stages excluded: it
+    # describes a particular run, not the output)
     _commit_stage(
-        spark, surviving, output_path, "final", n_buckets, {}, resume,
+        spark, surviving, output_path, "final", n_buckets,
+        {k: v for k, v in stats.items() if k != "resumed_stages"}, resume,
         rows_stat_key="surviving_docs",
     )
     final_df, fstats = _read_stage(spark, output_path, "final", n_buckets)

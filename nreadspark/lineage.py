@@ -33,6 +33,19 @@ def bucket_col(n_buckets: int, doc_id_col: str = "doc_id"):
     return F.pmod(F.xxhash64(doc_id_col), F.lit(n_buckets)).cast("int")
 
 
+def md5_bucket_col(n_buckets: int, doc_id_col: str = "doc_id"):
+    """Engine-portable twin of :func:`bucket_col`: bucket on the first 8
+    md5 hex chars so an external SQL engine can reproduce the assignment
+    exactly (DuckDB: ``('0x'||substring(md5(id),1,8))::BIGINT % n``).  The
+    same convention as the MinHash md5 mode; use only where oracle parity
+    matters -- xxhash64 is the JVM-native production default."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(doc_id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
 def completed_buckets(output_path: str) -> set[int]:
     lineage_path = os.path.join(output_path, LINEAGE_DIR)
     if not os.path.isdir(lineage_path):
@@ -178,6 +191,34 @@ def delete_dir(spark, path: str) -> None:
 
 
 STAGE_MARKER = "_stage.json"
+LAYOUT_MARKER = "_layout.json"
+
+
+def resolve_bucket_layout(spark, output_path: str, n_buckets: int, resume: bool) -> set[int]:
+    """Decide which bucket manifests a (possibly resuming) bucketed commit
+    may trust, cleaning stale data first when the layout changed.
+
+    The layout marker commits BEFORE any bucket data, so a run that
+    crashes mid-stage (no stage marker yet) still records which
+    ``n_buckets`` its partial manifests belong to -- without it, resuming
+    a markerless crash under a different ``n_buckets`` would trust
+    old-layout manifests, filter the new data against them, and commit a
+    partial corpus as complete.  ``resume=False`` or any layout mismatch
+    cleans the bucketed data+lineage (stale partitions survive dynamic
+    overwrite otherwise) and starts from an empty done-set."""
+    layout = read_marker(output_path, LAYOUT_MARKER, spark=spark)
+    stale = layout is not None and layout.get("n_buckets") != n_buckets
+    if not resume or stale:
+        clean_bucketed_output(spark, output_path)
+        done: set[int] = set()
+    else:
+        done = completed_buckets_fs(spark, output_path)
+    if layout is None or stale or not resume:
+        write_marker(
+            output_path, LAYOUT_MARKER,
+            {"n_buckets": n_buckets, "committed_at": time.time()}, spark=spark,
+        )
+    return done
 
 
 def commit_bucketed_stage(
@@ -206,12 +247,7 @@ def commit_bucketed_stage(
     layout must not survive into the re-read.
 
     Returns the stage's total row count (pre-existing + new buckets)."""
-    existing = read_marker(stage_out, STAGE_MARKER, spark=spark)
-    if not resume or (existing is not None and existing.get("n_buckets") != n_buckets):
-        clean_bucketed_output(spark, stage_out)
-        done: set[int] = set()
-    else:
-        done = completed_buckets_fs(spark, stage_out)
+    done = resolve_bucket_layout(spark, stage_out, n_buckets, resume)
     bucketed = df.withColumn("bucket", bucket_col(n_buckets, id_col))
     todo = bucketed.filter(~F.col("bucket").isin(list(done))) if done else bucketed
 
@@ -298,14 +334,10 @@ def run_extraction(
     Returns a run summary dict (buckets computed/skipped, doc counts, ms).
     """
     started = time.perf_counter()
-    if resume:
-        done = completed_buckets_fs(spark, output_path)
-    else:
-        # a fresh run must not inherit stale partitions/manifests from a
-        # previous (possibly different-n_buckets) layout: dynamic overwrite
-        # only replaces buckets present in the new data
-        clean_bucketed_output(spark, output_path)
-        done = set()
+    # layout-checked resume: cleans stale partitions/manifests on
+    # non-resume runs AND on n_buckets changes (even after a markerless
+    # crash) -- see resolve_bucket_layout
+    done = resolve_bucket_layout(spark, output_path, n_buckets, resume)
     df = input_df.withColumn("bucket", bucket_col(n_buckets))
     todo_df = df.filter(~F.col("bucket").isin(list(done))) if done else df
 

@@ -17,6 +17,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _words_col(text_col: str):
+    """Whitespace-robust tokenization: ``split`` emits empty tokens at
+    tab/newline edges (``trim`` strips only ASCII spaces, and a trailing
+    ``\\n`` yields a phantom '' word), so filter them out -- a
+    whitespace-only document then has size 0, no special-casing.  SQL
+    twin: ``list_filter(string_split_regex(text, '\\s+'), t -> t <> '')``."""
+    return F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
@@ -46,28 +57,35 @@ def chunk_documents(
     (doc -> chunks) expansion happens inside the scan stage and flows
     straight to the sink or the next map-side op.
     """
-    if overlap >= max_words:
-        raise ValueError(f"overlap ({overlap}) must be < max_words ({max_words})")
+    if not 0 <= overlap < max_words:
+        raise ValueError(
+            f"need 0 <= overlap ({overlap}) < max_words ({max_words}): a "
+            "negative overlap silently skips words between windows"
+        )
     stride = max_words - overlap
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    # a whitespace-only doc splits to [''] -- treat as zero words
-    n = F.when(
-        (F.size(words) == 1) & (F.element_at(words, 1) == ""), F.lit(0)
-    ).otherwise(F.size(words))
+    words = _words_col(text_col)
+    n = F.size(words)
     last_start = F.greatest(n - overlap, F.lit(1))
     starts = F.when(n > 0, F.sequence(F.lit(1), last_start, F.lit(stride))).otherwise(
         F.array().cast("array<int>")
     )
+    # build (text, count) per window in ONE pass over the word array: the
+    # count is closed-form from the start offset -- re-splitting chunk_text
+    # would regex-scan the whole corpus (plus overlap amplification) twice
     chunks = F.transform(
-        starts, lambda s: F.concat_ws(" ", F.slice(words, s, max_words))
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(words, s, max_words)).alias("chunk_text"),
+            F.least(n - s + 1, F.lit(max_words)).cast("bigint").alias("n_words"),
+        ),
     )
     return (
-        df.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        df.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
         .select(
             "doc_id",
             F.col("chunk_id").cast("int").alias("chunk_id"),
-            "chunk_text",
-            F.size(F.split(F.col("chunk_text"), r"\s+")).cast("bigint").alias("n_words"),
+            F.col("chunk.chunk_text").alias("chunk_text"),
+            F.col("chunk.n_words").alias("n_words"),
         )
     )
 
@@ -102,16 +120,12 @@ def pack_shards(
     exact bucket assignment for correctness oracles; same convention as
     the MinHash signatures).
     """
-    if hash_fn == "md5":
-        bucket = F.pmod(
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-            ).cast("bigint"),
-            F.lit(n_buckets),
-        )
-    else:
-        bucket = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_buckets))
-    n_words = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    from ..lineage import bucket_col, md5_bucket_col
+
+    bucket = (
+        md5_bucket_col(n_buckets) if hash_fn == "md5" else bucket_col(n_buckets)
+    )
+    n_words = F.size(_words_col(text_col)).cast("bigint")
     bucketed = df.select(
         "doc_id",
         bucket.cast("int").alias("bucket"),

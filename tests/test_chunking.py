@@ -157,3 +157,26 @@ def test_chunking_matches_python_reference_on_random_docs(spark):
         for doc_id, text in docs:
             expected = reference(text, max_words, overlap)
             assert got.get(doc_id, set()) == expected, (doc_id, max_words, overlap)
+
+
+def test_chunking_whitespace_edges_and_negative_overlap(spark):
+    """Tab/newline-edged text must not grow phantom empty 'words': a
+    "\\n"-only doc emits no rows, a newline-terminated doc counts its real
+    words, and chunk_text never carries trailing separators.  Negative
+    overlap (which would silently skip words between windows) is rejected."""
+    from nreadspark.ops.chunking import chunk_documents, pack_shards
+
+    df = spark.createDataFrame(
+        [("nl", "\n"), ("tabbed", "\thello\tworld\n"), ("crlf", "one two\r\n")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_documents(df, max_words=64, overlap=16).collect()}
+    assert set(out) == {"tabbed", "crlf"}  # whitespace-only doc: no rows
+    assert out["tabbed"]["chunk_text"] == "hello world" and out["tabbed"]["n_words"] == 2
+    assert out["crlf"]["chunk_text"] == "one two" and out["crlf"]["n_words"] == 2
+
+    packed = {r["doc_id"]: r["n_words"] for r in pack_shards(df, n_buckets=1).collect()}
+    assert packed == {"nl": 0, "tabbed": 2, "crlf": 2}
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_words=10, overlap=-10)

@@ -174,9 +174,11 @@ def test_no_resume_with_changed_buckets_cleans_stale_layout(spark, tmp_path):
             if name.startswith("bucket="):
                 assert int(name[len("bucket=") : -len(".json")]) < 2, (stage_dir, name)
 
-    # a RESUME against the new layout is a clean no-op (markers match)
+    # a RESUME against the new layout short-circuits on the final marker
+    # (no stage recompute at all -- the full stats come from the marker)
     again_df, again_stats = _run(spark, docs, out, n_buckets=2)
-    assert set(again_stats["resumed_stages"]) == {"quality", "line_clean", "pairs"}
+    assert again_stats["resumed_stages"] == ["quality", "line_clean", "pairs", "final"]
+    assert again_stats["surviving_docs"] == 2 and again_stats["input_docs"] == 6
     assert {r["doc_id"] for r in again_df.select("doc_id").collect()} == {"1", "4"}
     # while a mismatched n_buckets invalidates the markers and recomputes
     redo_df, redo_stats = _run(spark, docs, out, n_buckets=4)
@@ -193,3 +195,55 @@ def test_clean_stages_removes_checkpoints_after_success(spark, tmp_path):
     assert not os.path.isdir(os.path.join(out, "_stages"))
     # the final output + its lineage survive untouched
     assert os.path.isfile(os.path.join(out, "_lineage", "_stage.json"))
+
+
+def test_completed_job_short_circuits_after_stage_cleanup(spark, tmp_path, monkeypatch):
+    """Rerunning a COMPLETED job (stages cleaned, final marker present)
+    must return the committed survivors without recomputing anything --
+    poison every stage operator to prove it."""
+    docs = _docs(spark)
+    out = str(tmp_path / "curated")
+    _, first = _run(spark, docs, out, clean_stages=True)
+    assert first["stages_cleaned"] is True
+
+    import nreadspark.ops.dedup as dedup_mod
+    import nreadspark.ops.textstats as textstats_mod
+
+    for mod, name in [
+        (textstats_mod, "c4_quality_filter"),
+        (dedup_mod, "line_dedup"),
+        (dedup_mod, "minhash_lsh_candidates"),
+        (dedup_mod, "keep_canonical"),
+    ]:
+        monkeypatch.setattr(
+            mod, name,
+            lambda *a, _n=name, **k: (_ for _ in ()).throw(AssertionError(f"{_n} recomputed")),
+        )
+    got_df, got_stats = _run(spark, docs, out)
+    assert got_stats["resumed_stages"] == ["quality", "line_clean", "pairs", "final"]
+    assert got_stats["input_docs"] == 6 and got_stats["surviving_docs"] == 2
+    assert {r["doc_id"] for r in got_df.select("doc_id").collect()} == {"1", "4"}
+
+
+def test_markerless_crash_with_changed_buckets_recomputes_cleanly(spark, tmp_path):
+    """A stage that crashed BEFORE its marker committed still recorded its
+    bucket layout (_layout.json, committed before any data): resuming with
+    a different --n-buckets must clean the partial old-layout buckets and
+    recompute, not trust them as done."""
+    docs = _docs(spark)
+    out = str(tmp_path / "curated")
+    with pytest.raises(RuntimeError, match="injected"):
+        _run(spark, docs, out, n_buckets=4, fail_after_stage="quality")
+    qdir = os.path.join(out, "_stages", "quality")
+    # simulate the marker never landing (crash mid-commit): manifests stay
+    os.remove(os.path.join(qdir, "_lineage", "_stage.json"))
+    assert any(n.startswith("bucket=") for n in os.listdir(qdir))
+
+    got_df, got_stats = _run(spark, docs, out, n_buckets=2)
+    assert got_stats["resumed_stages"] == []  # nothing trusted
+    assert got_stats["input_docs"] == 6
+    assert {r["doc_id"] for r in got_df.select("doc_id").collect()} == {"1", "4"}
+    # the quality stage was rebuilt under the new layout only
+    for name in os.listdir(qdir):
+        if name.startswith("bucket="):
+            assert int(name.split("=")[1]) < 2, name
