@@ -33,6 +33,13 @@ def main() -> None:
         help="generate N synthetic interleaved docs instead of reading --input",
     )
     parser.add_argument("--master", default=None)
+    parser.add_argument(
+        "--max-doc-bytes", type=int, default=None,
+        help="per-document truncate-with-flag byte budget (pipeline.extract); "
+        "rows over it are cut to exactly this many UTF-8 bytes before parsing "
+        "and flagged metrics.truncated -- set on crawl tails so one "
+        "pathological document cannot hold a task",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -64,6 +71,7 @@ def main() -> None:
         n_buckets=args.buckets,
         url_col=args.url_col,
         resume=not args.no_resume,
+        max_doc_bytes=args.max_doc_bytes,
     )
     print(json.dumps(summary))
 
