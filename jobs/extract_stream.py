@@ -26,6 +26,11 @@ def main() -> None:
     parser.add_argument("--checkpoint", required=True)
     parser.add_argument("--continuous", action="store_true")
     parser.add_argument("--max-files-per-trigger", type=int, default=None)
+    parser.add_argument(
+        "--max-doc-bytes", type=int, default=None,
+        help="per-document truncate-with-flag budget; on a live feed one "
+        "pathological document would otherwise stall every later micro-batch",
+    )
     parser.add_argument("--master", default=None)
     args = parser.parse_args()
 
@@ -46,6 +51,7 @@ def main() -> None:
         args.checkpoint,
         trigger_available_now=not args.continuous,
         max_files_per_trigger=args.max_files_per_trigger,
+        max_doc_bytes=args.max_doc_bytes,
     )
     query.awaitTermination()
 
