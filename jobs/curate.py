@@ -50,7 +50,7 @@ def _stage_path(output_path: str, stage: str) -> str:
 
 def _commit_stage(
     spark, df, output_path, stage, n_buckets, stage_stats, resume,
-    id_col="doc_id", rows_stat_key=None,
+    id_col="doc_id", rows_stat_key=None, params=None,
 ):
     """Delegates to the shared bucket-commit protocol
     (``lineage.commit_bucketed_stage`` -- one implementation for both the
@@ -63,14 +63,15 @@ def _commit_stage(
     return lineage.commit_bucketed_stage(
         spark, df, _stage_path(output_path, stage), stage, n_buckets,
         stage_stats, resume, id_col=id_col, rows_stat_key=rows_stat_key,
+        params=params,
     )
 
 
-def _read_stage(spark, output_path, stage, n_buckets=None):
+def _read_stage(spark, output_path, stage, n_buckets=None, params=None):
     from nreadspark import lineage
 
     return lineage.read_bucketed_stage(
-        spark, _stage_path(output_path, stage), n_buckets=n_buckets
+        spark, _stage_path(output_path, stage), n_buckets=n_buckets, params=params
     )
 
 
@@ -133,6 +134,12 @@ def curate_resumable(
 
     stats: dict = {"resumed_stages": []}
 
+    qparams = {"min_words": min_words, "text_col": text_col}
+    lparams = {**qparams, "line_delimiter": line_delimiter,
+               "line_min_repeats": line_min_repeats}
+    pparams = {**lparams, "minhash_threshold": minhash_threshold}
+    fparams = pparams  # keep_canonical adds no knobs of its own
+
     # short-circuit: a COMPLETED job (final marker present, matching
     # layout) returns its committed survivors immediately -- without this,
     # rerunning after the default stage cleanup would recompute all three
@@ -140,11 +147,19 @@ def curate_resumable(
     # (every final bucket manifest already exists, so nothing would be
     # written).  The final marker carries the full merged stats dict.
     if resume:
-        done = _read_stage(spark, output_path, "final", n_buckets)
+        done = _read_stage(spark, output_path, "final", n_buckets, fparams)
         if done is not None:
             final_df, fstats = done
             stats.update(fstats)
             stats["resumed_stages"] = ["quality", "line_clean", "pairs", "final"]
+            if clean_stages:
+                # a requested cleanup must happen even on the no-work path
+                # (e.g. run 1 used --keep-stages, or crashed between the
+                # final marker and its own cleanup)
+                from nreadspark import lineage
+
+                lineage.delete_dir(spark, os.path.join(output_path, STAGES_DIR))
+                stats["stages_cleaned"] = True
             return final_df, stats
 
     def _fail_hook(stage: str) -> None:
@@ -152,7 +167,7 @@ def curate_resumable(
             raise RuntimeError(f"injected failure after stage {stage}")
 
     # -- stage 1: quality filter ------------------------------------------
-    st = _read_stage(spark, output_path, "quality", n_buckets) if resume else None
+    st = _read_stage(spark, output_path, "quality", n_buckets, qparams) if resume else None
     if st is None:
         docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
         qstats = {"input_docs": docs.count()}
@@ -169,9 +184,9 @@ def curate_resumable(
         kept = docs.join(verdicts.filter("keep").select("doc_id"), "doc_id").select(
             "doc_id", text_col
         )
-        _commit_stage(spark, kept, output_path, "quality", n_buckets, qstats, resume)
+        _commit_stage(spark, kept, output_path, "quality", n_buckets, qstats, resume, params=qparams)
         docs.unpersist()
-        kept, qstats = _read_stage(spark, output_path, "quality", n_buckets)
+        kept, qstats = _read_stage(spark, output_path, "quality", n_buckets, qparams)
     else:
         kept, qstats = st
         stats["resumed_stages"].append("quality")
@@ -179,7 +194,7 @@ def curate_resumable(
     _fail_hook("quality")
 
     # -- stage 2: boilerplate line removal --------------------------------
-    st = _read_stage(spark, output_path, "line_clean", n_buckets) if resume else None
+    st = _read_stage(spark, output_path, "line_clean", n_buckets, lparams) if resume else None
     if st is None:
         cleaned = line_dedup(
             kept,
@@ -196,10 +211,10 @@ def curate_resumable(
             ),
             "emptied_by_line_dedup": cleaned.filter(F.length(text_col) == 0).count(),
         }
-        _commit_stage(spark, cleaned, output_path, "line_clean", n_buckets, lstats, resume)
+        _commit_stage(spark, cleaned, output_path, "line_clean", n_buckets, lstats, resume, params=lparams)
         cleaned.unpersist()
         release_caches()  # line_dedup's auto-mode boilerplate set is spent
-        cleaned, lstats = _read_stage(spark, output_path, "line_clean", n_buckets)
+        cleaned, lstats = _read_stage(spark, output_path, "line_clean", n_buckets, lparams)
     else:
         cleaned, lstats = st
         stats["resumed_stages"].append("line_clean")
@@ -207,7 +222,7 @@ def curate_resumable(
     _fail_hook("line_clean")
 
     # -- stage 3: near-dup pair verification ------------------------------
-    st = _read_stage(spark, output_path, "pairs", n_buckets) if resume else None
+    st = _read_stage(spark, output_path, "pairs", n_buckets, pparams) if resume else None
     if st is None:
         # docs emptied by line dedup bypass the pair graph (all empty texts
         # tokenize identically -- they are not duplicates of each other)
@@ -219,9 +234,10 @@ def curate_resumable(
         _commit_stage(
             spark, verified, output_path, "pairs", n_buckets,
             {}, resume, id_col="doc_id_a", rows_stat_key="near_dup_pairs",
+            params=pparams,
         )
         release_caches()  # the banded/token-set persists are spent now
-        pairs, pstats = _read_stage(spark, output_path, "pairs", n_buckets)
+        pairs, pstats = _read_stage(spark, output_path, "pairs", n_buckets, pparams)
     else:
         pairs, pstats = st
         stats["resumed_stages"].append("pairs")
@@ -236,9 +252,9 @@ def curate_resumable(
     _commit_stage(
         spark, surviving, output_path, "final", n_buckets,
         {k: v for k, v in stats.items() if k != "resumed_stages"}, resume,
-        rows_stat_key="surviving_docs",
+        rows_stat_key="surviving_docs", params=fparams,
     )
-    final_df, fstats = _read_stage(spark, output_path, "final", n_buckets)
+    final_df, fstats = _read_stage(spark, output_path, "final", n_buckets, fparams)
     stats.update(fstats)
     if clean_stages:
         from nreadspark import lineage

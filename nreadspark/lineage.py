@@ -194,20 +194,35 @@ STAGE_MARKER = "_stage.json"
 LAYOUT_MARKER = "_layout.json"
 
 
-def resolve_bucket_layout(spark, output_path: str, n_buckets: int, resume: bool) -> set[int]:
+def resolve_bucket_layout(
+    spark, output_path: str, n_buckets: int, resume: bool, params: dict | None = None
+) -> set[int]:
     """Decide which bucket manifests a (possibly resuming) bucketed commit
     may trust, cleaning stale data first when the layout changed.
 
     The layout marker commits BEFORE any bucket data, so a run that
     crashes mid-stage (no stage marker yet) still records which
-    ``n_buckets`` its partial manifests belong to -- without it, resuming
-    a markerless crash under a different ``n_buckets`` would trust
-    old-layout manifests, filter the new data against them, and commit a
-    partial corpus as complete.  ``resume=False`` or any layout mismatch
-    cleans the bucketed data+lineage (stale partitions survive dynamic
-    overwrite otherwise) and starts from an empty done-set."""
+    ``n_buckets`` AND which computation ``params`` its partial manifests
+    belong to -- without it, resuming a markerless crash under a different
+    layout would trust old manifests, filter the new data against them,
+    and commit a partial corpus as complete.  ``params`` is the
+    JSON-serializable fingerprint of everything that changes the
+    committed ROWS (truncation budget, filter thresholds, ...): a resume
+    under different params would otherwise silently mix outputs computed
+    under two configurations.  Stale on any of: ``resume=False``, a
+    layout/params mismatch, or -- the conservative default -- bucket
+    manifests present with NO layout marker at all (a pre-layout-marker
+    legacy dir whose bucketing we cannot verify)."""
     layout = read_marker(output_path, LAYOUT_MARKER, spark=spark)
-    stale = layout is not None and layout.get("n_buckets") != n_buckets
+    # normalize through json so the comparison sees exactly what a stored
+    # marker would return (tuples -> lists, key order, float round-trip)
+    params = json.loads(json.dumps(params or {}, sort_keys=True))
+    if layout is None:
+        # manifests without a layout marker: unknowable provenance -- the
+        # one-time recompute beats trusting a possibly-mismatched layout
+        stale = bool(completed_buckets_fs(spark, output_path))
+    else:
+        stale = layout.get("n_buckets") != n_buckets or layout.get("params", {}) != params
     if not resume or stale:
         clean_bucketed_output(spark, output_path)
         done: set[int] = set()
@@ -216,7 +231,8 @@ def resolve_bucket_layout(spark, output_path: str, n_buckets: int, resume: bool)
     if layout is None or stale or not resume:
         write_marker(
             output_path, LAYOUT_MARKER,
-            {"n_buckets": n_buckets, "committed_at": time.time()}, spark=spark,
+            {"n_buckets": n_buckets, "params": params, "committed_at": time.time()},
+            spark=spark,
         )
     return done
 
@@ -231,6 +247,7 @@ def commit_bucketed_stage(
     resume: bool = True,
     id_col: str = "doc_id",
     rows_stat_key: str | None = None,
+    params: dict | None = None,
 ) -> int:
     """The bucket-commit protocol shared by the extraction job and the
     curation job's stage checkpoints: write ``df`` partitioned by the
@@ -246,8 +263,13 @@ def commit_bucketed_stage(
     CLEANS the stage's data+lineage: stale partitions from a previous
     layout must not survive into the re-read.
 
+    ``params`` fingerprints the computation that produced ``df`` (see
+    :func:`resolve_bucket_layout`): a resume under different params cleans
+    and recomputes rather than mixing configurations, and the stage marker
+    records them so readers can check too.
+
     Returns the stage's total row count (pre-existing + new buckets)."""
-    done = resolve_bucket_layout(spark, stage_out, n_buckets, resume)
+    done = resolve_bucket_layout(spark, stage_out, n_buckets, resume, params=params)
     bucketed = df.withColumn("bucket", bucket_col(n_buckets, id_col))
     todo = bucketed.filter(~F.col("bucket").isin(list(done))) if done else bucketed
 
@@ -286,6 +308,7 @@ def commit_bucketed_stage(
             "stage": stage,
             "rows": int(total),
             "n_buckets": n_buckets,
+            "params": json.loads(json.dumps(params or {}, sort_keys=True)),
             "schema_json": df.schema.json(),
             "stats": stage_stats,
             "committed_at": time.time(),
@@ -295,14 +318,15 @@ def commit_bucketed_stage(
     return int(total)
 
 
-def read_bucketed_stage(spark, stage_out: str, n_buckets: int | None = None):
+def read_bucketed_stage(
+    spark, stage_out: str, n_buckets: int | None = None, params: dict | None = None
+):
     """(DataFrame, stats) for a COMPLETED stage (marker committed), else
-    None.  A marker recorded under a different ``n_buckets`` layout is
-    treated as not-committed (the rerun recomputes and cleans).  Zero-row
-    stages rebuild an empty frame from the recorded schema (an empty
-    partitioned parquet dir has no footers to infer from)."""
-    import json as _json
-
+    None.  A marker recorded under a different ``n_buckets`` layout -- or,
+    when ``params`` is given, under a different computation fingerprint --
+    is treated as not-committed (the rerun recomputes and cleans).
+    Zero-row stages rebuild an empty frame from the recorded schema (an
+    empty partitioned parquet dir has no footers to infer from)."""
     from pyspark.sql.types import StructType
 
     marker = read_marker(stage_out, STAGE_MARKER, spark=spark)
@@ -310,8 +334,12 @@ def read_bucketed_stage(spark, stage_out: str, n_buckets: int | None = None):
         return None
     if n_buckets is not None and marker.get("n_buckets") != n_buckets:
         return None
+    if params is not None:
+        want = json.loads(json.dumps(params, sort_keys=True))
+        if marker.get("params", {}) != want:
+            return None
     if marker["rows"] == 0:
-        schema = StructType.fromJson(_json.loads(marker["schema_json"]))
+        schema = StructType.fromJson(json.loads(marker["schema_json"]))
         return spark.createDataFrame([], schema), marker["stats"]
     return spark.read.parquet(stage_out).drop("bucket"), marker["stats"]
 
@@ -335,9 +363,14 @@ def run_extraction(
     """
     started = time.perf_counter()
     # layout-checked resume: cleans stale partitions/manifests on
-    # non-resume runs AND on n_buckets changes (even after a markerless
-    # crash) -- see resolve_bucket_layout
-    done = resolve_bucket_layout(spark, output_path, n_buckets, resume)
+    # non-resume runs, on n_buckets changes (even after a markerless
+    # crash), and on changed extraction params -- a bucket committed under
+    # one truncation budget must not be mixed with buckets computed under
+    # another.  See resolve_bucket_layout.
+    done = resolve_bucket_layout(
+        spark, output_path, n_buckets, resume,
+        params={"max_doc_bytes": max_doc_bytes, "url_col": url_col},
+    )
     df = input_df.withColumn("bucket", bucket_col(n_buckets))
     todo_df = df.filter(~F.col("bucket").isin(list(done))) if done else df
 

@@ -247,3 +247,56 @@ def test_markerless_crash_with_changed_buckets_recomputes_cleanly(spark, tmp_pat
     for name in os.listdir(qdir):
         if name.startswith("bucket="):
             assert int(name.split("=")[1]) < 2, name
+
+
+def test_changed_params_invalidate_checkpoints(spark, tmp_path):
+    """A resume under different pipeline knobs must NOT trust checkpoints
+    computed under the old ones: the layout/stage markers fingerprint the
+    params, so changing min_words recomputes from scratch (no silent
+    mixed-config corpus, and no stale short-circuit)."""
+    docs = _docs(spark)
+    out = str(tmp_path / "curated")
+    _, first = _run(spark, docs, out)
+    assert first["surviving_docs"] == 2
+
+    # same output dir, stricter quality bar: doc 4 (12 words) now fails
+    redo_df, redo = _run(spark, docs, out, min_words=13)
+    assert redo["resumed_stages"] == []  # nothing trusted, incl. final
+    assert redo["quality_dropped"] == 3  # docs 4, 5, 6
+    assert {r["doc_id"] for r in redo_df.select("doc_id").collect()} == {"1"}
+
+    # rerunning with the SAME new params short-circuits on the new marker
+    again_df, again = _run(spark, docs, out, min_words=13)
+    assert again["resumed_stages"] == ["quality", "line_clean", "pairs", "final"]
+    assert {r["doc_id"] for r in again_df.select("doc_id").collect()} == {"1"}
+
+
+def test_legacy_manifests_without_layout_marker_are_not_trusted(spark, tmp_path):
+    """Bucket manifests with NO layout marker (a pre-layout-marker dir, or
+    a deleted marker) have unverifiable bucketing: the resume must clean
+    and recompute rather than trust them."""
+    docs = _docs(spark)
+    out = str(tmp_path / "curated")
+    with pytest.raises(RuntimeError, match="injected"):
+        _run(spark, docs, out, fail_after_stage="quality")
+    qlineage = os.path.join(out, "_stages", "quality", "_lineage")
+    os.remove(os.path.join(qlineage, "_layout.json"))
+    os.remove(os.path.join(qlineage, "_stage.json"))
+    assert any(n.startswith("bucket=") for n in os.listdir(qlineage))
+
+    got_df, got = _run(spark, docs, out)
+    assert "quality" not in got["resumed_stages"]
+    assert {r["doc_id"] for r in got_df.select("doc_id").collect()} == {"1", "4"}
+
+
+def test_short_circuit_honors_requested_stage_cleanup(spark, tmp_path):
+    """Cleanup requested on a rerun of a completed job (run 1 kept stages)
+    must still delete _stages/ -- the short-circuit path cleans too."""
+    docs = _docs(spark)
+    out = str(tmp_path / "curated")
+    _run(spark, docs, out)  # clean_stages default False: stages kept
+    assert os.path.isdir(os.path.join(out, "_stages"))
+    _, stats = _run(spark, docs, out, clean_stages=True)
+    assert stats["resumed_stages"][-1] == "final"
+    assert stats["stages_cleaned"] is True
+    assert not os.path.isdir(os.path.join(out, "_stages"))
