@@ -704,6 +704,23 @@ def _q_shard_packing(spark, sf_dir):
     return pack_shards(docs, words_per_shard=500, n_buckets=8, hash_fn="md5")
 
 
+def _q_embedding_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embeddings table (the
+    4x storage/bandwidth lever for 100 TB embedding stores).  Codes are
+    integer-exact across engines (double arithmetic + half-away-from-zero
+    rounding on both sides); the array is emitted CSV-joined so the
+    driver's string compare is representation-stable."""
+    from nreadspark.ops.similarity import quantize_embeddings
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.round("scale", 9).alias("scale"),
+        F.array_join(F.col("qvec"), ",").alias("qvec_csv"),
+    )
+
+
 def _q_pdf_extract(spark, sf_dir):
     """PDF/layout extraction tier (north rule: 'HTML boilerplate strip,
     PDF/layout parse, DOM heuristics').  Synthesizes deterministic 2-page
@@ -1044,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_byte_budget": _q_extract_byte_budget,
         "text_chunking": _q_text_chunking,
         "shard_packing": _q_shard_packing,
+        "embedding_quantize": _q_embedding_quantize,
         "dedup_components": _q_dedup_components,
         "text_c4_filter": _q_text_c4_filter,
         "dedup_survivors": _q_dedup_survivors,
@@ -1506,6 +1524,23 @@ def oracle_sql() -> dict[str, str]:
                         ), 0) / 500) AS BIGINT) AS shard_id,
                    n_words
             FROM b
+        """,
+        # embedding_quantize: double-exact twin (float32 -> double widening
+        # is exact on both engines; round is half-away-from-zero on both)
+        "embedding_quantize": """
+            WITH m AS (
+              SELECT vec_id, embedding AS e,
+                     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+              FROM embeddings
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   round(amax / 127.0, 9) AS scale,
+                   array_to_string(
+                     CASE WHEN amax > 0
+                          THEN list_transform(e, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / amax) AS INT))
+                          ELSE list_transform(e, x -> 0) END,
+                     ',') AS qvec_csv
+            FROM m
         """,
         # extract_byte_budget: the truncate-with-flag contract is closed-form
         # (ASCII corpus): the oracle rebuilds the exact HTML the Spark side

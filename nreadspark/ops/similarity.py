@@ -459,3 +459,63 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def quantize_embeddings(
+    emb_df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: the storage/bandwidth lever
+    for 100 TB embedding tables (float32 -> int8 is a 4x shuffle/scan
+    reduction; ANN rerank reads the quantized table and dequantizes only
+    candidate rows).
+
+    Output: ``(vec_id, scale, qvec array<int>)`` with
+    ``scale = max(|x|)/127`` and ``q_i = round(x_i / scale)`` in
+    [-127, 127]; an all-zero vector gets scale 0 and zero codes.
+    Dequantization ``q_i * scale`` has per-element error <= scale/2.
+
+    Entirely JVM-side higher-order functions (one pass per row, no
+    shuffle, no Python), and integer-exact across engines -- the round
+    mode (half away from zero) matches DuckDB, so the driver oracle
+    reproduces the exact codes.
+    """
+    vec = _as_double_vec(F.col(vec_col))
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    qvec = F.when(
+        amax > 0.0,
+        F.transform(vec, lambda x: F.round(x * F.lit(127.0) / amax).cast("int")),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0)))
+    # scale is exact (callers dequantize with it; rounding it would leak
+    # up to |q|*round_err into the reconstruction bound) -- display/oracle
+    # layers round for representation stability
+    return emb_df.select(
+        F.col(id_col), (amax / F.lit(127.0)).alias("scale"), qvec.alias("qvec")
+    )
+
+
+def quantization_error_stats(
+    emb_df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One row per vector with the reconstruction quality of
+    :func:`quantize_embeddings`: max |x - q*scale| must be <= scale/2 and
+    the cosine between original and dequantized vectors ~1.  The
+    monitoring twin a pipeline runs before committing to int8 storage."""
+    q = quantize_embeddings(emb_df, id_col, vec_col)
+    joined = emb_df.select(
+        F.col(id_col), _as_double_vec(F.col(vec_col)).alias("vec")
+    ).join(q, id_col)
+    deq = F.transform("qvec", lambda x: x * F.col("scale"))
+    abs_err = F.array_max(
+        F.zip_with("vec", deq, lambda a, b: F.abs(a - b))
+    )
+    # an all-zero vector has no direction to keep: cosine is 1.0 by
+    # convention (and dividing by its zero norm would throw under ANSI)
+    cos = F.when(F.col("scale") > 0.0, F.round(_cosine(F.col("vec"), deq), 6)).otherwise(
+        F.lit(1.0)
+    )
+    return joined.select(
+        id_col,
+        "scale",
+        F.round(abs_err, 9).alias("max_abs_err"),
+        cos.alias("cosine_kept"),
+    )

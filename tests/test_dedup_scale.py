@@ -560,3 +560,29 @@ def test_release_local_checkpoint_frees_blocks(spark):
     labels = connected_components(pairs)
     assert labels.filter("component <> 0").count() == 0
     assert names_with_blocks() <= base + 1
+
+
+def test_embedding_quantization_contract(spark):
+    """int8 symmetric quantization: codes in [-127,127], per-element
+    reconstruction error <= scale/2, cosine preserved to ~1e-4, zero
+    vectors get scale 0 / zero codes."""
+    from nreadspark.ops.similarity import quantization_error_stats, quantize_embeddings
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.125]),
+        (2, [1e-5, 2e-5, -3e-5, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+        (4, [100.0, -50.0, 25.0, 12.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert all(-127 <= c <= 127 for r in q.values() for c in r["qvec"])
+    assert q[1]["qvec"] == [64, -127, 32, 16]  # round(x*127/1.0)
+    assert q[3]["scale"] == 0.0 and q[3]["qvec"] == [0, 0, 0, 0]
+    assert abs(q[4]["scale"] - 100.0 / 127) < 1e-9
+
+    stats = {r["vec_id"]: r for r in quantization_error_stats(df).collect()}
+    for vid, r in stats.items():
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9, vid
+        if vid != 3:
+            assert r["cosine_kept"] >= 0.9999, vid
