@@ -44,6 +44,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 STAGES_DIR = "_stages"
 
 
+def _in_cache_scope(fn):
+    """Run ``fn`` inside its own persisted-intermediate scope: the job's
+    internal ``release_caches()`` calls then drain only frames ITS operator
+    calls registered -- never a co-resident caller's (bench loop, notebook)
+    persists on the same thread."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        from nreadspark.ops.dedup import cache_scope
+
+        with cache_scope():
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 def _stage_path(output_path: str, stage: str) -> str:
     return output_path if stage == "final" else os.path.join(output_path, STAGES_DIR, stage)
 
@@ -75,6 +92,7 @@ def _read_stage(spark, output_path, stage, n_buckets=None, params=None):
     )
 
 
+@_in_cache_scope
 def curate_resumable(
     spark,
     docs,
@@ -88,8 +106,19 @@ def curate_resumable(
     resume: bool = True,
     fail_after_stage: str | None = None,
     clean_stages: bool = False,
+    input_fingerprint: str | None = None,
 ):
     """:func:`curate` with per-stage, per-bucket checkpointed lineage.
+
+    ``input_fingerprint`` identifies the INPUT corpus inside every stage's
+    params fingerprint, so rerunning into the same ``--output`` with a
+    different input recomputes instead of short-circuiting on the old
+    corpus's markers.  Defaults to :func:`nreadspark.lineage.input_fingerprint`
+    of ``docs`` (md5 of its source-file listing); pass an explicit string
+    for in-memory inputs with no file lineage (the CLI passes
+    ``synthetic:<n>`` for ``--synthetic``).  ``None`` + no file lineage
+    keeps the pre-round-5 identity-blind behavior (documented gap: two
+    distinct in-memory frames are indistinguishable).
 
     Each stage hand-off (quality-kept docs, line-cleaned text, verified
     pairs) is committed under ``<output>/_stages/<stage>/`` exactly like
@@ -123,6 +152,7 @@ def curate_resumable(
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
+    from nreadspark import lineage as _lineage
     from nreadspark.ops.dedup import (
         keep_canonical,
         line_dedup,
@@ -134,7 +164,10 @@ def curate_resumable(
 
     stats: dict = {"resumed_stages": []}
 
-    qparams = {"min_words": min_words, "text_col": text_col}
+    if input_fingerprint is None:
+        input_fingerprint = _lineage.input_fingerprint(docs)
+    qparams = {"min_words": min_words, "text_col": text_col,
+               "input": input_fingerprint}
     lparams = {**qparams, "line_delimiter": line_delimiter,
                "line_min_repeats": line_min_repeats}
     pparams = {**lparams, "minhash_threshold": minhash_threshold}
@@ -401,8 +434,12 @@ def main() -> None:
                 " ", F.transform("spans", lambda s: s["text"])
             ).alias(args.text_col),
         )
+        # in-memory synthetic corpus: no file lineage to fingerprint, so the
+        # generator's own parameters are the input identity
+        fingerprint = f"synthetic:{args.synthetic}"
     elif args.input:
         docs = spark.read.parquet(args.input).select("doc_id", args.text_col)
+        fingerprint = None  # derived from the parquet file listing
     else:
         parser.error("either --input or --synthetic is required")
         return
@@ -419,6 +456,7 @@ def main() -> None:
         n_buckets=args.n_buckets,
         resume=not args.no_resume,
         clean_stages=not args.keep_stages,
+        input_fingerprint=fingerprint,
     )
     print(json.dumps(stats))
     spark.stop()

@@ -56,10 +56,14 @@ def main() -> None:
         from nreadspark.corpus import build_corpus_df
 
         input_df = build_corpus_df(spark, args.synthetic)
+        # in-memory generator: no file listing to fingerprint, so its
+        # parameters are the input identity
+        fingerprint = f"synthetic:{args.synthetic}"
     elif args.input:
         from nreadspark.sources import load_documents
 
         input_df = load_documents(spark, args.input)
+        fingerprint = None  # derived from the source-file listing
     else:
         parser.error("either --input or --synthetic is required")
         return
@@ -72,6 +76,7 @@ def main() -> None:
         url_col=args.url_col,
         resume=not args.no_resume,
         max_doc_bytes=args.max_doc_bytes,
+        in_fingerprint=fingerprint,
     )
     print(json.dumps(summary))
 

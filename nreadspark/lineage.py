@@ -33,6 +33,33 @@ def bucket_col(n_buckets: int, doc_id_col: str = "doc_id"):
     return F.pmod(F.xxhash64(doc_id_col), F.lit(n_buckets)).cast("int")
 
 
+def input_fingerprint(df: DataFrame) -> str | None:
+    """Cheap input-identity fingerprint for resume params: md5 over the
+    frame's sorted source-file listing (``DataFrame.inputFiles`` -- a
+    driver-side metadata call, no data scan).  Re-running a resumable job
+    into the same output with a DIFFERENT input then mismatches every
+    stage's params fingerprint and recomputes, instead of silently
+    trusting checkpoints computed from the old corpus.
+
+    Returns None for frames with no file lineage (in-memory ranges,
+    ``createDataFrame``): such inputs are indistinguishable by listing --
+    callers should pass an explicit identity string instead (the curate
+    CLI passes ``synthetic:<n>``).
+
+    Deliberately listing-only (names, which on object stores and HDFS
+    embed immutable part-file UUIDs): stat-ing sizes/mtimes per file is an
+    O(files) metadata storm at 10^12-document scale for marginal extra
+    discrimination -- an in-place rewrite of the same file names is not a
+    supported input mutation."""
+    import hashlib
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    digest = hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()
+    return f"files:{len(files)}:{digest}"
+
+
 def md5_bucket_col(n_buckets: int, doc_id_col: str = "doc_id"):
     """Engine-portable twin of :func:`bucket_col`: bucket on the first 8
     md5 hex chars so an external SQL engine can reproduce the assignment
@@ -352,6 +379,7 @@ def run_extraction(
     url_col: str | None = None,
     resume: bool = True,
     max_doc_bytes: int | None = None,
+    in_fingerprint: str | None = None,
 ) -> dict:
     """Run (or resume) the extraction job with per-bucket lineage.
 
@@ -359,9 +387,16 @@ def run_extraction(
     (pipeline.extract); truncation counts surface per bucket as
     ``docs_truncated`` in the manifests.
 
+    ``in_fingerprint`` identifies the input corpus inside the layout
+    params (default: :func:`input_fingerprint` of ``input_df``): resuming
+    into the same output with a different input cleans and recomputes
+    instead of skipping buckets committed from the old corpus.
+
     Returns a run summary dict (buckets computed/skipped, doc counts, ms).
     """
     started = time.perf_counter()
+    if in_fingerprint is None:
+        in_fingerprint = input_fingerprint(input_df)
     # layout-checked resume: cleans stale partitions/manifests on
     # non-resume runs, on n_buckets changes (even after a markerless
     # crash), and on changed extraction params -- a bucket committed under
@@ -369,7 +404,8 @@ def run_extraction(
     # another.  See resolve_bucket_layout.
     done = resolve_bucket_layout(
         spark, output_path, n_buckets, resume,
-        params={"max_doc_bytes": max_doc_bytes, "url_col": url_col},
+        params={"max_doc_bytes": max_doc_bytes, "url_col": url_col,
+                "input": in_fingerprint},
     )
     df = input_df.withColumn("bucket", bucket_col(n_buckets))
     todo_df = df.filter(~F.col("bucket").isin(list(done))) if done else df

@@ -122,6 +122,10 @@ def pack_shards(
     """
     from ..lineage import bucket_col, md5_bucket_col
 
+    if hash_fn not in ("xxhash64", "md5"):
+        # a typo ('MD5', 'xxHash') must not silently fall back and change
+        # every bucket/shard assignment
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     bucket = (
         md5_bucket_col(n_buckets) if hash_fn == "md5" else bucket_col(n_buckets)
     )

@@ -15,6 +15,9 @@ Scale notes (the point of doing this in Spark):
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
@@ -22,33 +25,70 @@ from pyspark.sql import DataFrame, functions as F
 # Several operators persist frames consumed by 2+ downstream subplans (band
 # self-joins, token sets on both join sides).  Those frames are only safe to
 # unpersist AFTER the caller materializes the returned lazy DataFrame, so the
-# operator cannot release them internally; each persist is registered here
-# and long-lived sessions (bench loops, notebooks) call release_caches()
-# between invocations.  Without that, pinned storage accumulates until LRU
-# eviction or session end.
-_PERSISTED: list[DataFrame] = []
+# operator cannot release them internally; each persist is registered and
+# long-lived sessions (bench loops, notebooks) call release_caches() between
+# invocations.  Without that, pinned storage accumulates until LRU eviction
+# or session end.
+#
+# Scoping: the registry is a THREAD-LOCAL stack of scopes, not one global
+# list -- release_caches() drains only the calling thread's innermost open
+# :func:`cache_scope` (or that thread's default scope).  A composite job
+# like ``jobs/curate.py`` wraps itself in ``with cache_scope():`` so its
+# internal release calls can never unpersist frames registered by another
+# in-flight caller (e.g. a bench loop driving other operators in the same
+# session), and concurrent threads never see each other's registries.
+_TLS = threading.local()
+
+
+def _scope_stack() -> list[list[DataFrame]]:
+    stack = getattr(_TLS, "stack", None)
+    if stack is None:
+        stack = [[]]  # the thread's default (always-open) scope
+        _TLS.stack = stack
+    return stack
 
 
 def _persist(df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> DataFrame:
     df = df.persist(level)
-    _PERSISTED.append(df)
+    _scope_stack()[-1].append(df)
     return df
 
 
-def release_caches() -> int:
-    """Unpersist every intermediate frame persisted by this module's
-    operators since the last call.  Call only after the returned DataFrames
-    are materialized (collected / written / counted); returns the number of
-    frames released."""
+def _drain(scope: list[DataFrame]) -> int:
     n = 0
-    while _PERSISTED:
-        df = _PERSISTED.pop()
+    while scope:
+        df = scope.pop()
         try:
             df.unpersist()
             n += 1
         except Exception:  # session already torn down; nothing to release
             pass
     return n
+
+
+@contextmanager
+def cache_scope():
+    """Open a fresh persisted-intermediate scope on this thread: persists
+    registered inside the ``with`` block (including by nested operator
+    calls) are released on exit, and ``release_caches()`` calls inside the
+    block only ever drain this scope -- never a caller's."""
+    stack = _scope_stack()
+    scope: list[DataFrame] = []
+    stack.append(scope)
+    try:
+        yield
+    finally:
+        stack.pop()
+        _drain(scope)
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate frame this module's operators registered
+    in the calling thread's current :func:`cache_scope` (or its default
+    scope) since the last call.  Call only after the returned DataFrames are
+    materialized (collected / written / counted); returns the number of
+    frames released."""
+    return _drain(_scope_stack()[-1])
 
 
 def _release_local_checkpoint(df: DataFrame) -> None:

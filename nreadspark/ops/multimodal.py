@@ -471,9 +471,12 @@ def extract_media_features(
     a single camera photo would cost tens of millions of Python iterations
     and dominate a metadata sweep.  The header (IHDR) dimensions are read
     first -- O(1) -- and payloads beyond the cap take the header tier
-    instead, keeping header-only sweeps header-speed.  Default 65 536
-    pixels (256x256); pass ``None`` to opt in to full decode at any size
-    (or install PIL, whose C loops need no cap)."""
+    instead, keeping header-only sweeps header-speed.  Cap-skipped PNGs are
+    tagged ``decoder='header:png:capped'`` (dimensions real, features the
+    deterministic stub) so consumers can distinguish them from genuinely
+    undecodable header-only payloads.  Default 65 536 pixels (256x256);
+    pass ``None`` to opt in to full decode at any size (or install PIL,
+    whose C loops need no cap)."""
 
     def batches(iterator):
         import pandas as pd
@@ -508,6 +511,7 @@ def extract_media_features(
                     except Exception:
                         w = h = None
                 parsed = parse_image_header(raw) if w is None else None
+                png_capped = False
                 if w is None and parsed is not None and parsed[0] == "png":
                     # vendored pure-stdlib pixel tier: O(w*h*channels)
                     # per-pixel Python -- only below the pixel cap, sized
@@ -519,11 +523,17 @@ def extract_media_features(
                             feats = [mean_pixel / 255.0] * 8
                         except Exception:
                             w = h = None
+                    else:
+                        # the cap (not undecodability) skipped the pixel
+                        # tier: surface that in the decoder tag so callers
+                        # can tell capped payloads (stub features, not
+                        # mean-luma) from genuinely header-only ones
+                        png_capped = True
                 dur_ms = None
                 if w is None:
                     if parsed is not None:
                         codec, w, h = parsed
-                        decoder = f"header:{codec}"
+                        decoder = f"header:{codec}:capped" if png_capped else f"header:{codec}"
                     else:  # container metadata tiers
                         mp4 = parse_mp4_header(raw)
                         wav = None if mp4 else parse_wav_header(raw)

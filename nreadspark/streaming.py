@@ -191,6 +191,14 @@ def dedup_stream(
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if ttl_minutes is not None and ttl_minutes <= 0:
+        # 0 would select ProcessingTimeTimeout (ttl is not None) while the
+        # kernel's `if ttl_ms:` guard never arms the timer -- state kept
+        # forever despite a TTL being requested.  Fail loudly instead.
+        raise ValueError(
+            f"ttl_minutes must be positive (got {ttl_minutes}); pass None "
+            "to keep state forever"
+        )
     hashed = stream_df.withColumn("__text_hash", F.sha2(F.col(text_col), 256))
     out_schema = "text_hash string, doc_id string, n_prior bigint"
     state_schema = "n_seen bigint"

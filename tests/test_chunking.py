@@ -180,3 +180,14 @@ def test_chunking_whitespace_edges_and_negative_overlap(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, max_words=10, overlap=-10)
+
+
+def test_pack_shards_rejects_unknown_hash_fn(spark):
+    """A hash_fn typo ('MD5', 'xxHash') must raise, not silently fall back
+    to xxhash64 and change every bucket/shard assignment."""
+    from nreadspark.ops.chunking import pack_shards
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in ("MD5", "xxHash", "sha1"):
+        with pytest.raises(ValueError, match="hash_fn"):
+            pack_shards(docs, hash_fn=bad)

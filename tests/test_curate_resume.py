@@ -300,3 +300,60 @@ def test_short_circuit_honors_requested_stage_cleanup(spark, tmp_path):
     assert stats["resumed_stages"][-1] == "final"
     assert stats["stages_cleaned"] is True
     assert not os.path.isdir(os.path.join(out, "_stages"))
+
+
+def test_changed_input_invalidates_checkpoints(spark, tmp_path):
+    """Rerunning into the same --output with a DIFFERENT input must
+    recompute, not short-circuit on the final marker (or trust stage
+    checkpoints) computed from the old corpus.  Input identity comes from
+    the source-file listing (lineage.input_fingerprint) for parquet-backed
+    frames."""
+    in_a = str(tmp_path / "in_a")
+    in_b = str(tmp_path / "in_b")
+    _docs(spark).write.parquet(in_a)
+    # corpus B: different doc set entirely
+    spark.createDataFrame(
+        [("7", "a fresh corpus, with brand new words, terminating nicely."),
+         ("8", "another fresh document, also quite wordy, and it ends.")],
+        "doc_id string, text string",
+    ).write.parquet(in_b)
+
+    out = str(tmp_path / "curated")
+    df_a, stats_a = _run(spark, spark.read.parquet(in_a), out, clean_stages=False)
+    assert {r["doc_id"] for r in df_a.select("doc_id").collect()} == {"1", "4"}
+
+    # same output dir, new input: must NOT return corpus A's survivors
+    df_b, stats_b = _run(spark, spark.read.parquet(in_b), out, clean_stages=False)
+    assert stats_b["resumed_stages"] == []
+    assert {r["doc_id"] for r in df_b.select("doc_id").collect()} == {"7", "8"}
+
+    # unchanged input still short-circuits on the completed final marker
+    df_b2, stats_b2 = _run(spark, spark.read.parquet(in_b), out, clean_stages=False)
+    assert "final" in stats_b2["resumed_stages"]
+    assert {r["doc_id"] for r in df_b2.select("doc_id").collect()} == {"7", "8"}
+
+
+def test_run_extraction_changed_input_recomputes(spark, tmp_path):
+    """lineage.run_extraction has the same input-identity gap closed: a
+    resume pointed at a different input cleans and recomputes every bucket
+    instead of skipping buckets committed from the old corpus."""
+    from pyspark.sql import functions as F
+
+    from nreadspark.corpus import build_corpus_df
+    from nreadspark.lineage import run_extraction
+
+    in_a = str(tmp_path / "ex_in_a")
+    in_b = str(tmp_path / "ex_in_b")
+    build_corpus_df(spark, 12, seed=1).write.parquet(in_a)
+    build_corpus_df(spark, 20, seed=2).write.parquet(in_b)
+    out = str(tmp_path / "ex_out")
+
+    s1 = run_extraction(spark, spark.read.parquet(in_a), out, n_buckets=4)
+    assert s1["docs_computed"] == 12
+    # same input resumes: all buckets skip
+    s2 = run_extraction(spark, spark.read.parquet(in_a), out, n_buckets=4)
+    assert s2["buckets_skipped"] == s1["buckets_computed"] and s2["docs_computed"] == 0
+    # different input: full recompute, output holds ONLY corpus B
+    s3 = run_extraction(spark, spark.read.parquet(in_b), out, n_buckets=4)
+    assert s3["buckets_skipped"] == 0 and s3["docs_computed"] == 20
+    assert spark.read.parquet(out).select(F.count("*")).collect()[0][0] == 20

@@ -392,7 +392,8 @@ def test_png_pixel_tier_capped_by_pixel_count(spark):
         MEDIA_SCHEMA,
     )
     out = {r["media_ref"]: r for r in extract_media_features(df, allow_pil=False).collect()}
-    assert out["big"]["decoder"] == "header:png"
+    # ':capped' marks cap-skipped (stub features) vs genuinely header-only
+    assert out["big"]["decoder"] == "header:png:capped"
     assert (out["big"]["decoded_width"], out["big"]["decoded_height"]) == (400, 400)
     assert out["small"]["decoder"] == "pixels:png"
     # opt-in uncapped: the big PNG pixel-decodes (all-zero image -> luma 0)

@@ -225,3 +225,18 @@ def test_dedup_fn_ttl_timeout_branch():
     st = StubState(exists=False)
     (out,) = list(fn(("h2",), iter([pd.DataFrame({"doc_id": ["c"]})]), st))
     assert list(out["doc_id"]) == ["c"] and st.updated == (1,)
+
+
+def test_dedup_stream_rejects_non_positive_ttl(spark):
+    """ttl_minutes=0 used to select ProcessingTimeTimeout while the kernel's
+    ``if ttl_ms:`` guard never armed the timer -- state kept forever despite
+    a TTL being requested.  Non-positive TTLs now fail loudly."""
+    from nreadspark.streaming import dedup_stream
+
+    df = spark.createDataFrame([("a", "t")], "doc_id string, text string")
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="ttl_minutes must be positive"):
+            dedup_stream(df, ttl_minutes=bad)
+    # None (keep-forever) and positive TTLs still build a plan
+    assert dedup_stream(df, ttl_minutes=None) is not None
+    assert dedup_stream(df, ttl_minutes=10) is not None
