@@ -422,6 +422,34 @@ def _q_ngram_dup_stats(spark, sf_dir):
     return ngram_duplicate_stats(docs.select("doc_id", planted.alias("text")), n=8)
 
 
+def _q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (Brown et al. 2020 appendix-C hygiene):
+    docs with doc_id % 10 == 7 get the shared 11-word passage appended; the
+    eval set is the (planted) docs with doc_id % 125 == 7, so contamination
+    has two causes -- eval docs' own text (every gram shared, flags the
+    eval-source rows) and the planted passage (flags every %10==7 row via
+    the 4 passage 8-grams shared with eval rows 7/257).  Counts are
+    integer-exact; Spark keys grams on xxhash64, the oracle on the string
+    (same counts, fixed-width shuffle keys)."""
+    from nreadspark.ops.dedup import decontaminate
+
+    docs = _table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.pmod("doc_id", F.lit(10)) == 7, F.concat(F.col("text"), F.lit(_SHARED_PASSAGE))
+    ).otherwise(F.col("text"))
+    corpus = docs.select("doc_id", planted.alias("text"))
+    eval_df = corpus.filter(F.pmod("doc_id", F.lit(125)) == 7).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    out = decontaminate(corpus, eval_df, n=8)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_ngrams",
+        "n_contaminated_ngrams",
+        "contaminated",
+    )
+
+
 def _q_mixed_pipeline(spark, sf_dir):
     """End-to-end composition: ONE corpus arriving via THREE ingestion
     surfaces -- interleaved span tables (route 0), gzip'd latin-1 HTML
@@ -1068,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "mixed_pipeline": _q_mixed_pipeline,
         "dedup_ngram_substring": _q_ngram_dup_stats,
+        "text_decontaminate": _q_text_decontaminate,
         "sample_split_mix": _q_sample_split_mix,
         # extraction operators as vectorized relational ops (SQL oracles)
         "e1_title_rules": _q_e1_title_rules,
@@ -1303,6 +1332,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams
             FROM grams JOIN df USING (g)
             GROUP BY grams.doc_id
+        """,
+        # text_decontaminate: string-gram twin of the hashed-gram flagging
+        # pass (planted passage on %10==7; eval set = %125==7)
+        "text_decontaminate": r"""
+            WITH src AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 7
+                            THEN text || ' shared verbatim passage alpha beta gamma delta epsilon zeta eta theta'
+                            ELSE text END AS text
+                FROM documents
+            ), words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM src
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w) - 6),
+                                             i -> array_to_string(w[i:i+7], ' '))) AS g
+                FROM words WHERE len(w) >= 8
+            ), eval_grams AS (
+                SELECT DISTINCT g FROM grams WHERE doc_id % 125 = 7
+            ), counts AS (
+                SELECT grams.doc_id,
+                       count(*) AS n_ngrams,
+                       sum(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+                FROM grams LEFT JOIN eval_grams eg ON grams.g = eg.g
+                GROUP BY grams.doc_id
+            )
+            SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+                   CAST(COALESCE(c.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(c.n_cont, 0) AS BIGINT) AS n_contaminated_ngrams,
+                   COALESCE(c.n_cont, 0) > 0 AS contaminated
+            FROM src s LEFT JOIN counts c ON s.doc_id = c.doc_id
         """,
         # mixed_pipeline: routes 0/1 share the interleaved-family closed
         # form; route 2 follows the pdf_extract shape

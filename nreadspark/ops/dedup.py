@@ -931,15 +931,7 @@ def ngram_duplicate_stats(
         gram_key = lambda g: g  # noqa: E731
     else:
         gram_key = F.xxhash64  # fixed-width shuffle keys
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    # guard: F.sequence(1, 0) yields the DESCENDING [1, 0], not empty
-    starts = F.when(
-        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        starts, lambda i: gram_key(F.concat_ws(" ", F.slice(words, i, n)))
-    )
-    exploded = df.select("doc_id", F.explode(grams).alias("h"))
+    exploded = df.select("doc_id", F.explode(_gram_array(text_col, n, gram_key)).alias("h"))
     if persist_ngrams:
         # the exploded n-gram frame feeds the doc-frequency aggregation AND
         # the join back -- materialize once instead of rebuilding the
@@ -955,6 +947,103 @@ def ngram_duplicate_stats(
             F.sum((F.col("nd") > 1).cast("int")).cast("bigint").alias("n_dup_ngrams"),
         )
     )
+
+
+def _gram_array(text_col: str, n: int, gram_key):
+    """array<key> of word n-grams for one text column (JVM-side: split ->
+    sequence of starts -> slice -> concat_ws -> key), empty when < n words.
+    Shared by :func:`ngram_duplicate_stats` and :func:`decontaminate`."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # guard: F.sequence(1, 0) yields the DESCENDING [1, 0], not empty
+    starts = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        starts, lambda i: gram_key(F.concat_ws(" ", F.slice(words, i, n)))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    n: int = 13,
+    exact: bool = False,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Benchmark/eval-set decontamination: flag every corpus document that
+    shares at least one word ``n``-gram with a held-out evaluation set --
+    the standard pre-training hygiene step (Brown et al. 2020 appendix C
+    use 13-gram overlap; Lee et al. 2021 §6 the same n-gram machinery this
+    module's :func:`ngram_duplicate_stats` builds on).  No reference
+    counterpart (the reference is a per-page HTML library).
+
+    Output: one row per corpus document --
+    ``(doc_id, n_ngrams, n_contaminated_ngrams, contaminated)``; documents
+    too short to form any n-gram keep a row with zero counts (a flagging
+    pass must not lose rows).  Thresholding is the caller's: the default
+    policy ``contaminated = n_contaminated_ngrams > 0`` is the strict
+    any-overlap rule; use the raw counts for ratio policies.
+
+    Scale shape: eval sets are small relative to a pre-training corpus
+    (10^3-10^6 documents), so the DISTINCT eval-gram set is broadcast
+    (default) -- corpus n-grams are built JVM-side as 64-bit hashes
+    (fixed-width keys) inside the scan stage, membership is a broadcast
+    left join (no corpus shuffle), and the per-doc counts aggregate with
+    map-side combine on doc_id.  Pass ``broadcast=False`` for a
+    pathologically large eval set (degrades to a shuffle join).
+
+    Collision caveat: hashed grams can (64-bit birthday, ~2^32 distinct
+    grams) flag an innocent document; ``exact=True`` keys on the gram
+    STRING -- exact at any scale, wider join keys.
+    """
+    eval_text_col = eval_text_col or text_col
+    gram_key = (lambda g: g) if exact else F.xxhash64
+    eval_grams = (
+        eval_df.select(F.explode(_gram_array(eval_text_col, n, gram_key)).alias("__eval_g"))
+        .distinct()
+    )
+    right = F.broadcast(eval_grams) if broadcast else eval_grams
+    exploded = corpus.select("doc_id", F.explode(_gram_array(text_col, n, gram_key)).alias("__g"))
+    counts = (
+        exploded.join(right, exploded["__g"] == right["__eval_g"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ngrams"),
+            F.count("__eval_g").cast("bigint").alias("n_contaminated_ngrams"),
+        )
+    )
+    return (
+        corpus.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).cast("bigint").alias("n_ngrams"),
+            F.coalesce("n_contaminated_ngrams", F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated_ngrams"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_ngrams") > 0)
+    )
+
+
+def strip_contaminated(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    n: int = 13,
+    exact: bool = False,
+    broadcast: bool = True,
+) -> DataFrame:
+    """The strip variant of :func:`decontaminate`: return the corpus with
+    every flagged document removed (anti-join on the flagged ids -- clean
+    documents' payloads shuffle only on the id join)."""
+    flagged = decontaminate(
+        corpus, eval_df, text_col, eval_text_col, n, exact, broadcast
+    ).filter(F.col("contaminated")).select("doc_id")
+    return corpus.join(flagged, "doc_id", "left_anti")
 
 
 def connected_components(
