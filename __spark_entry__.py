@@ -721,6 +721,31 @@ def _q_text_chunking(spark, sf_dir):
     return chunk_documents(docs, max_words=64, overlap=16)
 
 
+def _q_text_chunking_tokens(spark, sf_dir):
+    """Token-budget chunking (context length is budgeted in tokens, not
+    words): the same zero-shuffle sliding-window machinery over the regex
+    pre-tokenizer pieces (word runs + single punctuation) -- 48-token
+    windows, 8-token overlap."""
+    from nreadspark.ops.chunking import chunk_documents
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, max_words=48, overlap=8, unit="tokens")
+
+
+def _q_shard_packing_tokens(spark, sf_dir):
+    """Shard packing under the closed-form BPE-rate token budget
+    (ceil(len/4) subword tokens per regex piece): same one-shuffle
+    bucket+window shape as shard_packing, cost column swapped -- the
+    word-vs-token budget divergence the pytest locks is what this mode
+    exists to fix."""
+    from nreadspark.ops.chunking import pack_shards
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_shards(
+        docs, words_per_shard=600, n_buckets=8, hash_fn="md5", budget_unit="est_bpe"
+    )
+
+
 def _q_shard_packing(spark, sf_dir):
     """Greedy fixed-budget shard packing (training-shard construction):
     docs ordered within md5-hash buckets, assigned to ~500-word shards by
@@ -1088,7 +1113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_newline": _q_line_dedup_newline,
         "extract_byte_budget": _q_extract_byte_budget,
         "text_chunking": _q_text_chunking,
+        "text_chunking_tokens": _q_text_chunking_tokens,
         "shard_packing": _q_shard_packing,
+        "shard_packing_tokens": _q_shard_packing_tokens,
         "embedding_quantize": _q_embedding_quantize,
         "dedup_components": _q_dedup_components,
         "text_c4_filter": _q_text_c4_filter,
@@ -1568,6 +1595,44 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(w, start, start + 63), ' ') AS chunk_text,
                    CAST(least(n - start + 1, 64) AS BIGINT) AS n_words
             FROM st
+        """,
+        # text_chunking_tokens: the token-unit twin (stride 40 = 48 - 8;
+        # units = regex pre-tokenizer pieces, not whitespace words)
+        "text_chunking_tokens": r"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS w
+              FROM documents
+            ), nn AS (
+              SELECT doc_id, w, len(w) AS n FROM t
+            ), st AS (
+              SELECT doc_id, w, n,
+                     unnest(generate_series(1, greatest(n - 8, 1), 40)) AS start
+              FROM nn WHERE n > 0
+            )
+            SELECT doc_id,
+                   CAST((start - 1) / 40 AS INT) AS chunk_id,
+                   array_to_string(list_slice(w, start, start + 47), ' ') AS chunk_text,
+                   CAST(least(n - start + 1, 48) AS BIGINT) AS n_tokens
+            FROM st
+        """,
+        # shard_packing_tokens: md5 buckets + running window over the
+        # closed-form BPE-rate cost (ceil(len/4) per regex piece)
+        "shard_packing_tokens": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS bucket,
+                     CAST(COALESCE(list_sum(list_transform(
+                            regexp_extract_all(text, '\w+|[^\w\s]'),
+                            t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_units
+              FROM documents
+            )
+            SELECT doc_id, bucket,
+                   CAST(FLOOR(COALESCE(SUM(n_units) OVER (
+                          PARTITION BY bucket ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), 0) / 600) AS BIGINT) AS shard_id,
+                   n_units
+            FROM b
         """,
         # shard_packing: md5 buckets + per-bucket running-offset window
         "shard_packing": r"""

@@ -28,19 +28,43 @@ def _words_col(text_col: str):
     )
 
 
+def _unit_col(text_col: str, unit: str):
+    """The chunking/packing unit array: 'words' (whitespace-robust split)
+    or 'tokens' (the ``TOKEN_PATTERN`` regex pre-tokenizer: word runs +
+    single punctuation marks -- the unit a subword tokenizer's
+    pre-tokenization stage produces, 20-40 % denser than words on
+    punctuated web text)."""
+    if unit == "words":
+        return _words_col(text_col)
+    if unit == "tokens":
+        from .textstats import TOKEN_PATTERN
+
+        return F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)
+    raise ValueError(f"unit must be 'words' or 'tokens', got {unit!r}")
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
     max_words: int = 64,
     overlap: int = 16,
+    unit: str = "words",
 ) -> DataFrame:
-    """Sliding word-window chunking: each document becomes ceil-strided
-    chunks of ``max_words`` words advancing by ``max_words - overlap``.
+    """Sliding window chunking: each document becomes ceil-strided
+    chunks of ``max_words`` units advancing by ``max_words - overlap``.
 
-    Output: ``(doc_id, chunk_id, chunk_text, n_words)`` -- chunk_id is the
-    0-based window index, n_words the chunk's actual word count (the final
-    chunk may be shorter).  Documents with no words (empty/whitespace
-    text) produce NO rows, mirroring ``line_dedup``'s per-doc contract.
+    ``unit``: 'words' (default) windows whitespace words; 'tokens' windows
+    the regex pre-tokenizer pieces (see :func:`_unit_col`) -- the
+    context-length-faithful mode, since model context is budgeted in
+    tokens, not words.  Token-mode chunks re-join with single spaces (the
+    lossless byte-exact variant would carry offsets; training chunks do
+    not need it).
+
+    Output: ``(doc_id, chunk_id, chunk_text, n_words)`` (token mode names
+    the count ``n_tokens``) -- chunk_id is the 0-based window index, the
+    count the chunk's actual unit count (the final chunk may be shorter).
+    Documents with no units (empty/whitespace text) produce NO rows,
+    mirroring ``line_dedup``'s per-doc contract.
 
     A trailing window whose content is already fully contained in the
     previous chunk is never generated: window starts stop at
@@ -63,7 +87,8 @@ def chunk_documents(
             "negative overlap silently skips words between windows"
         )
     stride = max_words - overlap
-    words = _words_col(text_col)
+    count_alias = "n_words" if unit == "words" else "n_tokens"
+    words = _unit_col(text_col, unit)
     n = F.size(words)
     last_start = F.greatest(n - overlap, F.lit(1))
     starts = F.when(n > 0, F.sequence(F.lit(1), last_start, F.lit(stride))).otherwise(
@@ -76,7 +101,7 @@ def chunk_documents(
         starts,
         lambda s: F.struct(
             F.concat_ws(" ", F.slice(words, s, max_words)).alias("chunk_text"),
-            F.least(n - s + 1, F.lit(max_words)).cast("bigint").alias("n_words"),
+            F.least(n - s + 1, F.lit(max_words)).cast("bigint").alias("n_units"),
         ),
     )
     return (
@@ -85,7 +110,7 @@ def chunk_documents(
             "doc_id",
             F.col("chunk_id").cast("int").alias("chunk_id"),
             F.col("chunk.chunk_text").alias("chunk_text"),
-            F.col("chunk.n_words").alias("n_words"),
+            F.col("chunk.n_units").alias(count_alias),
         )
     )
 
@@ -96,16 +121,33 @@ def pack_shards(
     words_per_shard: int = 2048,
     n_buckets: int = 16,
     hash_fn: str = "xxhash64",
+    budget_unit: str = "words",
+    size_col: str | None = None,
 ) -> DataFrame:
     """Greedy fixed-budget shard assignment: documents are ordered
     deterministically within ``n_buckets`` hash buckets and packed into
-    shards of ~``words_per_shard`` words by running word-count offset
+    shards of ~``words_per_shard`` budget units by running cost offset
     (a document is assigned to the shard its STARTING offset falls in, so
     shards can overflow by at most one document -- the standard greedy
     packing used for training-shard construction).
 
-    Output: ``(doc_id, bucket, shard_id, n_words)``; the global shard key
-    is ``(bucket, shard_id)``.
+    ``budget_unit`` picks the per-document cost (model context is budgeted
+    in TOKENS -- word budgets mis-size shards by the word/token rate
+    difference):
+
+    * ``'words'`` (default): whitespace word count;
+    * ``'tokens'``: regex pre-tokenizer piece count (words + punctuation);
+    * ``'est_bpe'``: closed-form BPE-rate estimate
+      (:func:`..tokenize.est_bpe_tokens_col` -- ceil(len/4) subword
+      tokens per piece), still pure JVM + SQL-twinnable;
+    * ``size_col=<column>``: an exact precomputed cost column -- the
+      production path for real tokenizer budgets: run
+      ``tokenize.count_tokens_bpe`` (or a native tokenizer) once, join,
+      pack on its counts.  Overrides ``budget_unit``.
+
+    Output: ``(doc_id, bucket, shard_id, n_words)`` in words mode; other
+    budgets name the cost column ``n_units``.  The global shard key is
+    ``(bucket, shard_id)``.
 
     Scale shape: ONE shuffle (hash repartition on the deterministic
     ``xxhash64(doc_id)`` bucket) followed by a per-bucket sort + running
@@ -129,19 +171,31 @@ def pack_shards(
     bucket = (
         md5_bucket_col(n_buckets) if hash_fn == "md5" else bucket_col(n_buckets)
     )
-    n_words = F.size(_words_col(text_col)).cast("bigint")
+    if size_col is not None:
+        cost, cost_alias = F.col(size_col).cast("bigint"), "n_units"
+    elif budget_unit in ("words", "tokens"):
+        cost = F.size(_unit_col(text_col, budget_unit)).cast("bigint")
+        cost_alias = "n_words" if budget_unit == "words" else "n_units"
+    elif budget_unit == "est_bpe":
+        from .tokenize import est_bpe_tokens_col
+
+        cost, cost_alias = est_bpe_tokens_col(text_col), "n_units"
+    else:
+        raise ValueError(
+            f"budget_unit must be 'words', 'tokens' or 'est_bpe', got {budget_unit!r}"
+        )
     bucketed = df.select(
         "doc_id",
         bucket.cast("int").alias("bucket"),
-        n_words.alias("n_words"),
+        cost.alias(cost_alias),
     )
     w = Window.partitionBy("bucket").orderBy("doc_id")
     cum_before = F.coalesce(
-        F.sum("n_words").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        F.sum(cost_alias).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
     return bucketed.select(
         "doc_id",
         "bucket",
         F.floor(cum_before / words_per_shard).cast("bigint").alias("shard_id"),
-        "n_words",
+        cost_alias,
     )
