@@ -262,9 +262,11 @@ def _q_text_quality(spark, sf_dir):
 
 
 def _q_text_lang_id(spark, sf_dir):
-    from nreadspark.ops.textstats import lang_id
+    """Prediction (production signature: bare doc_id+text) joined back to
+    the labeled corpus by the separate evaluation op."""
+    from nreadspark.ops.textstats import lang_id_eval
 
-    return lang_id(_table(spark, sf_dir, "documents"))
+    return lang_id_eval(_table(spark, sf_dir, "documents"))
 
 
 def _q_text_fingerprint(spark, sf_dir):
@@ -1293,15 +1295,37 @@ def _media_hex_sql() -> str:
 _MEDIA_HEX_SQL = _media_hex_sql()
 
 
-_LANG_SCORES_SQL = """
-SELECT doc_id, lang AS actual_lang,
-       CAST(length(regexp_extract_all(text, '\\b(the|and|of|fast|slow)\\b')) AS BIGINT) AS score_en,
-       CAST(length(regexp_extract_all(text, '\\b(el|la|de|que|los)\\b')) AS BIGINT) AS score_es,
-       CAST(length(regexp_extract_all(text, '\\b(le|la|les|des|est)\\b')) AS BIGINT) AS score_fr,
-       CAST(length(regexp_extract_all(text, '\\b(der|die|und|das|ist)\\b')) AS BIGINT) AS score_de,
-       CAST(length(regexp_extract_all(text, '\\b(的|是|了|在|我)\\b')) AS BIGINT) AS score_zh
-FROM documents
-"""
+def _lang_id_oracle_sql() -> str:
+    """Generated from the SAME marker table + per-language pattern the
+    Spark operator compiles (ops/textstats.py LANG_MARKERS/lang_pattern),
+    so extending the language set updates both engines together.  Argmax
+    tie-break on language-code order; zero total hits -> 'und'."""
+    from nreadspark.ops.textstats import LANG_MARKERS, lang_pattern
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n                     ".join(
+        f"CAST(length(regexp_extract_all(text, '{lang_pattern(lang)}')) AS BIGINT) AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    cases = "\n                        ".join(
+        f"WHEN score_{lang} = best_score THEN '{lang}'" for lang in langs[:-1]
+    )
+    return f"""
+            WITH scores AS (
+              SELECT doc_id, lang AS actual_lang,
+                     {score_cols}
+              FROM documents
+            ), best AS (
+              SELECT *, {best} AS best_score FROM scores
+            )
+            SELECT doc_id, actual_lang,
+                   CASE WHEN best_score = 0 THEN 'und'
+                        {cases}
+                        ELSE '{langs[-1]}' END AS predicted_lang,
+                   CAST(best_score AS BIGINT) AS best_score
+            FROM best
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1855,21 +1879,7 @@ def oracle_sql() -> dict[str, str]:
                          / length(string_split_regex(trim(text), '\s+')), 6) AS mean_word_len
             FROM documents
         """,
-        "text_lang_id": f"""
-            WITH scores AS ({_LANG_SCORES_SQL}),
-            best AS (
-              SELECT *, greatest(score_de, score_en, score_es, score_fr, score_zh) AS best_score
-              FROM scores
-            )
-            SELECT doc_id, actual_lang,
-                   CASE WHEN score_de = best_score THEN 'de'
-                        WHEN score_en = best_score THEN 'en'
-                        WHEN score_es = best_score THEN 'es'
-                        WHEN score_fr = best_score THEN 'fr'
-                        ELSE 'zh' END AS predicted_lang,
-                   CAST(best_score AS BIGINT) AS best_score
-            FROM best
-        """,
+        "text_lang_id": _lang_id_oracle_sql(),
         "text_fingerprint": r"""
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

@@ -20,14 +20,39 @@ NEGATIVE_PATTERN = (
     "tags|tool|widget"
 )
 
-# tiny per-language marker lexicons for the n-gram/lexicon language heuristic
+# Per-language marker lexicons for the lexicon language heuristic: the
+# highest-frequency function words of each language (public-knowledge
+# stopword lists), chosen to minimize cross-language collisions.  'fast'/
+# 'slow' in the en row are corpus-domain markers kept from the original
+# 5-language set so the synthetic word-soup corpus still scores en.
 LANG_MARKERS = {
     "en": ["the", "and", "of", "fast", "slow"],
-    "es": ["el", "la", "de", "que", "los"],
-    "fr": ["le", "la", "les", "des", "est"],
-    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "los", "una", "pero", "como"],
+    "fr": ["les", "des", "est", "dans", "avec"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "it": ["di", "che", "per", "della", "sono"],
+    "pt": ["uma", "com", "mais", "por", "quando"],
+    "nl": ["het", "een", "van", "niet", "zijn"],
+    "ru": ["и", "не", "что", "это", "как"],
     "zh": ["的", "是", "了", "在", "我"],
+    "ja": ["の", "は", "を", "です", "した"],
 }
+
+# Languages whose markers are ASCII-ish space-delimited words get \b
+# anchors.  Non-Latin scripts deliberately do NOT: both Java regex and RE2
+# define \w/\b over ASCII only, so "\bи\b" can never match " и " (both
+# sides are non-word chars and no boundary exists) -- substring counting is
+# the cross-engine-stable semantics there, and CJK has no word spacing
+# anyway.
+_LATIN_LANGS = {"en", "es", "fr", "de", "it", "pt", "nl"}
+
+
+def lang_pattern(lang: str) -> str:
+    """The scoring regex for one language -- shared verbatim by the Spark
+    expression and the generated DuckDB oracle so both engines count the
+    same matches."""
+    alts = "|".join(LANG_MARKERS[lang])
+    return rf"\b({alts})\b" if lang in _LATIN_LANGS else f"({alts})"
 
 TOKEN_PATTERN = r"\w+|[^\w\s]"  # whitespace words + punctuation, BPE-ish
 
@@ -134,30 +159,49 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Lexicon-marker language heuristic: count marker-word hits per language
-    (word-boundary regex), predict the argmax with deterministic tie-break on
-    language code.  Pure JVM: one regexp per language."""
-    score_cols = []
-    for lang, markers in sorted(LANG_MARKERS.items()):
-        pattern = r"\b(" + "|".join(markers) + r")\b"
-        score_cols.append(
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).alias(
-                f"score_{lang}"
-            )
-        )
-    scored = df.select("doc_id", F.col("lang").alias("actual_lang"), *score_cols)
+    """Lexicon-marker language identification over bare ``(doc_id, text)``:
+    count marker hits per language (word-boundary regex for Latin-script
+    languages, substring counts for non-Latin -- see :data:`_LATIN_LANGS`),
+    predict the argmax with deterministic tie-break on language code;
+    documents hitting NO marker predict ``'und'`` (undetermined).
+
+    Production signature: needs only the text column -- evaluation against
+    a labeled corpus is the separate :func:`lang_id_eval` join.  Pure JVM:
+    one ``regexp_extract_all`` per language inside one codegen projection,
+    no shuffle."""
     langs = sorted(LANG_MARKERS.keys())
+    score_cols = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(lang_pattern(lang)), 0)).alias(
+            f"score_{lang}"
+        )
+        for lang in langs
+    ]
+    scored = df.select("doc_id", *score_cols)
     # argmax with tie-break on language code order
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    predicted = F.coalesce(
-        *[F.when(F.col(f"score_{lang}") == best, F.lit(lang)) for lang in langs]
+    predicted = F.when(best == 0, F.lit("und")).otherwise(
+        F.coalesce(
+            *[F.when(F.col(f"score_{lang}") == best, F.lit(lang)) for lang in langs]
+        )
     )
     return scored.select(
         "doc_id",
-        "actual_lang",
         predicted.alias("predicted_lang"),
         best.cast("bigint").alias("best_score"),
     )
+
+
+def lang_id_eval(
+    df: DataFrame, text_col: str = "text", actual_col: str = "lang"
+) -> DataFrame:
+    """Evaluation companion of :func:`lang_id`: joins the prediction back
+    to a labeled corpus's ``actual_col``.  Output:
+    ``(doc_id, actual_lang, predicted_lang, best_score)`` -- the shape the
+    driver oracle checks and accuracy reports aggregate over."""
+    preds = lang_id(df, text_col)
+    return df.select("doc_id", F.col(actual_col).alias("actual_lang")).join(
+        preds, "doc_id"
+    ).select("doc_id", "actual_lang", "predicted_lang", "best_score")
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

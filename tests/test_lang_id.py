@@ -1,0 +1,168 @@
+"""Production lang_id (ops/textstats.py): runs on bare (doc_id, text) with
+no label column, covers 10 languages, predicts 'und' on no-signal text, and
+holds >=90 % accuracy on a held-out synthetic multilingual corpus the
+marker table was not written against."""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("lang-id-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+# held-out corpus: natural short sentences, 5 per language, written as
+# ordinary text (markers occur only as the function words any real sentence
+# of the language contains)
+CORPUS = {
+    "en": [
+        "the weather was cold and the wind blew hard",
+        "she carried a bag of apples and a loaf of bread",
+        "the train left early and we missed the stop",
+        "a cup of tea and a slice of cake",
+        "the dog ran fast and the cat stayed slow",
+    ],
+    "es": [
+        "el perro corre como los gatos del barrio",
+        "una casa grande pero los cuartos son fríos",
+        "el maestro habla como una persona sabia",
+        "los niños juegan pero el parque cierra",
+        "una canción triste como el mar",
+    ],
+    "fr": [
+        "les enfants jouent dans le jardin avec des amis",
+        "il est venu avec des fleurs dans les mains",
+        "la maison est grande avec des fenêtres claires",
+        "les rues sont calmes dans la nuit",
+        "elle est partie avec les autres dans le train",
+    ],
+    "de": [
+        "der hund und die katze sind nicht hier",
+        "das wetter ist kalt und der wind weht",
+        "die kinder spielen und der lehrer ist nicht da",
+        "der zug ist spät und die reise ist lang",
+        "die stadt ist alt und der fluss ist breit",
+    ],
+    "it": [
+        "di che cosa parliamo per la cena, sono contento",
+        "i colori della sera sono belli per tutti",
+        "che bella giornata per una passeggiata di primavera",
+        "sono arrivati per la festa della città",
+        "il profumo di caffè che sento per strada",
+    ],
+    "pt": [
+        "uma casa com mais flores por aqui quando chove",
+        "ele chega com uma mala quando o trem para",
+        "por favor traga mais pão com queijo",
+        "quando a chuva passa, uma luz entra por aqui",
+        "ela canta com mais alegria quando viaja",
+    ],
+    "nl": [
+        "het huis is van een vriend, niet van mij, ze zijn weg",
+        "een boek van de meester, het is niet nieuw",
+        "ze zijn met het schip van de haven vertrokken",
+        "het weer is koud, een jas is niet genoeg",
+        "van wie is een fiets die niet op slot zijn kan",
+    ],
+    "ru": [
+        "и он сказал что это не так как раньше",
+        "это не то что мы хотели, и как теперь быть",
+        "как хорошо что это не конец",
+        "и снова дождь, не видно что впереди",
+        "что это было и как это понять",
+    ],
+    "zh": [
+        "我知道他是在这里了的原因",
+        "这是我的书,我在看了",
+        "他是我的朋友,在城里住了很久",
+        "我的家在山的那边,是很远的地方",
+        "天气是冷的,我在家里了",
+    ],
+    "ja": [
+        "これは私の本です。昨日読みました",
+        "先生の話はとても面白いです。よく笑いました",
+        "朝の電車は混んでいます。駅で待ちました",
+        "友達の家は遠いです。バスで行きました",
+        "今日の天気は晴れです。公園を歩きました",
+    ],
+}
+
+
+def _df(spark):
+    rows, truth = [], {}
+    i = 0
+    for lang, sents in CORPUS.items():
+        for s in sents:
+            rows.append((i, s))
+            truth[i] = lang
+            i += 1
+    # bare (doc_id, text): the production signature -- NO label column
+    return spark.createDataFrame(rows, "doc_id long, text string"), truth
+
+
+def test_accuracy_on_held_out_multilingual_corpus(spark):
+    from nreadspark.ops.textstats import lang_id
+
+    df, truth = _df(spark)
+    preds = {r["doc_id"]: r["predicted_lang"] for r in lang_id(df).collect()}
+    correct = sum(preds[i] == truth[i] for i in truth)
+    acc = correct / len(truth)
+    wrong = {i: (truth[i], preds[i]) for i in truth if preds[i] != truth[i]}
+    assert acc >= 0.9, f"accuracy {acc:.2f}; misclassified: {wrong}"
+
+
+def test_und_for_no_signal_and_empty_text(spark):
+    from nreadspark.ops.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [(1, "xyzzy plugh quux frobnicate"), (2, ""), (3, "12345 67890")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lang_id(df).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["predicted_lang"] == "und" and out[i]["best_score"] == 0
+
+
+def test_eval_join_shapes_and_agreement(spark):
+    """lang_id_eval = lang_id + the label join; predictions must agree."""
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.textstats import lang_id, lang_id_eval
+
+    df, truth = _df(spark)
+    labeled = df.withColumn(
+        "lang",
+        F.udf(lambda i: truth[i])("doc_id"),
+    )
+    ev = lang_id_eval(labeled)
+    assert ev.columns == ["doc_id", "actual_lang", "predicted_lang", "best_score"]
+    evp = {r["doc_id"]: r["predicted_lang"] for r in ev.collect()}
+    pp = {r["doc_id"]: r["predicted_lang"] for r in lang_id(df).collect()}
+    assert evp == pp
+    acc = sum(
+        1 for r in ev.collect() if r["predicted_lang"] == r["actual_lang"]
+    ) / len(truth)
+    assert acc >= 0.9
+
+
+def test_tie_break_is_language_code_order(spark):
+    """Equal non-zero scores predict the alphabetically first language --
+    deterministic across engines and runs."""
+    from nreadspark.ops.textstats import lang_id
+
+    # one de marker + one en marker, nothing else
+    df = spark.createDataFrame([(1, "der fast zug")], "doc_id long, text string")
+    (row,) = lang_id(df).collect()
+    assert row["best_score"] == 1 and row["predicted_lang"] == "de"
