@@ -204,6 +204,34 @@ def _q_dedup_embedding_lsh(spark, sf_dir):
     )
 
 
+def _q_dedup_semantic(spark, sf_dir):
+    """SemDeDup cluster-then-prune near-dup: exact duplicates of vec_id < 8
+    (+1e6) and a second copy of vec_id < 4 (+2e6) are planted, threshold
+    0.999.  Identical vectors always assign to the same k-means cluster
+    (deterministic argmax over identical similarity rows), and no natural
+    pair reaches 0.999 (the corpus max is < 0.8), so the within-cluster
+    constraint is invisible to the ORACLE -- the full machinery (centroid
+    training, assignment GEMM, per-cluster verification) still runs, and
+    the DuckDB twin is the closed-form all-pairs cosine at the same
+    threshold: 3 pairs per triple (vec_id < 4) + 1 per pair (4-7) = 16."""
+    from nreadspark.ops.dedup import dedup_semantic
+
+    emb = _table(spark, sf_dir, "embeddings")
+    p1 = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    p2 = emb.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + F.lit(2000000)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(p1).unionByName(p2)
+    out = dedup_semantic(corpus, dim=64, n_lists=8, threshold=0.999)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "cosine",
+    )
+
+
 def _q_ann_bruteforce_topk(spark, sf_dir):
     from nreadspark.ops.similarity import brute_force_topk
 
@@ -1094,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "dedup_semantic": _q_dedup_semantic,
         # similarity search
         "ann_bruteforce_topk": _q_ann_bruteforce_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1884,6 +1913,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        # dedup_semantic: within-cluster constraint invisible at threshold
+        # 0.999 (identical plants share clusters; natural max < 0.8), so
+        # the twin is closed-form all-pairs cosine over the planted union
+        "dedup_semantic": """
+            WITH all_v AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 8
+                UNION ALL
+                SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id < 4
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.999
         """,
         "dedup_embedding_cosine": """
             WITH all_v AS (

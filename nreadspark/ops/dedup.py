@@ -544,8 +544,6 @@ def embedding_near_duplicates_lsh(
     numeric_ids = isinstance(
         emb_df.schema[id_col].dataType, (LongType, IntegerType, ShortType, ByteType)
     )
-    id_type = LongType() if numeric_ids else StringType()
-    _coerce = int if numeric_ids else str
 
     sigs = lsh_signatures(emb_df, dim, n_bits, n_bands, id_col, vec_col, planes)
     if persist_signatures:
@@ -556,6 +554,22 @@ def embedding_near_duplicates_lsh(
         # spill-to-disk materialization beats 2-4 recomputes; pass False to
         # trade CPU for storage on corpora too large to spill.
         sigs = _persist(sigs)
+    return _verify_bucketed_pairs(sigs, threshold, max_bucket_size, numeric_ids)
+
+
+def _verify_bucketed_pairs(
+    sigs: DataFrame, threshold: float, max_bucket_size: int, numeric_ids: bool
+) -> DataFrame:
+    """Hot-bucket-guarded pairwise cosine verification over a bucketed
+    embedding frame ``(id string, vec array<double>, bucket)`` -- the
+    shared verification half of :func:`embedding_near_duplicates_lsh`
+    (buckets = LSH bands) and :func:`dedup_semantic` (buckets = IVF
+    cluster ids).  Returns ``(id_a, id_b, cosine)`` with cosine >=
+    threshold, one row per pair."""
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    id_type = LongType() if numeric_ids else StringType()
+    _coerce = int if numeric_ids else str
 
     # -- hot-bucket pre-split: count first (map-side combine), so oversized
     # buckets are routed to the star path BEFORE any collect_list sees them
@@ -762,6 +776,65 @@ def embedding_near_duplicates(
     return tiles.mapInPandas(score_tiles, out_schema).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
+
+
+def dedup_semantic(
+    emb_df: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    max_cluster_size: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    'SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication'): cluster embeddings with a k-means coarse quantizer,
+    then flag near-identical pairs WITHIN each cluster only.
+
+    This is the cluster-then-prune path that scales where pairwise LSH
+    recall is tuned too low: random-hyperplane banding must trade recall
+    against candidate volume globally, while clustering concentrates the
+    comparisons where semantic duplicates actually live -- each vector is
+    compared only against its own cluster (n_probe=1 assignment), total
+    work sum over clusters of k_c^2 with k_c ~ n/n_lists.
+
+    Composition of :func:`..similarity.ivf_build` (centroids trained on a
+    deterministic driver-side sample, assignment in ONE Arrow-batched GEMM
+    pass -- the same index a caller may already have built for ANN search)
+    with the hot-bucket-guarded per-cluster GEMM verification shared with
+    :func:`embedding_near_duplicates_lsh`: clusters larger than
+    ``max_cluster_size`` (template/boilerplate embeddings) take the
+    broadcast star path with O(1) per-row memory instead of a packed
+    ``collect_list`` row.
+
+    Returns ``(id_a, id_b, cosine)`` near-duplicate pairs (cosine >=
+    threshold); compose with :func:`keep_canonical` (``src_col='id_a'``,
+    ``dst_col='id_b'``) to drop every non-canonical cluster member.
+
+    Boundary caveat: a near-duplicate pair split across two clusters
+    (both members near a centroid boundary) is missed -- the standard
+    SemDeDup trade; raise ``n_lists`` resolution or run the LSH path for
+    boundary-robust recall.
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    from .similarity import ivf_build
+
+    numeric_ids = isinstance(
+        emb_df.schema[id_col].dataType, (LongType, IntegerType, ShortType, ByteType)
+    )
+    index = ivf_build(emb_df, dim, n_lists, sample_size, id_col, vec_col)
+    sigs = index.assignments.select(
+        F.col("corpus_id").alias("id"),
+        F.col("corpus_vec").alias("vec"),
+        F.col("list_id").cast("string").alias("bucket"),
+    )
+    # the assignment GEMM feeds bucket counts + the normal/star joins, the
+    # same multi-consumer shape as the LSH signatures
+    sigs = _persist(sigs)
+    return _verify_bucketed_pairs(sigs, threshold, max_cluster_size, numeric_ids)
 
 
 # ---------------------------------------------------------------------------

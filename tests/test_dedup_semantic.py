@@ -1,0 +1,136 @@
+"""SemDeDup-style semantic dedup (ops/dedup.py dedup_semantic): planted
+near-identical pairs inside well-separated clusters must be recovered with
+no cross-cluster false positives, keep_canonical composes to the surviving
+corpus, the hot-cluster star guard stays on the bounded path, and the
+refactored LSH verification helper still matches its pre-split behavior."""
+
+import numpy as np
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+DIM = 16
+SEED = 1234
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("semantic-dedup-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def _clustered_corpus(n_clusters=5, per_cluster=24, n_dups=6):
+    """Deterministic corpus: orthogonal-ish cluster centroids, members =
+    centroid + noise small enough that intra-cluster non-dup cosines stay
+    well under 0.97, plus n_dups planted near-identical copies per cluster
+    (cosine > 0.995 to their source)."""
+    rng = np.random.RandomState(SEED)
+    cents = rng.randn(n_clusters, DIM)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows, planted = [], []
+    vid = 0
+    for c in range(n_clusters):
+        base_ids = []
+        for _ in range(per_cluster):
+            v = cents[c] + 0.35 * rng.randn(DIM)
+            rows.append((vid, [float(x) for x in v]))
+            base_ids.append(vid)
+            vid += 1
+        for k in range(n_dups):
+            src = base_ids[k]
+            v = np.asarray(rows[src][1]) + 0.004 * rng.randn(DIM)
+            rows.append((vid, [float(x) for x in v]))
+            planted.append((src, vid))
+            vid += 1
+    return rows, planted
+
+
+def test_planted_cluster_recall_and_no_cross_cluster_pairs(spark):
+    from nreadspark.ops.dedup import dedup_semantic
+
+    rows, planted = _clustered_corpus()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup_semantic(df, dim=DIM, n_lists=5, threshold=0.97, sample_size=256)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+    want = {(min(a, b), max(a, b)) for a, b in planted}
+    missed = want - got
+    assert not missed, f"planted near-dups missed: {missed}"
+    # no pair may join two different source clusters (ids are laid out in
+    # cluster blocks of 30 = 24 base + 6 dups)
+    def cluster_of(vid):
+        return vid // 30
+
+    assert all(cluster_of(a) == cluster_of(b) for a, b in got)
+    # precision: everything flagged really is cosine >= threshold
+    vecs = {i: np.asarray(v) for i, v in rows}
+    for a, b in got:
+        cos = vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+        assert cos >= 0.97 - 1e-6
+
+
+def test_keep_canonical_composition_drops_duplicate_members(spark):
+    from nreadspark.ops.dedup import dedup_semantic, keep_canonical
+
+    rows, planted = _clustered_corpus(n_clusters=3, per_cluster=12, n_dups=4)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup_semantic(df, dim=DIM, n_lists=3, threshold=0.97, sample_size=256)
+    kept = keep_canonical(df, pairs, id_col="vec_id", src_col="id_a", dst_col="id_b")
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    # every planted duplicate (higher id of its pair) is gone, sources stay
+    for src, dup in planted:
+        assert src in kept_ids and dup not in kept_ids
+
+
+def test_hot_cluster_guard_routes_to_star_path(spark):
+    """A cluster bigger than max_cluster_size must still produce pairs
+    (via the broadcast star path) without a packed collect_list row."""
+    from nreadspark.ops.dedup import dedup_semantic
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(DIM)
+    base /= np.linalg.norm(base)
+    # one giant near-duplicate blob: 80 copies of the same direction
+    rows = [(i, [float(x) for x in base + 0.002 * rng.randn(DIM)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup_semantic(
+        df, dim=DIM, n_lists=2, threshold=0.97, sample_size=64, max_cluster_size=16
+    )
+    got = pairs.collect()
+    # star path: every member pairs with ITS cluster's minimum only ->
+    # O(k) pairs total and at most n_lists distinct canonical left ids
+    # (k-means may split the near-identical blob across both lists)
+    assert 0 < len(got) <= 80
+    canons = {r["id_a"] for r in got}
+    assert len(canons) <= 2
+    assert all(r["id_a"] < r["id_b"] for r in got)
+    # O(k), not O(k^2): a packed all-pairs path would emit ~3160 pairs
+    assert len(got) < 160
+
+
+def test_lsh_path_unchanged_by_refactor(spark):
+    """embedding_near_duplicates_lsh (now delegating to the shared
+    verification helper) must still find planted near-dups end to end."""
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.dedup import embedding_near_duplicates_lsh, release_caches
+
+    rng = np.random.RandomState(99)
+    rows = [(i, [float(x) for x in rng.randn(DIM)]) for i in range(60)]
+    rows += [(1000 + i, [float(x) for x in np.asarray(rows[i][1]) * 1.01]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_duplicates_lsh(
+        df, threshold=0.999, dim=DIM, n_bits=8, n_bands=8
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(i, 1000 + i) for i in range(10)}
+    release_caches()
