@@ -452,6 +452,37 @@ def _q_ngram_dup_stats(spark, sf_dir):
     return ngram_duplicate_stats(docs.select("doc_id", planted.alias("text")), n=8)
 
 
+def _q_dedup_url(spark, sf_dir):
+    """URL canonicalization + URL-level dedup: deterministically messy
+    URLs (scheme/host case, default :80 port, trailing slash, reordered
+    query params, utm_*/fbclid junk, fragments) that all collapse to one
+    canonical URL per doc_id%50 group.  The oracle is the CLOSED-FORM
+    expected canonical string -- it verifies the canonicalizer's output
+    independently instead of replicating its surgery."""
+    from nreadspark.ops.urls import dedup_by_url
+
+    docs = _table(spark, sf_dir, "documents")
+    g = F.pmod("doc_id", F.lit(50)).cast("string")
+    scheme = F.when(F.pmod("doc_id", F.lit(2)) == 0, "HTTP").otherwise("http")
+    host = F.when(
+        F.pmod("doc_id", F.lit(4)) == 0,
+        F.concat(F.lit("WWW.EXAMPLE"), g, F.lit(".COM")),
+    ).otherwise(F.concat(F.lit("www.example"), g, F.lit(".com")))
+    port = F.when(F.pmod("doc_id", F.lit(3)) == 0, ":80").otherwise("")
+    path = F.concat(
+        F.lit("/Articles/"), g, F.when(F.pmod("doc_id", F.lit(4)) == 1, "/").otherwise("")
+    )
+    qbase = F.when(
+        F.pmod("doc_id", F.lit(2)) == 0, F.concat(F.lit("?id="), g, F.lit("&x=1"))
+    ).otherwise(F.concat(F.lit("?x=1&id="), g))
+    junk = F.when(
+        F.pmod("doc_id", F.lit(5)) == 0, "&utm_campaign=c&fbclid=abc"
+    ).otherwise("")
+    frag = F.when(F.pmod("doc_id", F.lit(6)) == 0, "#sec").otherwise("")
+    url = F.concat(scheme, F.lit("://"), host, port, path, qbase, junk, frag)
+    return dedup_by_url(docs.select("doc_id", url.alias("url")))
+
+
 def _q_text_decontaminate(spark, sf_dir):
     """Benchmark decontamination (Brown et al. 2020 appendix-C hygiene):
     docs with doc_id % 10 == 7 get the shared 11-word passage appended; the
@@ -1117,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_top_doc_per_lang": _q_t1_top_doc_per_lang,
         # dedup suite
         "dedup_exact": _q_dedup_exact,
+        "dedup_url": _q_dedup_url,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -1819,6 +1851,16 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT group_key, doc_id, score FROM ranked WHERE rn = 1
+        """,
+        # dedup_url: the closed-form expected canonical URL per doc_id%50
+        # group -- independent of the canonicalizer's internal surgery
+        "dedup_url": """
+            SELECT 'http://www.example' || CAST(doc_id % 50 AS VARCHAR)
+                     || '.com/Articles/' || CAST(doc_id % 50 AS VARCHAR)
+                     || '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&x=1' AS canonical_url,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+            FROM documents GROUP BY doc_id % 50
         """,
         "dedup_exact": r"""
             WITH corpus AS (

@@ -50,6 +50,66 @@ def resolve_element_url(url: str, article_url: str | None) -> str:
         return url
 
 
+# Tracking query parameters every crawl canonicalizer strips (public
+# analytics-parameter lists: Google/Facebook/Microsoft click ids, utm_*)
+TRACKING_PARAMS = frozenset(
+    {"gclid", "fbclid", "msclkid", "ref", "igshid", "mc_cid", "mc_eid"}
+)
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://")
+_HOST_RE = re.compile(r"^(?:[^@]*@)?([^:]*)")
+_PORT_RE = re.compile(r":([0-9]+)$")
+
+
+def _is_tracking_param(param: str) -> bool:
+    key = param.split("=", 1)[0].lower()
+    return key in TRACKING_PARAMS or key.startswith("utm_")
+
+
+def canonical_url(url: str) -> str:
+    """Canonicalize a URL for crawl-level deduplication -- the cheapest
+    first-pass dedup a pipeline runs before any content hashing:
+
+    * scheme and host lowercased (userinfo-aware host extraction);
+    * default ports dropped (http:80, https:443);
+    * fragment dropped;
+    * tracking parameters removed (``utm_*`` + :data:`TRACKING_PARAMS`),
+      remaining query params sorted (param ORDER is almost never
+      semantic; sorting merges reordered duplicates);
+    * trailing slashes collapsed off the path ('' -> '/');
+    * path CASE preserved (paths are case-sensitive per RFC 3986);
+      'www.' is deliberately NOT stripped (www and apex can serve
+      different content).
+
+    Non-absolute URLs pass through unchanged.  Parsing is regex-based --
+    deliberately mirroring ``ops.urls.canonical_url_col`` token for token
+    so the Python reference, the Spark column and the DuckDB oracle agree
+    byte-for-byte (urlsplit normalizes differently)."""
+    m = _SCHEME_RE.match(url or "")
+    if not m or not _ABSOLUTE_RE.match(url):
+        return url
+    scheme = m.group(1).lower()
+    rest = url[m.end() :]
+    slash = re.search(r"[/?#]", rest)
+    authority, tail = (rest, "") if slash is None else (
+        rest[: slash.start()], rest[slash.start() :]
+    )
+    host = _HOST_RE.match(authority).group(1).lower()
+    pm = _PORT_RE.search(authority)
+    port = pm.group(1) if pm else ""
+    if port == _DEFAULT_PORTS.get(scheme, ""):
+        port = ""
+    path = re.match(r"^([^?#]*)", tail).group(1)
+    qm = re.search(r"\?([^#]*)", tail)
+    query = qm.group(1) if qm else ""
+    path = re.sub(r"/+$", "", path) or "/"
+    kept = sorted(p for p in query.split("&") if p and not _is_tracking_param(p))
+    out = f"{scheme}://{host}" + (f":{port}" if port else "") + path
+    if kept:
+        out += "?" + "&".join(kept)
+    return out
+
+
 def find_base_url(url: str) -> str:
     """NReadabilityTranscoder.FindBaseUrl (:619-695), segment by segment."""
     if not is_absolute_url(url):
