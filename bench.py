@@ -155,7 +155,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "text_quality",
         "text_lang_id",
         "text_chunking",
+        "text_chunking_tokens",
         "shard_packing",
+        "shard_packing_tokens",
+        "text_decontaminate",
+        "dedup_semantic",
+        "dedup_url",
         "e1_title_rules",
         "f5_f6_regex_rewrite",
         "tpch_q1_like",
