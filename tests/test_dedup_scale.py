@@ -524,9 +524,9 @@ def test_release_caches_frees_persisted_intermediates(spark):
     n_before = len(sc._jsc.sc().getRDDStorageInfo())
     pairs = dedup.minhash_lsh_candidates(docs)
     pairs.count()  # materializes -> the banded frame's cache fills
-    assert len(dedup._PERSISTED) >= 1
+    assert len(dedup._scope_stack()[-1]) >= 1  # registered in this thread's scope
     released = dedup.release_caches()
-    assert released >= 1 and not dedup._PERSISTED
+    assert released >= 1 and not dedup._scope_stack()[-1]
     assert len(sc._jsc.sc().getRDDStorageInfo()) <= n_before
 
 
