@@ -1004,7 +1004,7 @@ def ngram_duplicate_stats(
         gram_key = lambda g: g  # noqa: E731
     else:
         gram_key = F.xxhash64  # fixed-width shuffle keys
-    exploded = df.select("doc_id", F.explode(_gram_array(text_col, n, gram_key)).alias("h"))
+    exploded = _exploded_grams(df.select("doc_id", text_col), text_col, n, gram_key, "h")
     if persist_ngrams:
         # the exploded n-gram frame feeds the doc-frequency aggregation AND
         # the join back -- materialize once instead of rebuilding the
@@ -1022,18 +1022,29 @@ def ngram_duplicate_stats(
     )
 
 
-def _gram_array(text_col: str, n: int, gram_key):
-    """array<key> of word n-grams for one text column (JVM-side: split ->
-    sequence of starts -> slice -> concat_ws -> key), empty when < n words.
-    Shared by :func:`ngram_duplicate_stats` and :func:`decontaminate`."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+def _exploded_grams(df: DataFrame, text_col: str, n: int, gram_key, out_col: str) -> DataFrame:
+    """(doc_id?, <out_col>): one row per word n-gram of ``text_col``
+    (JVM-side: split -> sequence of starts -> slice -> concat_ws -> key),
+    no rows for docs with < n words.  Shared by
+    :func:`ngram_duplicate_stats` and :func:`decontaminate`.
+
+    The word array is materialized in a CHILD projection on purpose: an
+    expression referenced inside a higher-order-function lambda is inlined
+    into every lambda evaluation by codegen, so building grams directly
+    over ``split(text)`` re-runs the regex split once PER GRAM (~word-count
+    times per document; measured 6x slower at sf0.1).  A column reference
+    is evaluated once per row."""
+    keep = [c for c in df.columns if c != text_col]
+    with_words = df.select(*keep, F.split(F.trim(F.col(text_col)), r"\s+").alias("__w"))
+    words = F.col("__w")
     # guard: F.sequence(1, 0) yields the DESCENDING [1, 0], not empty
     starts = F.when(
         F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
+    grams = F.transform(
         starts, lambda i: gram_key(F.concat_ws(" ", F.slice(words, i, n)))
     )
+    return with_words.select(*keep, F.explode(grams).alias(out_col))
 
 
 def decontaminate(
@@ -1073,12 +1084,13 @@ def decontaminate(
     """
     eval_text_col = eval_text_col or text_col
     gram_key = (lambda g: g) if exact else F.xxhash64
-    eval_grams = (
-        eval_df.select(F.explode(_gram_array(eval_text_col, n, gram_key)).alias("__eval_g"))
-        .distinct()
-    )
+    eval_grams = _exploded_grams(
+        eval_df.select(eval_text_col), eval_text_col, n, gram_key, "__eval_g"
+    ).distinct()
     right = F.broadcast(eval_grams) if broadcast else eval_grams
-    exploded = corpus.select("doc_id", F.explode(_gram_array(text_col, n, gram_key)).alias("__g"))
+    exploded = _exploded_grams(
+        corpus.select("doc_id", text_col), text_col, n, gram_key, "__g"
+    )
     counts = (
         exploded.join(right, exploded["__g"] == right["__eval_g"], "left")
         .groupBy("doc_id")
