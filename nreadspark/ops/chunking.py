@@ -88,7 +88,13 @@ def chunk_documents(
         )
     stride = max_words - overlap
     count_alias = "n_words" if unit == "words" else "n_tokens"
-    words = _unit_col(text_col, unit)
+    # materialize the unit array in a CHILD projection: an expression
+    # referenced inside a higher-order-function lambda is inlined into
+    # every lambda evaluation by codegen, so slicing the split/regex
+    # expression directly would re-tokenize the document once PER WINDOW
+    # (quadratic on long documents -- the same fix as dedup._exploded_grams)
+    with_units = df.select("doc_id", _unit_col(text_col, unit).alias("__u"))
+    words = F.col("__u")
     n = F.size(words)
     last_start = F.greatest(n - overlap, F.lit(1))
     starts = F.when(n > 0, F.sequence(F.lit(1), last_start, F.lit(stride))).otherwise(
@@ -105,7 +111,7 @@ def chunk_documents(
         ),
     )
     return (
-        df.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        with_units.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
         .select(
             "doc_id",
             F.col("chunk_id").cast("int").alias("chunk_id"),
