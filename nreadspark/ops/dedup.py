@@ -826,12 +826,30 @@ def dedup_semantic(
         emb_df.schema[id_col].dataType, (LongType, IntegerType, ShortType, ByteType)
     )
     index = ivf_build(emb_df, dim, n_lists, sample_size, id_col, vec_col)
+    return dedup_semantic_from_index(
+        index, threshold, max_cluster_size, numeric_ids=numeric_ids
+    )
+
+
+def dedup_semantic_from_index(
+    index,
+    threshold: float = 0.95,
+    max_cluster_size: int = 4096,
+    numeric_ids: bool = True,
+) -> DataFrame:
+    """:func:`dedup_semantic` over a PREBUILT :class:`..similarity.IvfIndex`
+    -- the corpus assignment GEMM is the expensive half and an ANN caller
+    has often already paid it (``ivf_build`` once, then ``ivf_query`` for
+    search and this for dedup, off the same persisted/parquet-round-tripped
+    index).  ``numeric_ids=True`` (default) returns bigint pair ids; pass
+    False when the original id column was non-numeric (ids ride as
+    strings inside the index either way)."""
     sigs = index.assignments.select(
         F.col("corpus_id").alias("id"),
         F.col("corpus_vec").alias("vec"),
         F.col("list_id").cast("string").alias("bucket"),
     )
-    # the assignment GEMM feeds bucket counts + the normal/star joins, the
+    # the assignment frame feeds bucket counts + the normal/star joins, the
     # same multi-consumer shape as the LSH signatures
     sigs = _persist(sigs)
     return _verify_bucketed_pairs(sigs, threshold, max_cluster_size, numeric_ids)

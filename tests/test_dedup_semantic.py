@@ -134,3 +134,31 @@ def test_lsh_path_unchanged_by_refactor(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert got == {(i, 1000 + i) for i in range(10)}
     release_caches()
+
+
+def test_from_index_reuses_built_index_and_matches_one_shot(spark):
+    """The build-once path: ivf_build once, then ANN query AND semantic
+    dedup off the same index -- pair output must match the one-shot
+    dedup_semantic exactly (same centroids: both train on the same
+    deterministic sample)."""
+    from nreadspark.ops.dedup import dedup_semantic, dedup_semantic_from_index
+    from nreadspark.ops.similarity import ivf_build, ivf_query
+
+    rows, planted = _clustered_corpus(n_clusters=3, per_cluster=12, n_dups=4)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    index = ivf_build(df, dim=DIM, n_lists=3, sample_size=256)
+    via_index = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup_semantic_from_index(index, threshold=0.97).collect()
+    )
+    one_shot = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup_semantic(df, dim=DIM, n_lists=3, threshold=0.97, sample_size=256).collect()
+    )
+    assert via_index == one_shot
+    assert {(min(a, b), max(a, b)) for a, b in planted} <= set(via_index)
+    # the same index still answers ANN queries
+    q = df.limit(2)
+    hits = ivf_query(index, q, k=3, n_probe=3).count()
+    assert hits == 6
