@@ -1365,7 +1365,7 @@ def _lang_id_oracle_sql() -> str:
 
     langs = sorted(LANG_MARKERS)
     score_cols = ",\n                     ".join(
-        f"CAST(length(regexp_extract_all(text, '{lang_pattern(lang)}')) AS BIGINT) AS score_{lang}"
+        f"CAST(COALESCE(length(regexp_extract_all(text, '{lang_pattern(lang)}')), 0) AS BIGINT) AS score_{lang}"
         for lang in langs
     )
     best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"

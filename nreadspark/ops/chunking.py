@@ -180,7 +180,11 @@ def pack_shards(
     if size_col is not None:
         cost, cost_alias = F.col(size_col).cast("bigint"), "n_units"
     elif budget_unit in ("words", "tokens"):
-        cost = F.size(_unit_col(text_col, budget_unit)).cast("bigint")
+        # greatest(size, 0): F.size of a NULL array (null text) is -1
+        # (legacy sizeOfNull) -- a null document costs 0, not -1
+        cost = F.greatest(
+            F.size(_unit_col(text_col, budget_unit)), F.lit(0)
+        ).cast("bigint")
         cost_alias = "n_words" if budget_unit == "words" else "n_units"
     elif budget_unit == "est_bpe":
         from .tokenize import est_bpe_tokens_col

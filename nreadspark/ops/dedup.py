@@ -38,6 +38,14 @@ from pyspark.sql import DataFrame, functions as F
 # in-flight caller (e.g. a bench loop driving other operators in the same
 # session), and concurrent threads never see each other's registries.
 _TLS = threading.local()
+# Every live scope, across all threads (guarded by _ALL_LOCK): the escape
+# hatch for multi-threaded drivers where a worker thread registered
+# persists and exited without draining -- its frames would otherwise be
+# unreleasable from any other thread (thread-local registries).  Scopes
+# opened by cache_scope() deregister on exit; per-thread default scopes
+# stay registered (bounded by thread count).
+_ALL_LOCK = threading.Lock()
+_ALL_SCOPES: list[list[DataFrame]] = []
 
 
 def _scope_stack() -> list[list[DataFrame]]:
@@ -45,6 +53,8 @@ def _scope_stack() -> list[list[DataFrame]]:
     if stack is None:
         stack = [[]]  # the thread's default (always-open) scope
         _TLS.stack = stack
+        with _ALL_LOCK:
+            _ALL_SCOPES.append(stack[0])
     return stack
 
 
@@ -75,11 +85,18 @@ def cache_scope():
     stack = _scope_stack()
     scope: list[DataFrame] = []
     stack.append(scope)
+    with _ALL_LOCK:
+        _ALL_SCOPES.append(scope)
     try:
         yield
     finally:
         stack.pop()
         _drain(scope)
+        with _ALL_LOCK:
+            try:
+                _ALL_SCOPES.remove(scope)
+            except ValueError:
+                pass
 
 
 def release_caches() -> int:
@@ -89,6 +106,18 @@ def release_caches() -> int:
     materialized (collected / written / counted); returns the number of
     frames released."""
     return _drain(_scope_stack()[-1])
+
+
+def release_all_caches() -> int:
+    """Drain EVERY live scope across all threads -- the teardown hook for
+    multi-threaded drivers (ThreadPoolExecutor job fan-out) where a worker
+    thread registered persists and exited without calling
+    :func:`release_caches`; thread-local scoping makes those frames
+    invisible to other threads' release calls.  Safe to call whenever no
+    operator results are still pending materialization anywhere."""
+    with _ALL_LOCK:
+        scopes = list(_ALL_SCOPES)
+    return sum(_drain(s) for s in scopes)
 
 
 def _release_local_checkpoint(df: DataFrame) -> None:
@@ -558,16 +587,26 @@ def embedding_near_duplicates_lsh(
 
 
 def _verify_bucketed_pairs(
-    sigs: DataFrame, threshold: float, max_bucket_size: int, numeric_ids: bool
+    sigs: DataFrame, threshold: float, max_bucket_size: int, numeric_ids: bool,
+    on_oversized: str = "star",
 ) -> DataFrame:
     """Hot-bucket-guarded pairwise cosine verification over a bucketed
     embedding frame ``(id string, vec array<double>, bucket)`` -- the
     shared verification half of :func:`embedding_near_duplicates_lsh`
     (buckets = LSH bands) and :func:`dedup_semantic` (buckets = IVF
     cluster ids).  Returns ``(id_a, id_b, cosine)`` with cosine >=
-    threshold, one row per pair."""
+    threshold, one row per pair.
+
+    ``on_oversized``: what to do with buckets larger than
+    ``max_bucket_size`` -- ``'star'`` (pair every member with the bucket
+    minimum only: right for LSH hot buckets, which are hash-identical
+    boilerplate blobs) or ``'error'`` (raise eagerly with the offending
+    sizes: right when buckets are arbitrary partitions -- IVF cells --
+    where the star would silently drop non-canonical pairs)."""
     from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
+    if on_oversized not in ("star", "error"):
+        raise ValueError(f"on_oversized must be 'star' or 'error', got {on_oversized!r}")
     id_type = LongType() if numeric_ids else StringType()
     _coerce = int if numeric_ids else str
 
@@ -578,6 +617,19 @@ def _verify_bucketed_pairs(
         F.count("*").alias("__n"), F.min(key).alias("__canon")
     )
     hot = counts.filter(F.col("__n") > max_bucket_size)
+    if on_oversized == "error":
+        # eager check (one pass over the persisted sigs): failing loudly
+        # beats silently losing every non-canonical pair in the bucket
+        top = hot.orderBy(F.desc("__n")).limit(3).collect()
+        if top:
+            sizes = ", ".join(f"{r['bucket']}={r['__n']}" for r in top)
+            raise ValueError(
+                f"bucket(s) exceed max_bucket_size={max_bucket_size}: {sizes}. "
+                "Raise n_lists (target cluster size well under max_cluster_size), "
+                "raise max_cluster_size (memory: largest grouped row is "
+                "size*dim*8 bytes), or pass on_oversized='star' to accept "
+                "canonical-member-only pairing for oversized buckets."
+            )
     # one row per hot bucket (tiny by construction): its canonical member's
     # id + vector, broadcast to every member for the row-wise star cosine
     canon_vecs = (
@@ -787,6 +839,7 @@ def dedup_semantic(
     vec_col: str = "embedding",
     sample_size: int = 2048,
     max_cluster_size: int = 4096,
+    on_oversized: str = "error",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     'SemDeDup: Data-efficient learning at web-scale through semantic
@@ -804,10 +857,17 @@ def dedup_semantic(
     deterministic driver-side sample, assignment in ONE Arrow-batched GEMM
     pass -- the same index a caller may already have built for ANN search)
     with the hot-bucket-guarded per-cluster GEMM verification shared with
-    :func:`embedding_near_duplicates_lsh`: clusters larger than
-    ``max_cluster_size`` (template/boilerplate embeddings) take the
-    broadcast star path with O(1) per-row memory instead of a packed
-    ``collect_list`` row.
+    :func:`embedding_near_duplicates_lsh`.
+
+    Oversized clusters FAIL LOUDLY by default (``on_oversized='error'``):
+    unlike an LSH hot bucket (hash-identical boilerplate, where pairing
+    every member with the canonical is the content), an IVF cell is an
+    arbitrary spatial partition -- the star path would silently skip any
+    duplicate pair whose members are both non-canonical.  Size ``n_lists``
+    so expected cluster size (n/n_lists) sits well under
+    ``max_cluster_size`` (SemDeDup-scale corpora use n_lists ~ sqrt(n));
+    the error message carries the offending sizes.  Opt into the star
+    trade with ``on_oversized='star'`` for boilerplate-blob corpora.
 
     Returns ``(id_a, id_b, cosine)`` near-duplicate pairs (cosine >=
     threshold); compose with :func:`keep_canonical` (``src_col='id_a'``,
@@ -827,7 +887,8 @@ def dedup_semantic(
     )
     index = ivf_build(emb_df, dim, n_lists, sample_size, id_col, vec_col)
     return dedup_semantic_from_index(
-        index, threshold, max_cluster_size, numeric_ids=numeric_ids
+        index, threshold, max_cluster_size, numeric_ids=numeric_ids,
+        on_oversized=on_oversized,
     )
 
 
@@ -836,6 +897,7 @@ def dedup_semantic_from_index(
     threshold: float = 0.95,
     max_cluster_size: int = 4096,
     numeric_ids: bool = True,
+    on_oversized: str = "error",
 ) -> DataFrame:
     """:func:`dedup_semantic` over a PREBUILT :class:`..similarity.IvfIndex`
     -- the corpus assignment GEMM is the expensive half and an ANN caller
@@ -852,7 +914,9 @@ def dedup_semantic_from_index(
     # the assignment frame feeds bucket counts + the normal/star joins, the
     # same multi-consumer shape as the LSH signatures
     sigs = _persist(sigs)
-    return _verify_bucketed_pairs(sigs, threshold, max_cluster_size, numeric_ids)
+    return _verify_bucketed_pairs(
+        sigs, threshold, max_cluster_size, numeric_ids, on_oversized=on_oversized
+    )
 
 
 # ---------------------------------------------------------------------------

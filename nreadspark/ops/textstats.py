@@ -170,10 +170,16 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     one ``regexp_extract_all`` per language inside one codegen projection,
     no shuffle."""
     langs = sorted(LANG_MARKERS.keys())
+    # greatest(size, 0): NULL text makes regexp_extract_all NULL and
+    # F.size(NULL) is -1 (legacy sizeOfNull) -- without the clamp a
+    # null-text row would predict the first language with best_score -1
+    # instead of 'und' (and diverge from the SQL twin, whose CASE arms all
+    # go NULL).  The generated oracle applies the same COALESCE(..., 0).
     score_cols = [
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(lang_pattern(lang)), 0)).alias(
-            f"score_{lang}"
-        )
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(lang_pattern(lang)), 0)),
+            F.lit(0),
+        ).alias(f"score_{lang}")
         for lang in langs
     ]
     scored = df.select("doc_id", *score_cols)

@@ -42,10 +42,16 @@ def est_bpe_tokens_col(text_col: str):
     ``list_sum(list_transform(regexp_extract_all(text, ...),
     t -> ceil(length(t)/4.0)))``."""
     pieces = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)
-    return F.aggregate(
-        pieces,
+    # coalesce: NULL text -> NULL piece array -> NULL aggregate; a null
+    # document costs 0 tokens (matching the SQL twin's COALESCE and the
+    # real encoder, which counts 0 tokens for None)
+    return F.coalesce(
+        F.aggregate(
+            pieces,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("bigint"),
+        ),
         F.lit(0).cast("bigint"),
-        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("bigint"),
     )
 
 

@@ -39,9 +39,12 @@ def canonical_url_col(url) -> Column:
         F.when(scheme == "http", "80").when(scheme == "https", "443").otherwise("")
     )
     port = F.when(port0 == default_port, F.lit("")).otherwise(port0)
-    path0 = F.regexp_replace(F.regexp_extract(tail, r"^([^?#]*)", 1), r"/+$", "")
+    # fragment first (mirrors urlutil): a '?' inside '#...' is fragment,
+    # not query (SPA hash routes)
+    tail_nf = F.regexp_extract(tail, r"^([^#]*)", 1)
+    path0 = F.regexp_replace(F.regexp_extract(tail_nf, r"^([^?]*)", 1), r"/+$", "")
     path = F.when(path0 == "", F.lit("/")).otherwise(path0)
-    query = F.regexp_extract(tail, r"\?([^#]*)", 1)
+    query = F.regexp_extract(tail_nf, r"\?(.*)", 1)
 
     def keep(p):
         key = F.lower(F.element_at(F.split(p, "="), 1))

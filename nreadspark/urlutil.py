@@ -51,9 +51,12 @@ def resolve_element_url(url: str, article_url: str | None) -> str:
 
 
 # Tracking query parameters every crawl canonicalizer strips (public
-# analytics-parameter lists: Google/Facebook/Microsoft click ids, utm_*)
+# analytics-parameter lists: Google/Facebook/Microsoft click ids, utm_*).
+# Deliberately NOT included: bare 'ref' -- semantic on many real sites
+# (code-hosting branch selectors, doc anchors), and stripping a semantic
+# param makes keep_canonical_urls silently delete distinct documents.
 TRACKING_PARAMS = frozenset(
-    {"gclid", "fbclid", "msclkid", "ref", "igshid", "mc_cid", "mc_eid"}
+    {"gclid", "fbclid", "msclkid", "igshid", "mc_cid", "mc_eid"}
 )
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 _SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://")
@@ -99,8 +102,12 @@ def canonical_url(url: str) -> str:
     port = pm.group(1) if pm else ""
     if port == _DEFAULT_PORTS.get(scheme, ""):
         port = ""
-    path = re.match(r"^([^?#]*)", tail).group(1)
-    qm = re.search(r"\?([^#]*)", tail)
+    # fragment first: everything after '#' is fragment per RFC 3986, so a
+    # '?' INSIDE the fragment (SPA hash routes like '#/search?q=x') must
+    # not be read as a query
+    tail_nf = re.match(r"^([^#]*)", tail).group(1)
+    path = re.match(r"^([^?]*)", tail_nf).group(1)
+    qm = re.search(r"\?(.*)", tail_nf)
     query = qm.group(1) if qm else ""
     path = re.sub(r"/+$", "", path) or "/"
     kept = sorted(p for p in query.split("&") if p and not _is_tracking_param(p))

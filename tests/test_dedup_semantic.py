@@ -91,9 +91,28 @@ def test_keep_canonical_composition_drops_duplicate_members(spark):
         assert src in kept_ids and dup not in kept_ids
 
 
+def test_oversized_cluster_fails_loudly_by_default(spark):
+    """IVF cells are arbitrary spatial partitions: the star path would
+    silently drop duplicate pairs whose members are both non-canonical, so
+    oversized clusters raise by default with actionable sizing guidance."""
+    from nreadspark.ops.dedup import dedup_semantic, release_caches
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(DIM)
+    base /= np.linalg.norm(base)
+    rows = [(i, [float(x) for x in base + 0.002 * rng.randn(DIM)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="max_bucket_size|n_lists"):
+        dedup_semantic(
+            df, dim=DIM, n_lists=2, threshold=0.97, sample_size=64, max_cluster_size=16
+        )
+    release_caches()
+
+
 def test_hot_cluster_guard_routes_to_star_path(spark):
-    """A cluster bigger than max_cluster_size must still produce pairs
-    (via the broadcast star path) without a packed collect_list row."""
+    """With the explicit on_oversized='star' opt-in, a cluster bigger than
+    max_cluster_size still produces pairs (via the broadcast star path)
+    without a packed collect_list row."""
     from nreadspark.ops.dedup import dedup_semantic
 
     rng = np.random.RandomState(7)
@@ -103,7 +122,8 @@ def test_hot_cluster_guard_routes_to_star_path(spark):
     rows = [(i, [float(x) for x in base + 0.002 * rng.randn(DIM)]) for i in range(80)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     pairs = dedup_semantic(
-        df, dim=DIM, n_lists=2, threshold=0.97, sample_size=64, max_cluster_size=16
+        df, dim=DIM, n_lists=2, threshold=0.97, sample_size=64, max_cluster_size=16,
+        on_oversized="star",
     )
     got = pairs.collect()
     # star path: every member pairs with ITS cluster's minimum only ->

@@ -166,3 +166,15 @@ def test_tie_break_is_language_code_order(spark):
     df = spark.createDataFrame([(1, "der fast zug")], "doc_id long, text string")
     (row,) = lang_id(df).collect()
     assert row["best_score"] == 1 and row["predicted_lang"] == "de"
+
+
+def test_null_text_predicts_und_with_zero_score(spark):
+    """NULL text makes regexp_extract_all NULL and F.size(NULL) -1; the
+    score clamp must turn that into ('und', 0), matching the SQL twin."""
+    from nreadspark.ops.textstats import lang_id
+
+    df = spark.createDataFrame([(1, None), (2, "the cat and the dog")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lang_id(df).collect()}
+    assert out[1]["predicted_lang"] == "und" and out[1]["best_score"] == 0
+    assert out[2]["predicted_lang"] == "en"

@@ -198,3 +198,20 @@ def test_pack_shards_rejects_unknown_budget_unit(spark):
         from nreadspark.ops.chunking import chunk_documents
 
         chunk_documents(df, unit="bytes")
+
+
+def test_null_text_costs_zero_in_every_budget(spark):
+    """NULL documents cost 0 units in all pack_shards budgets (F.size of a
+    null array is -1; the est aggregate is NULL) -- matching both the SQL
+    twins and the real encoder, which counts 0 tokens for None."""
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.chunking import pack_shards
+    from nreadspark.ops.tokenize import est_bpe_tokens_col
+
+    df = spark.createDataFrame([(1, None), (2, "two words")], "doc_id long, text string")
+    assert df.select(est_bpe_tokens_col("text")).collect()[0][0] == 0
+    for unit, col in (("words", "n_words"), ("tokens", "n_units"), ("est_bpe", "n_units")):
+        out = {r["doc_id"]: r[col] for r in
+               pack_shards(df, words_per_shard=10, n_buckets=2, budget_unit=unit).collect()}
+        assert out[1] == 0 and out[2] > 0

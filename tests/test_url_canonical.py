@@ -41,7 +41,12 @@ CASES = [
     ("http://example.com/a?utm_source=x&id=3", "http://example.com/a?id=3"),
     ("http://example.com/a?UTM_Campaign=x&id=3", "http://example.com/a?id=3"),
     ("http://example.com/a?fbclid=zzz", "http://example.com/a"),
-    ("http://example.com/a?gclid=1&ref=t&id=2#x", "http://example.com/a?id=2"),
+    ("http://example.com/a?gclid=1&msclkid=m&id=2#x", "http://example.com/a?id=2"),
+    # 'ref' is semantic on many sites (branch selectors) -- kept
+    ("http://example.com/repo/file?ref=main", "http://example.com/repo/file?ref=main"),
+    # '?' inside the fragment is fragment, not query (SPA hash routes)
+    ("http://example.com/app#/search?q=foo", "http://example.com/app"),
+    ("http://example.com/a#frag?x=1&utm_source=s", "http://example.com/a"),
     ("http://example.com/a?", "http://example.com/a"),
     ("http://user:pw@Example.com/a", "http://example.com/a"),
     ("http://example.com/CaseSensitive/Path", "http://example.com/CaseSensitive/Path"),
