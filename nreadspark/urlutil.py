@@ -87,7 +87,13 @@ def canonical_url(url: str) -> str:
     Non-absolute URLs pass through unchanged.  Parsing is regex-based --
     deliberately mirroring ``ops.urls.canonical_url_col`` token for token
     so the Python reference, the Spark column and the DuckDB oracle agree
-    byte-for-byte (urlsplit normalizes differently)."""
+    byte-for-byte (urlsplit normalizes differently).
+
+    Out of scope (by design -- each risks merging distinct resources):
+    percent-encoding normalization (%7E vs ~), IDN/punycode folding,
+    dot-segment resolution ('/a/../b'), and 'www.' stripping.  For
+    dedup purposes unmerged near-equal URLs only cost a content-dedup
+    comparison later; a wrong merge LOSES a document."""
     m = _SCHEME_RE.match(url or "")
     if not m or not _ABSOLUTE_RE.match(url):
         return url
