@@ -629,6 +629,70 @@ def _q_mixed_pipeline(spark, sf_dir):
     return out0.unionByName(out1).unionByName(out2)
 
 
+def _q_warc_extract(spark, sf_dir):
+    """WARC ingestion tier (ISO 28500, the Common Crawl container): each
+    document becomes a 3-record WARC blob (warcinfo + request + response;
+    every even doc_id as per-record gzip members -- the .warc.gz layout),
+    the response body is latin-1 HTML whose charset rides ONLY in the HTTP
+    Content-Type header.  extract_warc explodes records, keeps HTTP-200
+    responses, header-decodes and extracts; the 'café' probe proves the
+    header-driven charset path end to end.  Closed-form oracle: the
+    route-1 interleaved page shape under composite '<id>#2' doc ids
+    (record 2 is the response)."""
+    import pyarrow as pa
+
+    from nreadspark.warc import build_warc, extract_warc
+
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id"),
+        F.lit(" | Synthetic Corpus</title></head><body><div id='content' class='post'><p>"),
+        F.col("text"),
+        F.lit('</p><img src="img://doc/'),
+        F.col("doc_id"),
+        F.lit('" /><p>'),
+        F.col("text"),
+        F.lit(", extended at the café for sibling merge.</p></div></body></html>"),
+    )
+    src = docs.select("doc_id", page.alias("__page"))
+
+    def to_warc(it):
+        for batch in it:
+            names = batch.schema.names
+            ids = batch.column(names.index("doc_id")).to_pylist()
+            pages = batch.column(names.index("__page")).to_pylist()
+            blobs = [
+                build_warc(
+                    [(f"http://ex.com/doc/{i}", p.encode("latin-1"),
+                      "text/html; charset=iso-8859-1")],
+                    gzip_records=(int(i) % 2 == 0),
+                )
+                for i, p in zip(ids, pages)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(blobs, pa.binary())],
+                names=["doc_id", "warc"],
+            )
+
+    warc_df = src.mapInArrow(to_warc, "doc_id string, warc binary")
+    out = extract_warc(warc_df)
+    return out.select(
+        "doc_id",
+        "title",
+        "content_extracted",
+        F.size("spans").cast("bigint").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("image")))
+        .cast("bigint")
+        .alias("n_image_spans"),
+        F.exists("spans", lambda s: s["text"].contains("café")).alias("has_cafe"),
+    )
+
+
 def _q_text_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals (dup-line count, top-bigram
     dominance) as integer counts -- exact SQL comparison, no float
@@ -1185,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _q_dedup_survivors,
         "text_repetition": _q_text_repetition,
         "mixed_pipeline": _q_mixed_pipeline,
+        "warc_extract": _q_warc_extract,
         "dedup_ngram_substring": _q_ngram_dup_stats,
         "text_decontaminate": _q_text_decontaminate,
         "sample_split_mix": _q_sample_split_mix,
@@ -1475,6 +1540,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(c.n_cont, 0) AS BIGINT) AS n_contaminated_ngrams,
                    COALESCE(c.n_cont, 0) > 0 AS contaminated
             FROM src s LEFT JOIN counts c ON s.doc_id = c.doc_id
+        """,
+        # warc_extract: route-1 interleaved page shape under composite
+        # '<id>#2' ids (warcinfo=0, request=1, response=2); has_cafe locks
+        # the HTTP-header charset decode
+        "warc_extract": """
+            SELECT CAST(doc_id AS VARCHAR) || '#2' AS doc_id,
+                   'Doc ' || doc_id || ' | Synthetic Corpus' AS title,
+                   true AS content_extracted,
+                   CAST(3 AS BIGINT) AS n_spans,
+                   CAST(1 AS BIGINT) AS n_image_spans,
+                   true AS has_cafe
+            FROM documents WHERE doc_id < 300
         """,
         # mixed_pipeline: routes 0/1 share the interleaved-family closed
         # form; route 2 follows the pdf_extract shape

@@ -135,6 +135,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "extract_interleaved",
         "multipage_extract",
         "mixed_pipeline",
+        "warc_extract",
         "debug_html",
         "dedup_exact",
         "dedup_minhash_lsh",
