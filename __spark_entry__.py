@@ -693,6 +693,45 @@ def _q_warc_extract(spark, sf_dir):
     )
 
 
+def _q_quality_model_score(spark, sf_dir):
+    """Model-based quality filtering (fasttext-style hashed-feature linear
+    classifier): the SCORING path under fixed, closed-form weights --
+    weight(bucket) = ((bucket*2654435761) % 1000 - 500)/1000, bias 0.1,
+    md5 bucketing so DuckDB replicates the features exactly.  Training is
+    covered by the pytest accuracy/determinism battery (not
+    SQL-expressible); this query locks the explode -> broadcast-weights
+    join -> per-doc aggregation scoring plan."""
+    from nreadspark.ops.quality_model import QualityModel, score_quality
+
+    n_buckets = 64
+    weights = [((b * 2654435761) % 1000 - 500) / 1000.0 for b in range(n_buckets)]
+    model = QualityModel(weights, bias=0.1, n_buckets=n_buckets, hash_fn="md5")
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    # integer-exact compare: the logit is rational with denominator
+    # 1000*n_tokens, so its values land EXACTLY on decimal rounding
+    # boundaries and float sum-order decides ties differently per engine.
+    # Recover the integer numerator from the scored logit instead
+    # (round-6 error * 1000*n_tokens <= 0.02 << 0.5, so the recovery is
+    # exact) and derive keep by integer cross-multiplication.
+    nt = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != "")
+        ).cast("bigint").alias("n_tokens"),
+    )
+    sq = score_quality(docs, model)
+    num = F.round((F.col("logit") - F.lit(0.1)) * 1000.0 * F.col("n_tokens")).cast("bigint")
+    return (
+        sq.join(nt, "doc_id")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            num.alias("logit_num"),
+            "n_tokens",
+        )
+        .withColumn("keep", F.col("logit_num") > F.lit(-100) * F.col("n_tokens"))
+    )
+
+
 def _q_text_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals (dup-line count, top-bigram
     dominance) as integer counts -- exact SQL comparison, no float
@@ -1250,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "mixed_pipeline": _q_mixed_pipeline,
         "warc_extract": _q_warc_extract,
+        "quality_model_score": _q_quality_model_score,
         "dedup_ngram_substring": _q_ngram_dup_stats,
         "text_decontaminate": _q_text_decontaminate,
         "sample_split_mix": _q_sample_split_mix,
@@ -1540,6 +1580,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(c.n_cont, 0) AS BIGINT) AS n_contaminated_ngrams,
                    COALESCE(c.n_cont, 0) > 0 AS contaminated
             FROM src s LEFT JOIN counts c ON s.doc_id = c.doc_id
+        """,
+        # quality_model_score: hashed-feature linear scoring under the
+        # closed-form weight family (md5 buckets shared with the bucketing
+        # oracles); logit is linear so no sigmoid float divergence
+        "quality_model_score": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                        t -> t <> '')) AS t
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5(t), 1, 8))::BIGINT % 64 AS bucket
+              FROM toks
+            ), f AS (
+              SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY 1, 2
+            ), tt AS (
+              SELECT doc_id, sum(cnt) AS n_tokens FROM f GROUP BY 1
+            ), s AS (
+              SELECT f.doc_id,
+                     CAST(sum((((bucket * 2654435761) % 1000) - 500) * cnt) AS BIGINT) AS logit_num,
+                     CAST(n_tokens AS BIGINT) AS n_tokens
+              FROM f JOIN tt USING (doc_id)
+              GROUP BY f.doc_id, n_tokens
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, logit_num, n_tokens,
+                   logit_num > -100 * n_tokens AS keep
+            FROM s
         """,
         # warc_extract: route-1 interleaved page shape under composite
         # '<id>#2' ids (warcinfo=0, request=1, response=2); has_cafe locks

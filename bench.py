@@ -160,6 +160,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "shard_packing",
         "shard_packing_tokens",
         "text_decontaminate",
+        "quality_model_score",
         "dedup_semantic",
         "dedup_url",
         "e1_title_rules",
