@@ -107,8 +107,31 @@ def curate_resumable(
     fail_after_stage: str | None = None,
     clean_stages: bool = False,
     input_fingerprint: str | None = None,
+    quality_model=None,
+    model_threshold: float = 0.0,
+    decontam_eval=None,
+    decontam_n: int = 13,
 ):
     """:func:`curate` with per-stage, per-bucket checkpointed lineage.
+
+    Two OPTIONAL stages complete the modern pipeline (both default off, so
+    the rule-based 4-stage shape is unchanged):
+
+    * ``quality_model`` (an ``ops.quality_model.QualityModel``): model
+      scoring right after the rule filter -- drops docs with
+      ``logit <= model_threshold`` (stage ``model_filter``; its params
+      fingerprint includes an md5 of the weights, so swapping models
+      invalidates the checkpoint).
+    * ``decontam_eval`` (a ``(eval_id, <text_col>)`` DataFrame): eval-set
+      decontamination right after line cleaning -- strips docs sharing any
+      ``decontam_n``-gram with the eval set (stage ``decontam``;
+      fingerprinted by the eval frame's file listing).
+
+    Stage order: quality -> [model_filter] -> line_clean -> [decontam] ->
+    pairs -> final.  Every stage (optional ones included) commits through
+    the same bucketed parquet + manifest + marker protocol, and each
+    stage's params fold into every DOWNSTREAM fingerprint, so toggling or
+    re-tuning an optional stage recomputes exactly the stages after it.
 
     ``input_fingerprint`` identifies the INPUT corpus inside every stage's
     params fingerprint, so rerunning into the same ``--output`` with a
@@ -135,9 +158,9 @@ def curate_resumable(
     the in-memory plan, so within a single run each stage's lineage is one
     scan of its predecessor's files -- the same property resume relies on.
 
-    ``fail_after_stage`` ('quality' | 'line_clean' | 'pairs') injects a
-    crash right after that stage's marker commits -- the kill-and-resume
-    test hook.  Returns ``(surviving_df, stats)`` like :func:`curate`,
+    ``fail_after_stage`` ('quality' | 'model_filter' | 'line_clean' |
+    'decontam' | 'pairs') injects a crash right after that stage's marker
+    commits -- the kill-and-resume test hook.  Returns ``(surviving_df, stats)`` like :func:`curate`,
     with ``stats['resumed_stages']`` listing the stages loaded from
     checkpoint.
 
@@ -166,11 +189,24 @@ def curate_resumable(
 
     if input_fingerprint is None:
         input_fingerprint = _lineage.input_fingerprint(docs)
+    if quality_model is not None:
+        import hashlib
+
+        model_fp = hashlib.md5(
+            (",".join(f"{w:.17g}" for w in quality_model.weights)
+             + f"|{quality_model.bias:.17g}|{quality_model.hash_fn}").encode()
+        ).hexdigest()
+    else:
+        model_fp = None
+    eval_fp = _lineage.input_fingerprint(decontam_eval) if decontam_eval is not None else None
     qparams = {"min_words": min_words, "text_col": text_col,
                "input": input_fingerprint}
-    lparams = {**qparams, "line_delimiter": line_delimiter,
+    mparams = {**qparams, "model": model_fp, "model_threshold": model_threshold}
+    lparams = {**mparams, "line_delimiter": line_delimiter,
                "line_min_repeats": line_min_repeats}
-    pparams = {**lparams, "minhash_threshold": minhash_threshold}
+    dparams = {**lparams, "eval": eval_fp,
+               "decontam_n": decontam_n if decontam_eval is not None else None}
+    pparams = {**dparams, "minhash_threshold": minhash_threshold}
     fparams = pparams  # keep_canonical adds no knobs of its own
 
     # short-circuit: a COMPLETED job (final marker present, matching
@@ -179,12 +215,19 @@ def curate_resumable(
     # upstream stages at full corpus cost and then discard the result
     # (every final bucket manifest already exists, so nothing would be
     # written).  The final marker carries the full merged stats dict.
+    stage_names = (
+        ["quality"]
+        + (["model_filter"] if quality_model is not None else [])
+        + ["line_clean"]
+        + (["decontam"] if decontam_eval is not None else [])
+        + ["pairs", "final"]
+    )
     if resume:
         done = _read_stage(spark, output_path, "final", n_buckets, fparams)
         if done is not None:
             final_df, fstats = done
             stats.update(fstats)
-            stats["resumed_stages"] = ["quality", "line_clean", "pairs", "final"]
+            stats["resumed_stages"] = stage_names
             if clean_stages:
                 # a requested cleanup must happen even on the no-work path
                 # (e.g. run 1 used --keep-stages, or crashed between the
@@ -226,6 +269,30 @@ def curate_resumable(
     stats.update(qstats)
     _fail_hook("quality")
 
+    # -- optional stage: model-based quality filter -----------------------
+    if quality_model is not None:
+        from nreadspark.ops.quality_model import score_quality
+
+        st = _read_stage(spark, output_path, "model_filter", n_buckets, mparams) if resume else None
+        if st is None:
+            scored = score_quality(
+                kept, quality_model, text_col=text_col, threshold=model_threshold
+            )
+            filtered = kept.join(scored.filter("keep").select("doc_id"), "doc_id")
+            mstats = {
+                "model_dropped": scored.filter(~F.col("keep")).count(),
+            }
+            _commit_stage(
+                spark, filtered, output_path, "model_filter", n_buckets,
+                mstats, resume, params=mparams,
+            )
+            kept, mstats = _read_stage(spark, output_path, "model_filter", n_buckets, mparams)
+        else:
+            kept, mstats = st
+            stats["resumed_stages"].append("model_filter")
+        stats.update(mstats)
+        _fail_hook("model_filter")
+
     # -- stage 2: boilerplate line removal --------------------------------
     st = _read_stage(spark, output_path, "line_clean", n_buckets, lparams) if resume else None
     if st is None:
@@ -253,6 +320,33 @@ def curate_resumable(
         stats["resumed_stages"].append("line_clean")
     stats.update(lstats)
     _fail_hook("line_clean")
+
+    # -- optional stage: eval-set decontamination -------------------------
+    if decontam_eval is not None:
+        from nreadspark.ops.dedup import decontaminate
+
+        st = _read_stage(spark, output_path, "decontam", n_buckets, dparams) if resume else None
+        if st is None:
+            flags = decontaminate(
+                cleaned, decontam_eval, text_col=text_col,
+                eval_text_col=text_col, n=decontam_n,
+            )
+            stripped = cleaned.join(
+                flags.filter("contaminated").select("doc_id"), "doc_id", "left_anti"
+            )
+            dstats = {
+                "decontaminated_dropped": flags.filter("contaminated").count(),
+            }
+            _commit_stage(
+                spark, stripped, output_path, "decontam", n_buckets,
+                dstats, resume, params=dparams,
+            )
+            cleaned, dstats = _read_stage(spark, output_path, "decontam", n_buckets, dparams)
+        else:
+            cleaned, dstats = st
+            stats["resumed_stages"].append("decontam")
+        stats.update(dstats)
+        _fail_hook("decontam")
 
     # -- stage 3: near-dup pair verification ------------------------------
     st = _read_stage(spark, output_path, "pairs", n_buckets, pparams) if resume else None
@@ -412,6 +506,20 @@ def main() -> None:
         help="retain <output>/_stages/ checkpoints after success (~3 corpus-sized "
         "copies; default deletes them once the final output commits)",
     )
+    parser.add_argument(
+        "--quality-model",
+        help="parquet path of a persisted QualityModel weights table "
+        "(bucket, weight); enables the model_filter stage",
+    )
+    parser.add_argument("--model-threshold", type=float, default=0.0,
+                        help="keep docs with logit > threshold (logit space)")
+    parser.add_argument(
+        "--decontam-eval",
+        help="parquet path of the eval set (must carry --text-col); enables "
+        "the decontam stage",
+    )
+    parser.add_argument("--decontam-n", type=int, default=13,
+                        help="n-gram order for eval-set overlap")
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -444,6 +552,15 @@ def main() -> None:
         parser.error("either --input or --synthetic is required")
         return
 
+    quality_model = None
+    if args.quality_model:
+        from nreadspark.ops.quality_model import QualityModel
+
+        quality_model = QualityModel.from_df(spark.read.parquet(args.quality_model))
+    decontam_eval = (
+        spark.read.parquet(args.decontam_eval) if args.decontam_eval else None
+    )
+
     _surviving, stats = curate_resumable(
         spark,
         docs,
@@ -457,6 +574,10 @@ def main() -> None:
         resume=not args.no_resume,
         clean_stages=not args.keep_stages,
         input_fingerprint=fingerprint,
+        quality_model=quality_model,
+        model_threshold=args.model_threshold,
+        decontam_eval=decontam_eval,
+        decontam_n=args.decontam_n,
     )
     print(json.dumps(stats))
     spark.stop()

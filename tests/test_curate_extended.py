@@ -1,0 +1,152 @@
+"""Extended curation pipeline (jobs/curate.py optional stages): the
+model-filter and decontamination stages drop exactly the planted docs,
+both stages checkpoint/resume like the core four, toggling a stage or
+swapping the model invalidates downstream checkpoints, and the default
+(no optional stages) path is byte-identical to before."""
+
+import os
+import sys
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs")
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("curate-extended-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+GOOD = "the committee published a careful report, with several findings, and it ends well."
+SPAMMY = "casino bonus click now, free spins jackpot winner, subscribe subscribe now."
+LEAK = "held out benchmark phrase alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+
+
+def _docs(spark):
+    rows = [
+        ("1", GOOD),
+        ("2", GOOD + " second copy differs a little."),
+        ("3", SPAMMY),
+        ("4", f"an otherwise fine document, {LEAK}, which ends politely."),
+        ("5", "a perfectly ordinary independent document, with words, that also ends."),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _train_model(spark):
+    from nreadspark.ops.quality_model import train_quality_model
+
+    labeled = spark.createDataFrame(
+        [(i, GOOD + f" variant {i}.", 1) for i in range(8)]
+        + [(100 + i, SPAMMY + f" variant {i}.", 0) for i in range(8)],
+        "doc_id long, text string, label int",
+    )
+    return train_quality_model(labeled, n_buckets=256)
+
+
+def _eval_df(spark):
+    return spark.createDataFrame(
+        [("e1", f"question about {LEAK} here")], "eval_id string, text string"
+    )
+
+
+def test_extended_stages_drop_planted_docs_and_resume(spark, tmp_path):
+    from curate import curate_resumable
+
+    model = _train_model(spark)
+    kw = dict(
+        min_words=5, minhash_threshold=0.5, line_min_repeats=4,
+        line_delimiter=",", n_buckets=4,
+        quality_model=model, decontam_eval=_eval_df(spark), decontam_n=8,
+    )
+    out = str(tmp_path / "curated")
+    df, stats = curate_resumable(spark, _docs(spark), out, clean_stages=False, **kw)
+    kept = {r["doc_id"] for r in df.select("doc_id").collect()}
+    # 3 dropped by the model, 4 by decontamination, 2 by near-dup of 1
+    assert kept == {"1", "5"}
+    assert stats["model_dropped"] == 1
+    assert stats["decontaminated_dropped"] == 1
+    assert stats["resumed_stages"] == []
+
+    # completed-job rerun short-circuits through ALL six stages
+    df2, stats2 = curate_resumable(spark, _docs(spark), out, clean_stages=False, **kw)
+    assert stats2["resumed_stages"] == [
+        "quality", "model_filter", "line_clean", "decontam", "pairs", "final"
+    ]
+    assert {r["doc_id"] for r in df2.select("doc_id").collect()} == kept
+
+
+def test_model_swap_invalidates_downstream(spark, tmp_path):
+    """A different model must recompute (params fingerprint carries the
+    weight hash), not reuse the old model_filter checkpoint."""
+    from curate import curate_resumable
+
+    from nreadspark.ops.quality_model import QualityModel
+
+    kw = dict(min_words=5, minhash_threshold=0.5, line_min_repeats=4,
+              line_delimiter=",", n_buckets=4)
+    out = str(tmp_path / "curated")
+    strict = _train_model(spark)
+    _, s1 = curate_resumable(
+        spark, _docs(spark), out, clean_stages=False,
+        quality_model=strict, **kw,
+    )
+    assert s1["model_dropped"] == 1
+    # keep-everything model: bias strongly positive, zero weights
+    lax = QualityModel([0.0] * 256, bias=5.0, n_buckets=256)
+    df2, s2 = curate_resumable(
+        spark, _docs(spark), out, clean_stages=False,
+        quality_model=lax, **kw,
+    )
+    # the rules-only quality stage is UPSTREAM of the model and resumes;
+    # model_filter and everything after recompute under the new fingerprint
+    assert s2["resumed_stages"] == ["quality"]
+    assert s2["model_dropped"] == 0
+    kept = {r["doc_id"] for r in df2.select("doc_id").collect()}
+    assert "3" in kept  # the spammy doc survives the lax model
+
+
+def test_kill_after_decontam_resumes_upstream_stages(spark, tmp_path):
+    from curate import curate_resumable
+
+    kw = dict(min_words=5, minhash_threshold=0.5, line_min_repeats=4,
+              line_delimiter=",", n_buckets=4, decontam_eval=_eval_df(spark),
+              decontam_n=8)
+    out = str(tmp_path / "curated")
+    with pytest.raises(RuntimeError, match="injected failure after stage decontam"):
+        curate_resumable(
+            spark, _docs(spark), out, fail_after_stage="decontam",
+            clean_stages=False, **kw,
+        )
+    df, stats = curate_resumable(spark, _docs(spark), out, clean_stages=False, **kw)
+    assert stats["resumed_stages"] == ["quality", "line_clean", "decontam"]
+    assert "4" not in {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_default_path_unchanged_without_optional_stages(spark, tmp_path):
+    from curate import curate_resumable
+
+    kw = dict(min_words=5, minhash_threshold=0.5, line_min_repeats=4,
+              line_delimiter=",", n_buckets=4)
+    df, stats = curate_resumable(
+        spark, _docs(spark), str(tmp_path / "plain"), clean_stages=False, **kw
+    )
+    assert "model_dropped" not in stats and "decontaminated_dropped" not in stats
+    kept = {r["doc_id"] for r in df.select("doc_id").collect()}
+    # without the model, the spammy doc survives (rules alone keep it);
+    # without decontam, the leak doc survives
+    assert {"3", "4"} <= kept
