@@ -711,12 +711,17 @@ def _q_quality_model_score(spark, sf_dir):
     # 1000*n_tokens, so its values land EXACTLY on decimal rounding
     # boundaries and float sum-order decides ties differently per engine.
     # Recover the integer numerator from the scored logit instead
-    # (round-6 error * 1000*n_tokens <= 0.02 << 0.5, so the recovery is
-    # exact) and derive keep by integer cross-multiplication.
+    # (round-9 error * 1000*n_tokens stays << 0.5 up to 10^9 tokens, so
+    # the recovery is exact) and derive keep by integer
+    # cross-multiplication.  greatest(size, 0): null text must count 0
+    # tokens, not F.size(NULL) = -1.
     nt = docs.select(
         "doc_id",
-        F.size(
-            F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != "")
+        F.greatest(
+            F.size(
+                F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != "")
+            ),
+            F.lit(0),
         ).cast("bigint").alias("n_tokens"),
     )
     sq = score_quality(docs, model)
@@ -1605,9 +1610,13 @@ def oracle_sql() -> dict[str, str]:
               FROM f JOIN tt USING (doc_id)
               GROUP BY f.doc_id, n_tokens
             )
-            SELECT CAST(doc_id AS BIGINT) AS doc_id, logit_num, n_tokens,
-                   logit_num > -100 * n_tokens AS keep
-            FROM s
+            -- left join back to the corpus: a zero-token doc still scores
+            -- (exactly the bias -> numerator 0, keep = 0 > 0 = false)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   COALESCE(s.logit_num, 0) AS logit_num,
+                   COALESCE(s.n_tokens, 0) AS n_tokens,
+                   COALESCE(s.logit_num, 0) > -100 * COALESCE(s.n_tokens, 0) AS keep
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """,
         # warc_extract: route-1 interleaved page shape under composite
         # '<id>#2' ids (warcinfo=0, request=1, response=2); has_cafe locks

@@ -201,11 +201,23 @@ def curate_resumable(
     eval_fp = _lineage.input_fingerprint(decontam_eval) if decontam_eval is not None else None
     qparams = {"min_words": min_words, "text_col": text_col,
                "input": input_fingerprint}
-    mparams = {**qparams, "model": model_fp, "model_threshold": model_threshold}
+    # optional-stage keys appear in the fingerprint chain ONLY when the
+    # stage is enabled: with both stages off the fingerprints are
+    # byte-identical to the 4-stage pipeline's, so pre-existing checkpoints
+    # resume, and an idle --model-threshold cannot spuriously invalidate
+    # downstream stages
+    mparams = (
+        {**qparams, "model": model_fp, "model_threshold": model_threshold}
+        if quality_model is not None
+        else qparams
+    )
     lparams = {**mparams, "line_delimiter": line_delimiter,
                "line_min_repeats": line_min_repeats}
-    dparams = {**lparams, "eval": eval_fp,
-               "decontam_n": decontam_n if decontam_eval is not None else None}
+    dparams = (
+        {**lparams, "eval": eval_fp, "decontam_n": decontam_n}
+        if decontam_eval is not None
+        else lparams
+    )
     pparams = {**dparams, "minhash_threshold": minhash_threshold}
     fparams = pparams  # keep_canonical adds no knobs of its own
 
@@ -275,9 +287,12 @@ def curate_resumable(
 
         st = _read_stage(spark, output_path, "model_filter", n_buckets, mparams) if resume else None
         if st is None:
+            # persist: the dropped-count action and the stage commit both
+            # consume the scoring plan (explode + broadcast join + aggs
+            # over the corpus) -- one evaluation, not two
             scored = score_quality(
                 kept, quality_model, text_col=text_col, threshold=model_threshold
-            )
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             filtered = kept.join(scored.filter("keep").select("doc_id"), "doc_id")
             mstats = {
                 "model_dropped": scored.filter(~F.col("keep")).count(),
@@ -286,6 +301,7 @@ def curate_resumable(
                 spark, filtered, output_path, "model_filter", n_buckets,
                 mstats, resume, params=mparams,
             )
+            scored.unpersist()
             kept, mstats = _read_stage(spark, output_path, "model_filter", n_buckets, mparams)
         else:
             kept, mstats = st
@@ -327,20 +343,19 @@ def curate_resumable(
 
         st = _read_stage(spark, output_path, "decontam", n_buckets, dparams) if resume else None
         if st is None:
-            flags = decontaminate(
+            # persist the (tiny) contaminated-id set: the count and the
+            # anti-join both consume the full n-gram overlap plan
+            bad_ids = decontaminate(
                 cleaned, decontam_eval, text_col=text_col,
                 eval_text_col=text_col, n=decontam_n,
-            )
-            stripped = cleaned.join(
-                flags.filter("contaminated").select("doc_id"), "doc_id", "left_anti"
-            )
-            dstats = {
-                "decontaminated_dropped": flags.filter("contaminated").count(),
-            }
+            ).filter("contaminated").select("doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+            stripped = cleaned.join(bad_ids, "doc_id", "left_anti")
+            dstats = {"decontaminated_dropped": bad_ids.count()}
             _commit_stage(
                 spark, stripped, output_path, "decontam", n_buckets,
                 dstats, resume, params=dparams,
             )
+            bad_ids.unpersist()
             cleaned, dstats = _read_stage(spark, output_path, "decontam", n_buckets, dparams)
         else:
             cleaned, dstats = st

@@ -38,12 +38,13 @@ from pyspark.sql import DataFrame, functions as F
 # in-flight caller (e.g. a bench loop driving other operators in the same
 # session), and concurrent threads never see each other's registries.
 _TLS = threading.local()
-# Every live scope, across all threads (guarded by _ALL_LOCK): the escape
-# hatch for multi-threaded drivers where a worker thread registered
-# persists and exited without draining -- its frames would otherwise be
-# unreleasable from any other thread (thread-local registries).  Scopes
-# opened by cache_scope() deregister on exit; per-thread default scopes
-# stay registered (bounded by thread count).
+# Every scope currently holding frames, across all threads (guarded by
+# _ALL_LOCK): the escape hatch for multi-threaded drivers where a worker
+# thread registered persists and exited without draining -- its frames
+# would otherwise be unreleasable from any other thread (thread-local
+# registries).  Registration is lazy (a scope is added when it first
+# receives a frame, identity-checked) and release_all_caches prunes
+# drained scopes, so thread churn cannot grow the registry unboundedly.
 _ALL_LOCK = threading.Lock()
 _ALL_SCOPES: list[list[DataFrame]] = []
 
@@ -53,21 +54,31 @@ def _scope_stack() -> list[list[DataFrame]]:
     if stack is None:
         stack = [[]]  # the thread's default (always-open) scope
         _TLS.stack = stack
-        with _ALL_LOCK:
-            _ALL_SCOPES.append(stack[0])
     return stack
 
 
 def _persist(df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> DataFrame:
     df = df.persist(level)
-    _scope_stack()[-1].append(df)
+    scope = _scope_stack()[-1]
+    with _ALL_LOCK:
+        # identity check, not `in`: empty lists compare EQUAL to each other
+        if not any(s is scope for s in _ALL_SCOPES):
+            _ALL_SCOPES.append(scope)
+    scope.append(df)
     return df
 
 
 def _drain(scope: list[DataFrame]) -> int:
     n = 0
-    while scope:
-        df = scope.pop()
+    while True:
+        # pop-with-catch, not check-then-pop: release_all_caches may drain
+        # a scope concurrently with its owner thread's cache_scope exit,
+        # and list.pop is atomic under the GIL while `while scope: pop()`
+        # races to IndexError
+        try:
+            df = scope.pop()
+        except IndexError:
+            break
         try:
             df.unpersist()
             n += 1
@@ -85,18 +96,16 @@ def cache_scope():
     stack = _scope_stack()
     scope: list[DataFrame] = []
     stack.append(scope)
-    with _ALL_LOCK:
-        _ALL_SCOPES.append(scope)
     try:
         yield
     finally:
         stack.pop()
         _drain(scope)
         with _ALL_LOCK:
-            try:
-                _ALL_SCOPES.remove(scope)
-            except ValueError:
-                pass
+            for i, s in enumerate(_ALL_SCOPES):
+                if s is scope:
+                    del _ALL_SCOPES[i]
+                    break
 
 
 def release_caches() -> int:
@@ -114,10 +123,16 @@ def release_all_caches() -> int:
     thread registered persists and exited without calling
     :func:`release_caches`; thread-local scoping makes those frames
     invisible to other threads' release calls.  Safe to call whenever no
-    operator results are still pending materialization anywhere."""
+    operator results are still pending materialization anywhere.  Drained
+    scopes are pruned from the registry (a later persist re-registers
+    them), bounding it by the number of scopes currently holding
+    frames."""
     with _ALL_LOCK:
         scopes = list(_ALL_SCOPES)
-    return sum(_drain(s) for s in scopes)
+    n = sum(_drain(s) for s in scopes)
+    with _ALL_LOCK:
+        _ALL_SCOPES[:] = [s for s in _ALL_SCOPES if s]
+    return n
 
 
 def _release_local_checkpoint(df: DataFrame) -> None:

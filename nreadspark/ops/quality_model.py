@@ -78,13 +78,28 @@ class QualityModel:
     hash_fn: str = "xxhash64"
 
     def to_df(self, spark) -> DataFrame:
-        rows = [(i, float(w)) for i, w in enumerate(self.weights)]
-        rows.append((-1, float(self.bias)))  # bias rides as bucket -1
-        return spark.createDataFrame(rows, "bucket int, weight double")
+        rows = [(i, float(w), self.hash_fn) for i, w in enumerate(self.weights)]
+        rows.append((-1, float(self.bias), self.hash_fn))  # bias rides as bucket -1
+        # hash_fn is part of the model (a weights table scored under the
+        # wrong hash maps every token to the wrong bucket -- silent noise),
+        # so it persists as a constant column, not a caller-remembered fact
+        return spark.createDataFrame(rows, "bucket int, weight double, hash_fn string")
 
     @classmethod
-    def from_df(cls, df: DataFrame, hash_fn: str = "xxhash64") -> "QualityModel":
-        rows = {r["bucket"]: r["weight"] for r in df.collect()}
+    def from_df(cls, df: DataFrame, hash_fn: str | None = None) -> "QualityModel":
+        collected = df.collect()
+        if hash_fn is None:
+            if "hash_fn" in df.columns and collected:
+                fns = {r["hash_fn"] for r in collected}
+                if len(fns) != 1:
+                    raise ValueError(f"inconsistent hash_fn values in model table: {fns}")
+                (hash_fn,) = fns
+            else:
+                raise ValueError(
+                    "model table carries no hash_fn column; pass hash_fn= "
+                    "explicitly (scoring under the wrong hash is silent noise)"
+                )
+        rows = {r["bucket"]: r["weight"] for r in collected}
         bias = rows.pop(-1, 0.0)
         n = max(rows) + 1 if rows else 0
         return cls([rows.get(i, 0.0) for i in range(n)], bias, n, hash_fn)
@@ -103,16 +118,17 @@ def train_quality_model(
     """Train on ``(doc_id, text, label in {0,1})``: featurize with the SAME
     Spark path used at scoring time, collect the (small) sparse features,
     run full-batch logistic-regression gradient descent driver-side.
-    Deterministic: fixed epochs, rows sorted by doc_id, no RNG."""
+    Deterministic: fixed epochs, rows sorted by doc_id, no RNG.
+    Token-less labeled docs (empty/null text) still train: they carry no
+    bucket features but DO contribute to the bias gradient -- silently
+    dropping them would shift the class prior without warning."""
     import numpy as np
 
     feats = featurize(labeled, text_col, n_buckets, hash_fn).collect()
     labels = {r["doc_id"]: r[label_col] for r in labeled.select("doc_id", label_col).collect()}
-    by_doc: dict = {}
+    by_doc: dict = {d: [] for d in labels}
     for r in feats:
-        by_doc.setdefault(r["doc_id"], []).append(
-            (r["bucket"], r["cnt"] / r["n_tokens"])
-        )
+        by_doc[r["doc_id"]].append((r["bucket"], r["cnt"] / r["n_tokens"]))
     doc_ids = sorted(by_doc)
     y = np.array([float(labels[d]) for d in doc_ids])
     w = np.zeros(n_buckets)
@@ -170,7 +186,11 @@ def score_quality(
         .join(scored, "doc_id", "left")
         .select(
             "doc_id",
-            F.round(F.coalesce("logit", F.lit(model.bias)), 6).alias("logit"),
+            # round 9, not 6: consumers recovering the exact rational
+            # numerator (see the driver oracle) multiply the rounding
+            # error by 1000*n_tokens -- 5e-10 keeps the recovery exact up
+            # to 10^9-token documents, while 5e-7 broke past 1000 tokens
+            F.round(F.coalesce("logit", F.lit(model.bias)), 9).alias("logit"),
         )
         .withColumn("keep", F.col("logit") > threshold)
     )

@@ -125,18 +125,24 @@ def _gzip_member(data: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _gunzip_members(blob: bytes) -> bytes:
-    """Decompress a concatenation of gzip members (the .warc.gz layout)."""
+def _gunzip_members(blob: bytes) -> tuple[bytes, str | None]:
+    """Decompress a concatenation of gzip members (the .warc.gz layout).
+    A corrupt member stops decompression but keeps the good prefix:
+    returns ``(data, error|None)`` so the caller can surface the loss as
+    an error ROW instead of losing the blob's valid records."""
     out = []
     data = blob
     while data[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error as exc:
+            return b"".join(out), f"corrupt gzip member: {exc}"
         data = d.unused_data
     if data:  # trailing non-gzip garbage: surface it to the record parser
         out.append(data)
-    return b"".join(out)
+    return b"".join(out), None
 
 
 def iter_warc_records(blob: bytes):
@@ -144,8 +150,9 @@ def iter_warc_records(blob: bytes):
     per record.  Transparently gunzips per-record members.  On a malformed
     record the error row carries what went wrong and parsing resyncs at
     the next ``WARC/`` magic."""
+    gzip_err = None
     if blob[:2] == b"\x1f\x8b":
-        blob = _gunzip_members(blob)
+        blob, gzip_err = _gunzip_members(blob)
     pos = 0
     n = len(blob)
     while pos < n:
@@ -187,6 +194,10 @@ def iter_warc_records(blob: bytes):
             break
         yield headers, blob[body_start : body_start + length], None
         pos = body_start + length
+    if gzip_err:
+        # the good prefix's records were yielded above; the corrupt tail
+        # surfaces as one error row instead of an exception
+        yield {}, b"", gzip_err
 
 
 def parse_http_response(block: bytes):
@@ -250,6 +261,14 @@ def warc_records(df, warc_col: str = "warc", doc_id_col: str = "doc_id"):
                             status, http_hdrs, payload = parse_http_response(block)
                             ctype = http_hdrs.get("content-type")
                             cenc = http_hdrs.get("content-encoding")
+                        elif err is None:
+                            # non-response records (resource, conversion,
+                            # warcinfo, request, metadata): the block IS the
+                            # payload; content type from the WARC header --
+                            # this table is the reusable routing surface,
+                            # so no record's bytes are dropped
+                            payload = block
+                            ctype = hdrs.get("content-type")
                         out["doc_id"].append(str(did))
                         out["record_idx"].append(idx)
                         out["warc_type"].append(wtype)

@@ -150,3 +150,21 @@ def test_default_path_unchanged_without_optional_stages(spark, tmp_path):
     # without the model, the spammy doc survives (rules alone keep it);
     # without decontam, the leak doc survives
     assert {"3", "4"} <= kept
+
+
+def test_plain_checkpoints_survive_the_optional_stage_upgrade(spark, tmp_path):
+    """With both optional stages off, the params fingerprints are
+    byte-identical to the 4-stage pipeline's: a completed plain run
+    short-circuits on rerun even under the extended code path (and an
+    idle model_threshold cannot invalidate anything)."""
+    from curate import curate_resumable
+
+    kw = dict(min_words=5, minhash_threshold=0.5, line_min_repeats=4,
+              line_delimiter=",", n_buckets=4)
+    out = str(tmp_path / "plain")
+    _, s1 = curate_resumable(spark, _docs(spark), out, clean_stages=False, **kw)
+    assert s1["resumed_stages"] == []
+    _, s2 = curate_resumable(
+        spark, _docs(spark), out, clean_stages=False, model_threshold=0.7, **kw
+    )
+    assert s2["resumed_stages"] == ["quality", "line_clean", "pairs", "final"]

@@ -125,3 +125,39 @@ def test_empty_and_null_docs_score_the_bias(spark):
     for i in (1, 2, 3):
         assert out[i]["logit"] == -0.5 and not out[i]["keep"]
     assert out[4]["logit"] == 0.5 and out[4]["keep"]
+
+
+def test_persistence_preserves_hash_fn(spark, tmp_path):
+    """An md5-trained model must reload as an md5 model: the hash_fn is
+    part of the model (scoring under the wrong hash is silent noise), so
+    it persists in the table and from_df refuses tables without it."""
+    from nreadspark.ops.quality_model import QualityModel, score_quality
+
+    model = QualityModel([0.5] * 32, bias=-0.1, n_buckets=32, hash_fn="md5")
+    path = str(tmp_path / "md5model")
+    model.to_df(spark).write.parquet(path)
+    reloaded = QualityModel.from_df(spark.read.parquet(path))
+    assert reloaded.hash_fn == "md5"
+    docs = spark.createDataFrame([(1, "some words here")], "doc_id long, text string")
+    assert score_quality(docs, model).collect() == score_quality(docs, reloaded).collect()
+    # a legacy table without the column must fail loudly, not default
+    legacy = spark.createDataFrame([(0, 1.0), (-1, 0.0)], "bucket int, weight double")
+    with pytest.raises(ValueError, match="hash_fn"):
+        QualityModel.from_df(legacy)
+    assert QualityModel.from_df(legacy, hash_fn="xxhash64").hash_fn == "xxhash64"
+
+
+def test_training_counts_tokenless_docs_in_bias(spark):
+    """Empty/null-text labeled docs must still train (bias gradient), not
+    silently vanish from the training set."""
+    from nreadspark.ops.quality_model import train_quality_model
+
+    with_empty = spark.createDataFrame(
+        [(1, "good words here", 1), (2, "", 0), (3, None, 0), (4, "more good words", 1)],
+        "doc_id long, text string, label int",
+    )
+    without = with_empty.filter("doc_id in (1, 4)")
+    m_with = train_quality_model(with_empty, n_buckets=32, epochs=50)
+    m_without = train_quality_model(without, n_buckets=32, epochs=50)
+    # the empty negatives must pull the bias DOWN relative to all-positive
+    assert m_with.bias < m_without.bias

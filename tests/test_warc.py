@@ -139,3 +139,40 @@ def test_extract_warc_end_to_end_with_header_charset(spark):
         assert r["doc_id"].endswith("#2")  # warcinfo=0, request=1, response=2
         assert r["content_extracted"]
         assert any("café" in (s["text"] or "") for s in r["spans"])
+
+
+def test_non_response_records_keep_their_blocks(spark):
+    """resource/conversion/warcinfo blocks must survive into the content
+    column (the record table is the routing surface for non-HTML payloads)."""
+    from nreadspark.warc import warc_records
+
+    res = build_warc_record(
+        "resource", b"PK\x03\x04 fake zip bytes", target_uri="http://ex.com/a.zip",
+        content_type="application/zip",
+    )
+    info = build_warc_record(
+        "warcinfo", b"software: x\r\n", content_type="application/warc-fields"
+    )
+    df = spark.createDataFrame([("a", info + res)], "doc_id string, warc binary")
+    rows = {r["warc_type"]: r for r in warc_records(df).collect()}
+    assert bytes(rows["resource"]["content"]) == b"PK\x03\x04 fake zip bytes"
+    assert rows["resource"]["content_type"] == "application/zip"
+    assert bytes(rows["warcinfo"]["content"]) == b"software: x\r\n"
+
+
+def test_corrupt_gzip_member_keeps_good_prefix():
+    """A flipped byte in a later gzip member must not lose the blob's valid
+    leading records (and must not raise out of the iterator)."""
+    from nreadspark.warc import _gzip_member
+
+    good1 = build_warc_record("response", build_http_response(b"<p>one</p>"),
+                              target_uri="http://ex.com/1")
+    good2 = build_warc_record("response", build_http_response(b"<p>two</p>"),
+                              target_uri="http://ex.com/2")
+    m1, m2 = _gzip_member(good1), _gzip_member(good2)
+    corrupted = m1 + m2[:10] + bytes([m2[10] ^ 0xFF]) + m2[11:]
+    recs = list(iter_warc_records(corrupted))
+    oks = [(h, b) for h, b, e in recs if e is None]
+    errs = [e for _, _, e in recs if e]
+    assert len(oks) == 1 and oks[0][0]["warc-target-uri"] == "http://ex.com/1"
+    assert any("gzip" in e for e in errs)
