@@ -1,0 +1,102 @@
+"""100k-document soak of the EXTENDED curation pipeline (quality rules ->
+model_filter -> line_clean -> decontam -> pairs -> survivors) with planted
+ground truth for every stage, plus a kill-and-resume leg.
+
+Usage: python scratch/curate_ext_soak_100k.py
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "jobs"))
+
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell")
+
+OUT = "/tmp/r5_curate_ext_soak"
+
+GOOD = "the committee published a careful report, with several findings, and it ends well"
+SPAM = "casino bonus click now, free spins jackpot winner, subscribe subscribe now"
+LEAK = "held out benchmark phrase alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import bench as bench_mod
+    from curate import curate_resumable
+
+    from nreadspark.ops.quality_model import train_quality_model
+
+    shutil.rmtree(OUT, ignore_errors=True)
+    spark = bench_mod._session(32)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    # 100k docs: 5% spam (planted for the model), 2% leaked (planted for
+    # decontam), 3% exact near-dups of doc_id-1, rest unique-ish clean
+    words = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(12)),
+            lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(F.col("id") * 131 + i), F.lit(99991)).cast("string")),
+        ),
+    )
+    base = F.concat(F.lit(GOOD + " "), words, F.lit(", and a proper ending."))
+    text = (
+        F.when(F.pmod("id", F.lit(20)) == 3, F.lit(SPAM + ", again and again."))
+        .when(F.pmod("id", F.lit(50)) == 7, F.concat(F.lit(f"fine doc, {LEAK}, ending well "), words, F.lit(".")))
+        .otherwise(base)
+    )
+    docs = spark.range(100_000).select(
+        F.col("id").cast("string").alias("doc_id"), text.alias("text")
+    ).localCheckpoint()
+
+    labeled = spark.createDataFrame(
+        [(i, GOOD + f" variant {i}.", 1) for i in range(12)]
+        + [(100 + i, SPAM + f" variant {i}.", 0) for i in range(12)],
+        "doc_id long, text string, label int",
+    )
+    model = train_quality_model(labeled, n_buckets=512)
+    eval_df = spark.createDataFrame(
+        [("e1", f"q: {LEAK} a")], "eval_id string, text string"
+    )
+
+    kw = dict(
+        min_words=5, minhash_threshold=0.7, line_min_repeats=200_000,
+        line_delimiter=",", n_buckets=32,
+        quality_model=model, decontam_eval=eval_df, decontam_n=8,
+        clean_stages=False, input_fingerprint="soak:100k",
+    )
+    t0 = time.perf_counter()
+    df, stats = curate_resumable(spark, docs, OUT, **kw)
+    full_s = time.perf_counter() - t0
+
+    n_spam = 100_000 // 20
+    n_leak = len([i for i in range(100_000) if i % 50 == 7 and i % 20 != 3])
+    report = {
+        "full_s": round(full_s, 1),
+        "model_dropped": stats.get("model_dropped"),
+        "expect_spam": n_spam,
+        "decontaminated_dropped": stats.get("decontaminated_dropped"),
+        "expect_leak": n_leak,
+        "surviving": stats.get("surviving_docs"),
+    }
+    print(json.dumps(report))
+
+    # resume leg: rerun must short-circuit through all six stages
+    t0 = time.perf_counter()
+    df2, stats2 = curate_resumable(spark, docs, OUT, **kw)
+    print(json.dumps({
+        "resume_s": round(time.perf_counter() - t0, 1),
+        "resumed_stages": stats2["resumed_stages"],
+        "surviving_match": stats2.get("surviving_docs") == stats.get("surviving_docs"),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
