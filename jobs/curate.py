@@ -199,8 +199,13 @@ def curate_resumable(
     else:
         model_fp = None
     eval_fp = _lineage.input_fingerprint(decontam_eval) if decontam_eval is not None else None
-    qparams = {"min_words": min_words, "text_col": text_col,
-               "input": input_fingerprint}
+    qparams = {"min_words": min_words, "text_col": text_col}
+    # the input-identity key joins the chain ONLY when a fingerprint
+    # exists: for lineage-less in-memory inputs the params stay
+    # byte-identical to the pre-fingerprint era's, so genuinely
+    # pre-upgrade checkpoints (whose markers lack the key) still resume
+    if input_fingerprint is not None:
+        qparams["input"] = input_fingerprint
     # optional-stage keys appear in the fingerprint chain ONLY when the
     # stage is enabled: with both stages off the fingerprints are
     # byte-identical to the 4-stage pipeline's, so pre-existing checkpoints

@@ -78,15 +78,27 @@ class QualityModel:
     hash_fn: str = "xxhash64"
 
     def to_df(self, spark) -> DataFrame:
-        rows = [(i, float(w), self.hash_fn) for i, w in enumerate(self.weights)]
-        rows.append((-1, float(self.bias), self.hash_fn))  # bias rides as bucket -1
-        # hash_fn is part of the model (a weights table scored under the
-        # wrong hash maps every token to the wrong bucket -- silent noise),
-        # so it persists as a constant column, not a caller-remembered fact
-        return spark.createDataFrame(rows, "bucket int, weight double, hash_fn string")
+        rows = [
+            (i, float(w), self.hash_fn, self.n_buckets)
+            for i, w in enumerate(self.weights)
+        ]
+        rows.append((-1, float(self.bias), self.hash_fn, self.n_buckets))  # bias
+        # hash_fn AND n_buckets are part of the model (a weights table
+        # scored under the wrong hash -- or a sparsely-rewritten table whose
+        # max(bucket) undershoots the true modulus -- maps every token to
+        # the wrong bucket: silent noise), so both persist as constant
+        # columns, not caller-remembered facts
+        return spark.createDataFrame(
+            rows, "bucket int, weight double, hash_fn string, n_buckets int"
+        )
 
     @classmethod
-    def from_df(cls, df: DataFrame, hash_fn: str | None = None) -> "QualityModel":
+    def from_df(
+        cls,
+        df: DataFrame,
+        hash_fn: str | None = None,
+        n_buckets: int | None = None,
+    ) -> "QualityModel":
         collected = df.collect()
         if hash_fn is None:
             if "hash_fn" in df.columns and collected:
@@ -101,8 +113,23 @@ class QualityModel:
                 )
         rows = {r["bucket"]: r["weight"] for r in collected}
         bias = rows.pop(-1, 0.0)
-        n = max(rows) + 1 if rows else 0
-        return cls([rows.get(i, 0.0) for i in range(n)], bias, n, hash_fn)
+        if n_buckets is None:
+            if "n_buckets" in df.columns and collected:
+                ns = {r["n_buckets"] for r in collected}
+                if len(ns) != 1:
+                    raise ValueError(f"inconsistent n_buckets values in model table: {ns}")
+                (n_buckets,) = ns
+            else:
+                raise ValueError(
+                    "model table carries no n_buckets column; pass n_buckets= "
+                    "explicitly (inferring the modulus from max(bucket) on a "
+                    "sparsely-written table remaps every token -- silent noise)"
+                )
+        if rows and max(rows) >= n_buckets:
+            raise ValueError(
+                f"model table has bucket {max(rows)} >= n_buckets {n_buckets}"
+            )
+        return cls([rows.get(i, 0.0) for i in range(n_buckets)], bias, n_buckets, hash_fn)
 
 
 def train_quality_model(
@@ -188,8 +215,12 @@ def score_quality(
             "doc_id",
             # round 9, not 6: consumers recovering the exact rational
             # numerator (see the driver oracle) multiply the rounding
-            # error by 1000*n_tokens -- 5e-10 keeps the recovery exact up
-            # to 10^9-token documents, while 5e-7 broke past 1000 tokens
+            # error by 1000*n_tokens -- 5e-10*1000*n_tokens stays < 0.5
+            # up to ~10^6-token documents (5e-7 broke past 1000 tokens).
+            # Past ~10^6 tokens (a ~4 MB single doc) the recovery could
+            # be off by one ulp of the numerator; raise to round(...,12)
+            # in BOTH this projection and the oracle SQL if such
+            # documents ever matter
             F.round(F.coalesce("logit", F.lit(model.bias)), 9).alias("logit"),
         )
         .withColumn("keep", F.col("logit") > threshold)

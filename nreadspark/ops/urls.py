@@ -33,7 +33,9 @@ def canonical_url_col(url) -> Column:
     rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
     authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
     tail = rest.substr(F.length(authority) + 1, F.length(rest))
-    host = F.lower(F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]*)", 1))
+    # bracketed IPv6/IPvFuture literal wins over stop-at-first-colon
+    # (mirrors urlutil._HOST_RE -- '[2001:db8::1]:8080' keeps the literal)
+    host = F.lower(F.regexp_extract(authority, r"^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)", 1))
     port0 = F.regexp_extract(authority, r":([0-9]+)$", 1)
     default_port = (
         F.when(scheme == "http", "80").when(scheme == "https", "443").otherwise("")

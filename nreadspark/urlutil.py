@@ -60,7 +60,11 @@ TRACKING_PARAMS = frozenset(
 )
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 _SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://")
-_HOST_RE = re.compile(r"^(?:[^@]*@)?([^:]*)")
+# host: a bracketed IPv6/IPvFuture literal (RFC 3986 §3.2.2) wins over the
+# stop-at-first-colon rule -- '[2001:db8::1]:8080' must keep the whole
+# literal, not truncate at the first ':' inside the brackets (distinct v6
+# hosts would otherwise canonicalize to the same string and wrongly merge)
+_HOST_RE = re.compile(r"^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)")
 _PORT_RE = re.compile(r":([0-9]+)$")
 
 

@@ -125,55 +125,165 @@ def _gzip_member(data: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _gunzip_members(blob: bytes) -> tuple[bytes, str | None]:
-    """Decompress a concatenation of gzip members (the .warc.gz layout).
-    A corrupt member stops decompression but keeps the good prefix:
-    returns ``(data, error|None)`` so the caller can surface the loss as
-    an error ROW instead of losing the blob's valid records."""
-    out = []
-    data = blob
-    while data[:2] == b"\x1f\x8b":
+_READ_CHUNK = 1 << 20  # compressed-side read granularity
+
+
+class _GzipCorruption(Exception):
+    """Raised by the lazy decompressor AFTER the good prefix has been
+    yielded; the record parser converts it into one error row."""
+
+
+def _iter_decompressed(read):
+    """Lazily yield decompressed chunks from ``read(n)`` over either a
+    plain WARC byte stream or a concatenation of gzip members (the
+    ``.warc.gz`` layout, where every record is its own member).
+
+    This is the fix for the whole-blob-decompression hazard: a standard
+    ~1 GB Common Crawl ``.warc.gz`` inflates to ~3-5 GB, and the
+    per-record-member layout exists precisely so a reader can inflate one
+    member at a time.  Peak memory here is one read chunk + one inflate
+    output burst, NOT the decompressed file.
+
+    A corrupt member raises :class:`_GzipCorruption` after the good
+    prefix's chunks are out (downstream turns it into an error row, the
+    original ``_gunzip_members`` contract); a merely TRUNCATED final
+    member yields its good prefix silently and lets the record parser
+    flag the truncated record."""
+    pending = read(2)
+    if pending[:2] != b"\x1f\x8b":
+        # plain .warc bytes: pass straight through
+        while pending:
+            yield pending
+            pending = read(_READ_CHUNK)
+        return
+    while True:
+        # at a member boundary; pending holds >= 2 bytes of magic (or tail)
+        if pending[:2] != b"\x1f\x8b":
+            # trailing non-gzip garbage: surface it to the record parser,
+            # exactly like the eager decompressor did
+            while pending:
+                yield pending
+                pending = read(_READ_CHUNK)
+            return
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        try:
-            out.append(d.decompress(data))
-            out.append(d.flush())
-        except zlib.error as exc:
-            return b"".join(out), f"corrupt gzip member: {exc}"
-        data = d.unused_data
-    if data:  # trailing non-gzip garbage: surface it to the record parser
-        out.append(data)
-    return b"".join(out), None
+        while not d.eof:
+            if not pending:
+                pending = read(_READ_CHUNK)
+                if not pending:
+                    # EOF mid-member (truncated, not corrupt): flush what
+                    # inflated and let the record parser flag truncation
+                    tail = d.flush()
+                    if tail:
+                        yield tail
+                    return
+            try:
+                out = d.decompress(pending)
+            except zlib.error as exc:
+                raise _GzipCorruption(f"corrupt gzip member: {exc}") from exc
+            pending = b""
+            if out:
+                yield out
+        pending = d.unused_data
+        while len(pending) < 2:
+            more = read(_READ_CHUNK)
+            if not more:
+                if pending:  # a lone trailing byte: garbage for the parser
+                    yield pending
+                return
+            pending += more
 
 
-def iter_warc_records(blob: bytes):
+def iter_warc_records_stream(stream):
     """Yield ``(headers: dict[str,str], block: bytes, error: str|None)``
-    per record.  Transparently gunzips per-record members.  On a malformed
-    record the error row carries what went wrong and parsing resyncs at
-    the next ``WARC/`` magic."""
-    gzip_err = None
-    if blob[:2] == b"\x1f\x8b":
-        blob, gzip_err = _gunzip_members(blob)
+    per record from a FILE-LIKE object (anything with ``.read(n)``) --
+    the streamed twin of :func:`iter_warc_records`, and what the
+    file-path source uses so a ~1 GB ``.warc.gz`` is never materialized
+    (neither compressed nor decompressed) in task memory.
+
+    Buffering is bounded by one complete record (Content-Length framing
+    means a record can't be parsed with less) plus one read chunk; the
+    consumed prefix is compacted away as parsing advances.  Malformed
+    records yield ``error`` rows and parsing resyncs at the next
+    ``WARC/`` magic, byte-for-byte the eager parser's semantics."""
+    chunks = _iter_decompressed(stream.read)
+    buf = bytearray()
+    base = 0  # absolute offset of buf[0] in the decompressed stream
     pos = 0
-    n = len(blob)
-    while pos < n:
+    exhausted = False
+    stream_err = None
+
+    def pull() -> bool:
+        nonlocal exhausted, stream_err
+        if exhausted:
+            return False
+        try:
+            buf.extend(next(chunks))
+            return True
+        except StopIteration:
+            exhausted = True
+            return False
+        except _GzipCorruption as exc:
+            stream_err = str(exc)
+            exhausted = True
+            return False
+
+    def resync(start: int) -> int:
+        """Scan forward (pulling as needed) for the next ``WARC/`` magic;
+        returns its CURRENT-buffer offset, or len(buf) at stream end.
+        Drops the scanned-past prefix so unbounded garbage runs don't
+        accumulate (the caller re-reads positions only forward of the
+        returned offset)."""
+        nonlocal base
+        look = start
+        while True:
+            nxt = buf.find(b"WARC/", look)
+            if nxt != -1:
+                return nxt
+            # keep 4 bytes in case the magic straddles a chunk boundary,
+            # and compact the rejected prefix out of memory
+            look = max(start, len(buf) - 4)
+            if look > _READ_CHUNK:
+                del buf[:look]
+                base += look
+                start = 0
+                look = 0
+            if not pull():
+                return len(buf)
+
+    while True:
+        if pos and (pos > len(buf) // 2 or pos > _READ_CHUNK):
+            del buf[:pos]
+            base += pos
+            pos = 0
         # skip inter-record CRLFs
-        while blob[pos : pos + 2] == _CRLF:
-            pos += 2
-        if pos >= n:
-            break
-        if blob[pos : pos + 5] != b"WARC/":
-            nxt = blob.find(b"WARC/", pos)
-            yield {}, b"", f"garbage at offset {pos}"
-            if nxt == -1:
+        while True:
+            while len(buf) - pos < 2 and pull():
+                pass
+            if buf[pos : pos + 2] == _CRLF:
+                pos += 2
+            else:
                 break
-            pos = nxt
+        while len(buf) - pos < 5 and pull():
+            pass
+        if pos >= len(buf):
+            break
+        if buf[pos : pos + 5] != b"WARC/":
+            yield {}, b"", f"garbage at offset {base + pos}"
+            pos = resync(pos)
+            if pos >= len(buf):
+                break
             continue
-        head_end = blob.find(_SEP, pos)
+        while True:
+            head_end = buf.find(_SEP, pos)
+            if head_end != -1:
+                break
+            if not pull():
+                break
         if head_end == -1:
             yield {}, b"", "truncated record header"
             break
         headers: dict[str, str] = {}
-        for line in blob[pos:head_end].split(_CRLF)[1:]:
+        for line in bytes(buf[pos:head_end]).split(_CRLF)[1:]:
             k, _, v = line.partition(b":")
             if _:
                 headers[k.decode("latin-1").strip().lower()] = v.decode(
@@ -183,21 +293,33 @@ def iter_warc_records(blob: bytes):
             length = int(headers["content-length"])
         except (KeyError, ValueError):
             yield headers, b"", "missing/invalid Content-Length"
-            nxt = blob.find(b"WARC/", head_end + 4)
-            if nxt == -1:
+            pos = resync(head_end + 4)
+            if pos >= len(buf):
                 break
-            pos = nxt
             continue
         body_start = head_end + 4
-        if body_start + length > n:
-            yield headers, blob[body_start:], "truncated record block"
+        while len(buf) < body_start + length and pull():
+            pass
+        if len(buf) < body_start + length:
+            yield headers, bytes(buf[body_start:]), "truncated record block"
             break
-        yield headers, blob[body_start : body_start + length], None
+        yield headers, bytes(buf[body_start : body_start + length]), None
         pos = body_start + length
-    if gzip_err:
+    if stream_err:
         # the good prefix's records were yielded above; the corrupt tail
         # surfaces as one error row instead of an exception
-        yield {}, b"", gzip_err
+        yield {}, b"", stream_err
+
+
+def iter_warc_records(blob: bytes):
+    """Yield ``(headers, block, error|None)`` per record of an in-memory
+    WARC blob.  Gzip members are inflated LAZILY even here (one member at
+    a time through the streaming parser): the compressed bytes are already
+    resident as a column value, but the 3-5x larger decompressed form
+    never materializes whole."""
+    import io
+
+    yield from iter_warc_records_stream(io.BytesIO(blob))
 
 
 def parse_http_response(block: bytes):
@@ -233,6 +355,73 @@ WARC_RECORDS_SCHEMA = (
 )
 
 
+_RECORD_COLS = (
+    "doc_id", "record_idx", "warc_type", "url", "http_status",
+    "content_type", "content_encoding", "content", "error",
+)
+
+
+def _new_rows() -> dict:
+    return {k: [] for k in _RECORD_COLS}
+
+
+def _append_record_row(out: dict, did: str, idx: int, hdrs, block, err) -> int:
+    """Route one parsed WARC record into the output columns (response
+    blocks split into HTTP headers; non-response records -- resource,
+    conversion, warcinfo, request, metadata -- keep their whole block with
+    the WARC-level content type: this table is the reusable routing
+    surface, so no record's bytes are dropped).  Returns the payload size
+    for the caller's batch-size accounting."""
+    wtype = hdrs.get("warc-type")
+    status, ctype, cenc, payload = None, None, None, None
+    if err is None and wtype == "response":
+        status, http_hdrs, payload = parse_http_response(block)
+        ctype = http_hdrs.get("content-type")
+        cenc = http_hdrs.get("content-encoding")
+    elif err is None:
+        payload = block
+        ctype = hdrs.get("content-type")
+    out["doc_id"].append(str(did))
+    out["record_idx"].append(idx)
+    out["warc_type"].append(wtype)
+    out["url"].append(hdrs.get("warc-target-uri"))
+    out["http_status"].append(status)
+    out["content_type"].append(ctype)
+    out["content_encoding"].append(cenc)
+    out["content"].append(payload)
+    out["error"].append(err)
+    return len(payload) if payload is not None else 0
+
+
+def _append_failure_row(out: dict, did: str, exc: Exception) -> None:
+    out["doc_id"].append(str(did))
+    out["record_idx"].append(-1)
+    for k in ("warc_type", "url", "content_type", "content_encoding"):
+        out[k].append(None)
+    out["http_status"].append(None)
+    out["content"].append(None)
+    out["error"].append(f"{type(exc).__name__}: {exc}")
+
+
+def _rows_to_batch(out: dict):
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(out["doc_id"], pa.string()),
+            pa.array(out["record_idx"], pa.int32()),
+            pa.array(out["warc_type"], pa.string()),
+            pa.array(out["url"], pa.string()),
+            pa.array(out["http_status"], pa.int32()),
+            pa.array(out["content_type"], pa.string()),
+            pa.array(out["content_encoding"], pa.string()),
+            pa.array(out["content"], pa.binary()),
+            pa.array(out["error"], pa.string()),
+        ],
+        names=list(_RECORD_COLS),
+    )
+
+
 def warc_records(df, warc_col: str = "warc", doc_id_col: str = "doc_id"):
     """Explode WARC blobs into records: one ``mapInArrow`` pass, one output
     row per record (response blocks split into HTTP headers -> the
@@ -240,68 +429,110 @@ def warc_records(df, warc_col: str = "warc", doc_id_col: str = "doc_id"):
     bytes).  Malformed records surface as ``error`` rows instead of
     failing the task.  No shuffle: records inherit the blob partitioning,
     exactly like the PDF tier."""
-    import pyarrow as pa
 
     def batches(iterator):
         for batch in iterator:
             names = batch.schema.names
             ids = batch.column(names.index(doc_id_col)).to_pylist()
             blobs = batch.column(names.index(warc_col)).to_pylist()
-            out = {k: [] for k in (
-                "doc_id", "record_idx", "warc_type", "url", "http_status",
-                "content_type", "content_encoding", "content", "error",
-            )}
+            out = _new_rows()
             for did, blob in zip(ids, blobs):
                 raw = bytes(blob) if blob is not None else b""
                 try:
                     for idx, (hdrs, block, err) in enumerate(iter_warc_records(raw)):
-                        wtype = hdrs.get("warc-type")
-                        status, ctype, cenc, payload = None, None, None, None
-                        if err is None and wtype == "response":
-                            status, http_hdrs, payload = parse_http_response(block)
-                            ctype = http_hdrs.get("content-type")
-                            cenc = http_hdrs.get("content-encoding")
-                        elif err is None:
-                            # non-response records (resource, conversion,
-                            # warcinfo, request, metadata): the block IS the
-                            # payload; content type from the WARC header --
-                            # this table is the reusable routing surface,
-                            # so no record's bytes are dropped
-                            payload = block
-                            ctype = hdrs.get("content-type")
-                        out["doc_id"].append(str(did))
-                        out["record_idx"].append(idx)
-                        out["warc_type"].append(wtype)
-                        out["url"].append(hdrs.get("warc-target-uri"))
-                        out["http_status"].append(status)
-                        out["content_type"].append(ctype)
-                        out["content_encoding"].append(cenc)
-                        out["content"].append(payload)
-                        out["error"].append(err)
+                        _append_record_row(out, did, idx, hdrs, block, err)
                 except Exception as exc:  # blob-level containment
-                    out["doc_id"].append(str(did))
-                    out["record_idx"].append(-1)
-                    for k in ("warc_type", "url", "content_type", "content_encoding"):
-                        out[k].append(None)
-                    out["http_status"].append(None)
-                    out["content"].append(None)
-                    out["error"].append(f"{type(exc).__name__}: {exc}")
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(out["doc_id"], pa.string()),
-                    pa.array(out["record_idx"], pa.int32()),
-                    pa.array(out["warc_type"], pa.string()),
-                    pa.array(out["url"], pa.string()),
-                    pa.array(out["http_status"], pa.int32()),
-                    pa.array(out["content_type"], pa.string()),
-                    pa.array(out["content_encoding"], pa.string()),
-                    pa.array(out["content"], pa.binary()),
-                    pa.array(out["error"], pa.string()),
-                ],
-                names=list(out.keys()),
-            )
+                    _append_failure_row(out, did, exc)
+            yield _rows_to_batch(out)
 
     return df.select(doc_id_col, warc_col).mapInArrow(batches, WARC_RECORDS_SCHEMA)
+
+
+# records per output batch from the file-path source; payload bytes are
+# capped separately so mega-records flush early
+_PATH_BATCH_RECORDS = 512
+_PATH_BATCH_BYTES = 64 << 20
+
+
+def _open_warc_path(path: str):
+    """Open a worker-local file handle for a path as listed by the
+    ``binaryFile`` source (``file:`` URIs or bare paths).  On a real
+    cluster against an object store this is the one hook to swap for the
+    store's streaming client (an S3/GCS ranged-GET reader, or Hadoop's
+    ``FileSystem.open`` surfaced through a JVM-side source); everything
+    downstream only needs ``.read(n)``."""
+    if path.startswith("file:"):
+        local = path[5:]
+        while local.startswith("//"):
+            local = local[1:]
+        return open(local, "rb")
+    if "://" in path:
+        raise ValueError(
+            f"unsupported path scheme for worker-side streaming: {path!r} "
+            "(hook _open_warc_path to the cluster's object-store client)"
+        )
+    return open(path, "rb")
+
+
+def warc_path_table(spark, pattern):
+    """(path, size) table for a glob of WARC files -- a distributed
+    listing via the ``binaryFile`` source with COLUMN PRUNING, so file
+    content is never read here (the format materializes only requested
+    columns).  WARC files are non-splittable, so the scan plans roughly
+    one ~1 GB crawl file per task -- exactly the unit Common Crawl
+    ships."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.format("binaryFile")
+        .load(pattern)
+        .select(F.col("path"), F.col("length").alias("size"))
+    )
+
+
+def warc_records_from_paths(paths_df, path_col: str = "path"):
+    """File-path WARC source: one ``mapInArrow`` pass over PATHS; each
+    task opens its files and STREAMS records through
+    :func:`iter_warc_records_stream`, so neither the compressed ~1 GB
+    ``.warc.gz`` nor its ~3-5 GB inflation ever materializes in task
+    memory -- peak is one record + one read chunk.  Output rows flush in
+    bounded Arrow batches (:data:`_PATH_BATCH_RECORDS` rows /
+    :data:`_PATH_BATCH_BYTES` payload bytes) so a million-record file
+    doesn't accumulate either.  ``doc_id`` is the file path (composite
+    ``<path>#<idx>`` ids downstream stay collision-free across files)."""
+
+    def batches(iterator):
+        for batch in iterator:
+            paths = batch.column(batch.schema.names.index(path_col)).to_pylist()
+            out = _new_rows()
+            pending_bytes = 0
+            for path in paths:
+                try:
+                    fh = _open_warc_path(path)
+                except Exception as exc:
+                    _append_failure_row(out, path, exc)
+                    continue
+                try:
+                    with fh:
+                        for idx, (hdrs, block, err) in enumerate(
+                            iter_warc_records_stream(fh)
+                        ):
+                            pending_bytes += _append_record_row(
+                                out, path, idx, hdrs, block, err
+                            )
+                            if (
+                                len(out["doc_id"]) >= _PATH_BATCH_RECORDS
+                                or pending_bytes >= _PATH_BATCH_BYTES
+                            ):
+                                yield _rows_to_batch(out)
+                                out = _new_rows()
+                                pending_bytes = 0
+                except Exception as exc:  # file-level containment
+                    _append_failure_row(out, path, exc)
+            if out["doc_id"]:
+                yield _rows_to_batch(out)
+
+    return paths_df.select(path_col).mapInArrow(batches, WARC_RECORDS_SCHEMA)
 
 
 def extract_warc(
@@ -315,16 +546,32 @@ def extract_warc(
     URI into the bytes-extraction tier.  Output doc_id is
     ``<blob id>#<record idx>`` (stable, collision-free across multi-record
     blobs); the page URL rides through for link resolution."""
+    return _extract_from_records(
+        warc_records(df, warc_col, doc_id_col), max_doc_bytes
+    )
+
+
+def extract_warc_paths(paths_df, path_col: str = "path", max_doc_bytes: int | None = None):
+    """WARC files -> extracted span table: the production ingestion shape.
+    Streams every file through :func:`warc_records_from_paths` (bounded
+    task memory), keeps HTTP-200 response records, and feeds payload
+    bytes + HTTP charset/encoding + target URI into the bytes-extraction
+    tier.  ``doc_id`` is ``<file path>#<record idx>``."""
+    return _extract_from_records(
+        warc_records_from_paths(paths_df, path_col), max_doc_bytes
+    )
+
+
+def _extract_from_records(recs, max_doc_bytes: int | None):
     from pyspark.sql import functions as F
 
     from .pipeline import extract_from_html_bytes
 
-    recs = warc_records(df, warc_col, doc_id_col).filter(
+    pages = recs.filter(
         F.col("error").isNull()
         & (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
-    )
-    pages = recs.select(
+    ).select(
         F.concat_ws("#", "doc_id", F.col("record_idx").cast("string")).alias("doc_id"),
         F.col("url"),
         "content",

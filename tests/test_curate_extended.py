@@ -168,3 +168,14 @@ def test_plain_checkpoints_survive_the_optional_stage_upgrade(spark, tmp_path):
         spark, _docs(spark), out, clean_stages=False, model_threshold=0.7, **kw
     )
     assert s2["resumed_stages"] == ["quality", "line_clean", "pairs", "final"]
+    # the byte-identity claim, proven against the markers themselves: for a
+    # lineage-less input no 'input' key joins the params chain at all, so
+    # genuinely pre-fingerprint-era markers (which lack the key) match too
+    import json as _json
+    import pathlib
+
+    markers = list(pathlib.Path(out).rglob("_layout.json"))
+    assert markers
+    for marker in markers:
+        params = _json.loads(marker.read_text()).get("params", {})
+        assert "input" not in params, marker

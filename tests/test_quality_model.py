@@ -144,7 +144,40 @@ def test_persistence_preserves_hash_fn(spark, tmp_path):
     legacy = spark.createDataFrame([(0, 1.0), (-1, 0.0)], "bucket int, weight double")
     with pytest.raises(ValueError, match="hash_fn"):
         QualityModel.from_df(legacy)
-    assert QualityModel.from_df(legacy, hash_fn="xxhash64").hash_fn == "xxhash64"
+    m = QualityModel.from_df(legacy, hash_fn="xxhash64", n_buckets=8)
+    assert m.hash_fn == "xxhash64" and m.n_buckets == 8
+
+
+def test_persistence_preserves_n_buckets(spark, tmp_path):
+    """A sparsely-rewritten weights table (zero-weight rows pruned) must
+    NOT silently shrink the hash modulus: n_buckets persists in the table,
+    from_df validates it, and tables without it are refused (the same
+    fail-loud contract as hash_fn)."""
+    from nreadspark.ops.quality_model import QualityModel, score_quality
+
+    model = QualityModel([0.0, 0.0, 0.7, 0.0] * 8, bias=0.1, n_buckets=32)
+    path = str(tmp_path / "sparse")
+    # adversarial persistence: prune the zero-weight rows, as a
+    # storage-optimizing rewrite would
+    model.to_df(spark).filter("weight != 0.0 or bucket = -1").write.parquet(path)
+    reloaded = QualityModel.from_df(spark.read.parquet(path))
+    assert reloaded.n_buckets == 32  # NOT max(bucket)+1 of the sparse rows
+    docs = spark.createDataFrame([(1, "alpha beta gamma delta")], "doc_id long, text string")
+    assert score_quality(docs, model).collect() == score_quality(docs, reloaded).collect()
+    # no n_buckets column and none passed -> refuse
+    legacy = spark.createDataFrame(
+        [(0, 1.0, "xxhash64"), (-1, 0.0, "xxhash64")],
+        "bucket int, weight double, hash_fn string",
+    )
+    with pytest.raises(ValueError, match="n_buckets"):
+        QualityModel.from_df(legacy)
+    # a bucket id outside the declared modulus is corruption -> refuse
+    bad = spark.createDataFrame(
+        [(40, 1.0, "xxhash64", 32), (-1, 0.0, "xxhash64", 32)],
+        "bucket int, weight double, hash_fn string, n_buckets int",
+    )
+    with pytest.raises(ValueError, match="bucket 40"):
+        QualityModel.from_df(bad)
 
 
 def test_training_counts_tokenless_docs_in_bias(spark):

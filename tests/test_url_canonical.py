@@ -53,6 +53,16 @@ CASES = [
     ("http://WWW.Example.com/a", "http://www.example.com/a"),  # www kept
     ("ftp://Files.Example.com:21/x/", "ftp://files.example.com:21/x"),
     ("http://example.com/a?x", "http://example.com/a?x"),  # valueless param kept
+    # bracketed IPv6 literals (RFC 3986 §3.2.2): the whole literal is the
+    # host; the port is what follows the closing bracket.  Distinct v6
+    # hosts MUST stay distinct (a first-colon truncation would merge them
+    # all into 'http://[2001/...' and wrongly delete documents).
+    ("http://[2001:db8::1]:8080/x", "http://[2001:db8::1]:8080/x"),
+    ("http://[2001:db8::2]:8080/x", "http://[2001:db8::2]:8080/x"),
+    ("HTTP://[2001:DB8::1]/x", "http://[2001:db8::1]/x"),
+    ("http://[::1]:80/a/", "http://[::1]/a"),  # default port dropped
+    ("https://[::1]:443/a?b=2&a=1", "https://[::1]/a?a=1&b=2"),
+    ("http://u:pw@[fe80::9]:9090/a#f", "http://[fe80::9]:9090/a"),
     # non-absolute: pass through untouched
     ("/relative/path", "/relative/path"),
     ("mailto:a@b.com", "mailto:a@b.com"),

@@ -176,3 +176,154 @@ def test_corrupt_gzip_member_keeps_good_prefix():
     errs = [e for _, _, e in recs if e]
     assert len(oks) == 1 and oks[0][0]["warc-target-uri"] == "http://ex.com/1"
     assert any("gzip" in e for e in errs)
+
+
+# ---------------------------------------------------------------------------
+# streaming parser + file-path source (round 6)
+# ---------------------------------------------------------------------------
+
+
+class _CountingReader:
+    """File-like wrapper that counts compressed bytes actually pulled."""
+
+    def __init__(self, blob: bytes):
+        import io
+
+        self._fh = io.BytesIO(blob)
+        self.consumed = 0
+
+    def read(self, n: int = -1) -> bytes:
+        data = self._fh.read(n)
+        self.consumed += len(data)
+        return data
+
+
+def _big_warc_gz(n_pages: int, body_bytes: int, compressible: bool = True) -> bytes:
+    import random
+
+    rng = random.Random(0)
+    pages = []
+    for i in range(n_pages):
+        filler = (
+            b"x" * body_bytes if compressible else rng.randbytes(body_bytes)
+        )
+        pages.append(
+            (f"http://ex.com/{i}", b"<html><body><p>" + filler + b"</p></body></html>", "text/html")
+        )
+    return build_warc(pages, gzip_records=True)
+
+
+def test_stream_parser_is_lazy_per_member():
+    """Taking the FIRST records of a many-member .warc.gz must pull only a
+    chunk-bounded prefix of the compressed stream -- the whole point of
+    the per-member layout (a 1 GB crawl file must not inflate whole into
+    task memory).  Incompressible bodies so the compressed file (~20 MB)
+    dwarfs the parser's read chunk."""
+    from nreadspark.warc import _READ_CHUNK, iter_warc_records_stream
+
+    blob = _big_warc_gz(n_pages=100, body_bytes=200_000, compressible=False)
+    assert len(blob) > 15 * _READ_CHUNK
+    reader = _CountingReader(blob)
+    it = iter_warc_records_stream(reader)
+    for _ in range(5):  # warcinfo + 2 pages' request/response
+        next(it)
+    # 5 of 201 records: bounded by a few read chunks, not the file size
+    assert reader.consumed <= 3 * _READ_CHUNK, (reader.consumed, len(blob))
+
+
+def test_stream_parser_matches_eager_blob_parser():
+    """Chunked streaming must yield byte-identical records to the
+    in-memory path, including the malformed-record error rows."""
+    from nreadspark.warc import iter_warc_records_stream
+
+    good = build_warc(PAGES, gzip_records=True)
+    mixed = (
+        b"garbage prefix "
+        + build_warc_record("response", build_http_response(b"<p>a</p>"), target_uri="http://e/1")
+        + b"\x00\x01 mid garbage WAR"
+        + build_warc_record("response", build_http_response(b"<p>b</p>"), target_uri="http://e/2")
+    )
+    for blob in (good, mixed):
+        eager = list(iter_warc_records(blob))
+        streamed = list(iter_warc_records_stream(_CountingReader(blob)))
+        assert streamed == eager
+
+
+def test_warc_path_source_end_to_end(spark, tmp_path):
+    """warc_path_table lists without reading content; records stream out
+    of the files; extract_warc_paths produces spans with <path>#<idx>
+    ids."""
+    from pyspark.sql import functions as F
+
+    from nreadspark.warc import extract_warc_paths, warc_path_table, warc_records_from_paths
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    for f in range(3):
+        pages = [
+            (f"http://ex.com/f{f}/p{i}",
+             f"<html><body><p>file {f} page {i} content body here</p></body></html>".encode(),
+             "text/html")
+            for i in range(4)
+        ]
+        (d / f"part-{f}.warc.gz").write_bytes(build_warc(pages, gzip_records=True))
+
+    paths = warc_path_table(spark, str(d))
+    listed = paths.collect()
+    assert len(listed) == 3 and all(r["size"] > 0 for r in listed)
+
+    recs = warc_records_from_paths(paths)
+    by_type = {r["warc_type"]: r["n"] for r in
+               recs.groupBy("warc_type").agg(F.count("*").alias("n")).collect()}
+    assert by_type == {"warcinfo": 3, "request": 12, "response": 12}
+    assert recs.filter("error is not null").count() == 0
+
+    out = extract_warc_paths(paths)
+    rows = out.collect()
+    assert len(rows) == 12
+    for r in rows:
+        path, _, idx = r["doc_id"].rpartition("#")
+        assert path.endswith(".warc.gz") and idx.isdigit()
+        text = " ".join(s["text"] for s in r["spans"] if s["kind"] == "text")
+        assert "content body here" in text
+
+
+def test_unsupported_scheme_is_contained(spark):
+    """A path the worker can't open becomes an error ROW, not a task
+    failure."""
+    from nreadspark.warc import warc_records_from_paths
+
+    df = spark.createDataFrame([("s3://bucket/f.warc.gz",)], "path string")
+    rows = warc_records_from_paths(df).collect()
+    assert len(rows) == 1 and "unsupported path scheme" in rows[0]["error"]
+
+
+def test_stream_buffer_stays_bounded(tmp_path):
+    """Parsing a multi-hundred-record multi-member file through the
+    streaming parser must hold at most ~one record in the buffer: assert
+    the parser's own peak buffer size, which is what bounds task RSS at
+    the real ~1 GB file size (the heavyweight RSS soak lives in
+    scratch/warc_stream_soak.py)."""
+    import nreadspark.warc as W
+
+    blob = _big_warc_gz(n_pages=300, body_bytes=30_000)  # ~9 MB decompressed
+    path = tmp_path / "big.warc.gz"
+    path.write_bytes(blob)
+
+    peak = 0
+    orig = W.iter_warc_records_stream
+
+    def spying(stream):
+        nonlocal peak
+        gen = orig(stream)
+        for rec in gen:
+            frame = gen.gi_frame
+            if frame is not None:
+                peak = max(peak, len(frame.f_locals["buf"]))
+            yield rec
+
+    with open(path, "rb") as fh:
+        n = sum(1 for _ in spying(fh))
+    assert n == 601
+    # one record is ~30 KB; whole-blob inflation would be ~9 MB
+    assert peak < 1_200_000, peak
