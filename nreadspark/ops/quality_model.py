@@ -145,36 +145,41 @@ def train_quality_model(
     """Train on ``(doc_id, text, label in {0,1})``: featurize with the SAME
     Spark path used at scoring time, collect the (small) sparse features,
     run full-batch logistic-regression gradient descent driver-side.
-    Deterministic: fixed epochs, rows sorted by doc_id, no RNG.
-    Token-less labeled docs (empty/null text) still train: they carry no
-    bucket features but DO contribute to the bias gradient -- silently
-    dropping them would shift the class prior without warning."""
+
+    The per-epoch pass is fully vectorized sparse matrix algebra in COO
+    form (``np.bincount`` segment sums stand in for ``X @ w`` and
+    ``X.T @ err`` -- no scipy in the fleet image): ~100x the per-doc
+    Python loop, which is what lets a "train on 10^6 labels" request
+    stay driver-side instead of dying in the epoch loop.
+
+    Deterministic: fixed epochs, features sorted by (doc_id, bucket)
+    before the COO arrays are built, no RNG.  Token-less labeled docs
+    (empty/null text) still train: they carry no bucket features but DO
+    contribute to the bias gradient -- silently dropping them would shift
+    the class prior without warning."""
     import numpy as np
 
     feats = featurize(labeled, text_col, n_buckets, hash_fn).collect()
     labels = {r["doc_id"]: r[label_col] for r in labeled.select("doc_id", label_col).collect()}
-    by_doc: dict = {d: [] for d in labels}
-    for r in feats:
-        by_doc[r["doc_id"]].append((r["bucket"], r["cnt"] / r["n_tokens"]))
-    doc_ids = sorted(by_doc)
-    y = np.array([float(labels[d]) for d in doc_ids])
-    w = np.zeros(n_buckets)
-    b = 0.0
+    doc_ids = sorted(labels)
     n = len(doc_ids)
     if n == 0:
         raise ValueError("training set produced no token features")
+    index = {d: i for i, d in enumerate(doc_ids)}
+    feats.sort(key=lambda r: (r["doc_id"], r["bucket"]))
+    rows = np.array([index[r["doc_id"]] for r in feats], dtype=np.int64)
+    cols = np.array([r["bucket"] for r in feats], dtype=np.int64)
+    vals = np.array([r["cnt"] / r["n_tokens"] for r in feats])
+    y = np.array([float(labels[d]) for d in doc_ids])
+    w = np.zeros(n_buckets)
+    b = 0.0
     for _ in range(epochs):
-        gw = np.zeros(n_buckets)
-        gb = 0.0
-        for d, yi in zip(doc_ids, y):
-            z = b + sum(w[bk] * v for bk, v in by_doc[d])
-            p = 1.0 / (1.0 + np.exp(-z))
-            err = p - yi
-            for bk, v in by_doc[d]:
-                gw[bk] += err * v
-            gb += err
+        z = b + np.bincount(rows, weights=vals * w[cols], minlength=n)
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = p - y
+        gw = np.bincount(cols, weights=vals * err[rows], minlength=n_buckets)
         w -= lr * (gw / n + l2 * w)
-        b -= lr * gb / n
+        b -= lr * float(err.sum()) / n
     return QualityModel([float(x) for x in w], float(b), n_buckets, hash_fn)
 
 

@@ -128,28 +128,111 @@ def bpe_encode(text: str, merges: list[tuple[bytes, bytes]]) -> list[bytes]:
     return out
 
 
+def gpt2_byte_decoder() -> dict[str, int]:
+    """The public byte<->unicode alphabet of the GPT-2 tokenizer family
+    (Radford et al. 2019, ``bytes_to_unicode`` in the released encoder):
+    printable-ish byte values keep their own codepoint; the rest map to
+    ``256 + n`` in ascending byte order (so space 0x20 becomes the famous
+    ``Ġ`` = chr(288)).  Returned inverted (char -> byte), which is the
+    direction a merges-file loader needs."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {chr(c): b for b, c in zip(bs, cs)}
+
+
+def load_gpt2_merges(source) -> list[tuple[bytes, bytes]]:
+    """Load a merges table in the public GPT-2 ``merges.txt`` format (an
+    optional ``#version`` header, then one ``<left> <right>`` pair per
+    line, symbols spelled in the :func:`gpt2_byte_decoder` alphabet) into
+    the plain ``(bytes, bytes)`` rank list :func:`bpe_encode` applies.
+    ``source`` is a file path or an iterable of lines.  This is the
+    vendoring path: point it at a production tokenizer's merges file and
+    :func:`count_tokens_bpe` counts that tokenizer's merges exactly
+    (modulo the pre-tokenizer -- ours is :data:`TOKEN_PATTERN`; pass a
+    ``tokenizer_fn`` for full native parity)."""
+    if isinstance(source, str):
+        with open(source, encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
+    else:
+        lines = [ln.rstrip("\n") for ln in source]
+    decoder = gpt2_byte_decoder()
+
+    def to_bytes(sym: str) -> bytes:
+        try:
+            return bytes(decoder[ch] for ch in sym)
+        except KeyError as exc:
+            raise ValueError(f"symbol {sym!r} outside the GPT-2 byte alphabet") from exc
+
+    merges: list[tuple[bytes, bytes]] = []
+    for ln in lines:
+        if not ln or ln.startswith("#"):
+            continue
+        parts = ln.split(" ")
+        if len(parts) != 2:
+            raise ValueError(f"malformed merges line: {ln!r}")
+        merges.append((to_bytes(parts[0]), to_bytes(parts[1])))
+    return merges
+
+
 def count_tokens_bpe(
-    df: DataFrame, merges: list[tuple[bytes, bytes]], text_col: str = "text"
+    df: DataFrame,
+    merges: list[tuple[bytes, bytes]] | None = None,
+    text_col: str = "text",
+    tokenizer_fn=None,
 ) -> DataFrame:
-    """(doc_id, bpe_tokens): exact token counts under a trained/vendored
-    merge table, as ONE Arrow-batched map pass (merge table broadcast
-    once; no shuffle).  Feed the result to ``pack_shards(...,
-    size_col='bpe_tokens')`` for exact-token shard budgets."""
+    """(doc_id, bpe_tokens): exact token counts, as ONE Arrow-batched map
+    pass (no shuffle).  Two engines behind the same plan shape:
+
+    * ``merges``: the pure-Python rank-order encoder over a broadcast
+      merge table (trained via :func:`train_bpe` or vendored via
+      :func:`load_gpt2_merges`);
+    * ``tokenizer_fn``: the native-tokenizer hook -- a picklable
+      ``Callable[[list[str]], list[int]]`` (batch in, counts out, e.g. a
+      tiktoken ``encode_ordinary_batch`` or HF fast-tokenizer wrapper).
+      When given it takes precedence; the merge-table path is the
+      always-available fallback.
+
+    Feed the result to ``pack_shards(..., size_col='bpe_tokens')`` for
+    exact-token shard budgets."""
     import pyarrow as pa
     from pyspark.sql.types import LongType, StructField, StructType
 
+    if merges is None and tokenizer_fn is None:
+        raise ValueError("pass a merges table, a tokenizer_fn, or both")
     id_field = df.schema["doc_id"]
     out_schema = StructType(
         [StructField("doc_id", id_field.dataType), StructField("bpe_tokens", LongType())]
     )
-    bc = df.sparkSession.sparkContext.broadcast(merges)
+    bc = (
+        df.sparkSession.sparkContext.broadcast(merges)
+        if tokenizer_fn is None
+        else None
+    )
 
     def batches(iterator):
-        merges_local = bc.value
         for batch in iterator:
             ids = batch.column(0)
-            texts = batch.column(1).to_pylist()
-            counts = [len(bpe_encode(t or "", merges_local)) for t in texts]
+            texts = [t or "" for t in batch.column(1).to_pylist()]
+            if tokenizer_fn is not None:
+                counts = [int(c) for c in tokenizer_fn(texts)]
+                if len(counts) != len(texts):
+                    raise ValueError(
+                        f"tokenizer_fn returned {len(counts)} counts for "
+                        f"{len(texts)} texts"
+                    )
+            else:
+                merges_local = bc.value
+                counts = [len(bpe_encode(t, merges_local)) for t in texts]
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(counts, pa.int64())], names=["doc_id", "bpe_tokens"]
             )

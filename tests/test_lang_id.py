@@ -178,3 +178,59 @@ def test_null_text_predicts_und_with_zero_score(spark):
     out = {r["doc_id"]: r for r in lang_id(df).collect()}
     assert out[1]["predicted_lang"] == "und" and out[1]["best_score"] == 0
     assert out[2]["predicted_lang"] == "en"
+
+
+def test_single_pass_equals_per_language_scans(spark, monkeypatch):
+    """The combined-alternation single scan (round 6) must yield exactly
+    the per-language independent-scan scores -- forced fallback vs default
+    path on a corpus with dense, adjacent, and cross-script markers."""
+    import nreadspark.ops.textstats as T
+
+    texts = [
+        "the fast cat and the slow dog of the house",
+        "el perro pero como una casa los dias",
+        "der zug und die bahn ist nicht da",
+        "di che per della sono di che",
+        "это не как и что это не",
+        "的是了在我的是了",
+        "のはをですしたのは",
+        "the der les di uma het и 的 の",  # one marker per language
+        "",
+        "no markers whatsoever xyzzy",
+        "thethe andand derder",  # markers glued: \b must reject
+        "ですしたのは das ist die der und",  # mixed scripts in one doc
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    assert T._single_pass_safe()
+    fast = sorted(map(tuple, T.lang_id(df).collect()))
+    monkeypatch.setattr(T, "_single_pass_safe", lambda: False)
+    slow = sorted(map(tuple, T.lang_id(df).collect()))
+    assert fast == slow
+
+
+def test_single_pass_validator_rejects_unsafe_sets(monkeypatch):
+    """Marker sets that would make the consuming scan observable must
+    disable the optimization: same-language prefixes, cross-language
+    duplicate markers, shared non-Latin character sets, regex metachars."""
+    import nreadspark.ops.textstats as T
+
+    base = {k: list(v) for k, v in T.LANG_MARKERS.items()}
+    assert T._single_pass_safe()
+
+    unsafe = {**base, "ja": base["ja"] + ["です、"]}  # "です" prefix of "です、"
+    monkeypatch.setattr(T, "LANG_MARKERS", unsafe)
+    assert not T._single_pass_safe()
+
+    dup = {**base, "es": base["es"][:-1] + ["the"]}  # duplicate of en marker
+    monkeypatch.setattr(T, "LANG_MARKERS", dup)
+    assert not T._single_pass_safe()
+
+    shared = {**base, "zh": base["zh"][:-1] + ["のだ"]}  # shares chars with ja
+    monkeypatch.setattr(T, "LANG_MARKERS", shared)
+    assert not T._single_pass_safe()
+
+    meta = {**base, "en": base["en"][:-1] + ["a.b"]}  # regex metachar
+    monkeypatch.setattr(T, "LANG_MARKERS", meta)
+    assert not T._single_pass_safe()

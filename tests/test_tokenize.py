@@ -215,3 +215,116 @@ def test_null_text_costs_zero_in_every_budget(spark):
         out = {r["doc_id"]: r[col] for r in
                pack_shards(df, words_per_shard=10, n_buckets=2, budget_unit=unit).collect()}
         assert out[1] == 0 and out[2] > 0
+
+
+# ---------------------------------------------------------------------------
+# public merges-file format parity + native-tokenizer hook (round 6)
+# ---------------------------------------------------------------------------
+
+import os
+
+_MERGES_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "gpt2_style.merges.txt"
+)
+
+
+def test_gpt2_byte_alphabet_is_the_public_mapping():
+    """Spot-check the published bytes_to_unicode table: printable ASCII
+    maps to itself, space becomes Ġ (chr 288), newline Ċ (chr 266),
+    0xC3/0xA9 keep their Latin-1 codepoints."""
+    from nreadspark.ops.tokenize import gpt2_byte_decoder
+
+    dec = gpt2_byte_decoder()
+    assert len(dec) == 256 and len(set(dec.values())) == 256
+    assert dec["A"] == ord("A") and dec["!"] == ord("!") and dec["~"] == ord("~")
+    assert dec[chr(288)] == 0x20  # 'Ġ' -- the leading-space symbol
+    assert dec[chr(266)] == 0x0A  # 'Ċ' -- newline
+    assert dec["Ã"] == 0xC3 and dec["©"] == 0xA9
+    assert dec[chr(256)] == 0x00  # first remapped byte
+
+
+def test_load_gpt2_merges_parses_the_public_format():
+    from nreadspark.ops.tokenize import load_gpt2_merges
+
+    merges = load_gpt2_merges(_MERGES_FIXTURE)
+    assert merges[0] == (b"h", b"e")
+    assert merges[2] == (b"he", b"ll")
+    assert merges[6] == (b"\xc3", b"\xa9")  # 'Ã ©' -> the é byte pair
+    assert merges[9] == (b"caf", b"\xc3\xa9")
+    assert merges[10] == (b" ", b"t")  # 'Ġ t' -> leading-space merge
+    # iterable-of-lines source and path source agree
+    with open(_MERGES_FIXTURE, encoding="utf-8") as fh:
+        assert load_gpt2_merges(fh) == merges
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="malformed"):
+        load_gpt2_merges(["a b c"])
+    with _pytest.raises(ValueError, match="alphabet"):
+        load_gpt2_merges([chr(0x1F600) + " x"])
+
+
+# token counts hand-derived by rank-order BPE over the fixture merges
+# (pre-tokenizer: TOKEN_PATTERN word/punct pieces)
+_PARITY_VECTORS = [
+    ("hello", ["hell", "o"]),
+    ("world", ["wor", "ld"]),
+    ("hello world", ["hell", "o", "wor", "ld"]),
+    ("held!", ["he", "ld", "!"]),
+    ("café", ["café"]),
+    ("cafe", ["caf", "e"]),
+    ("xyz", ["x", "y", "z"]),
+    ("", []),
+]
+
+
+def test_bpe_encode_matches_precomputed_vectors():
+    """Exact token-sequence parity against hand-derived vectors under the
+    vendored public-format merges -- the proof that a production merges
+    file drives bpe_encode / count_tokens_bpe faithfully."""
+    from nreadspark.ops.tokenize import bpe_encode, load_gpt2_merges
+
+    merges = load_gpt2_merges(_MERGES_FIXTURE)
+    for text, want in _PARITY_VECTORS:
+        got = bpe_encode(text, merges)
+        assert got == [w.encode("utf-8") for w in want], text
+        assert b"".join(got).decode("utf-8") == text.replace(" ", "")
+
+
+def test_count_tokens_vendored_merges_end_to_end(spark):
+    """pack_shards(size_col=...) budgets REAL vendored-tokenizer counts:
+    merges fixture -> count_tokens_bpe -> exact n_units through packing."""
+    from nreadspark.ops.chunking import pack_shards
+    from nreadspark.ops.tokenize import count_tokens_bpe, load_gpt2_merges
+
+    merges = load_gpt2_merges(_MERGES_FIXTURE)
+    rows = [(i, t) for i, (t, _) in enumerate(_PARITY_VECTORS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["bpe_tokens"] for r in count_tokens_bpe(df, merges).collect()}
+    assert got == {i: len(v) for i, (_, v) in enumerate(_PARITY_VECTORS)}
+    packed = pack_shards(
+        df.join(count_tokens_bpe(df, merges), "doc_id"),
+        words_per_shard=4, n_buckets=2, size_col="bpe_tokens",
+    )
+    units = {r["doc_id"]: r["n_units"] for r in packed.collect()}
+    assert units == got
+
+
+def test_native_tokenizer_hook(spark):
+    from nreadspark.ops.tokenize import count_tokens_bpe
+
+    # stands in for tiktoken/HF: deterministic batch counts (non-space
+    # chars) -- nested so cloudpickle ships it by value, the same way a
+    # user-defined wrapper around a native tokenizer would travel
+    def fake_native_tokenizer(texts):
+        return [len(t.replace(" ", "")) for t in texts]
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["bpe_tokens"] for r in
+           count_tokens_bpe(df, tokenizer_fn=fake_native_tokenizer).collect()}
+    assert got == {1: 10, 2: 0, 3: 0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="merges table"):
+        count_tokens_bpe(df)
