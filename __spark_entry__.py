@@ -232,6 +232,30 @@ def _q_dedup_semantic(spark, sf_dir):
     )
 
 
+def _q_dedup_semantic_probe2(spark, sf_dir):
+    """:func:`_q_dedup_semantic` with boundary-recall probing (n_probe=2,
+    r6): every vector joins its two nearest lists, so the planted pairs
+    must still come out exactly once (the output is pair-deduplicated) --
+    same closed-form oracle.  n_lists doubled to keep per-list membership
+    (2n/n_lists) at the single-probe level."""
+    from nreadspark.ops.dedup import dedup_semantic
+
+    emb = _table(spark, sf_dir, "embeddings")
+    p1 = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    p2 = emb.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + F.lit(2000000)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(p1).unionByName(p2)
+    out = dedup_semantic(corpus, dim=64, n_lists=16, threshold=0.999, n_probe=2)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "cosine",
+    )
+
+
 def _q_ann_bruteforce_topk(spark, sf_dir):
     from nreadspark.ops.similarity import brute_force_topk
 
@@ -1306,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SURVEY §2 operator (r5 judge ask #2) ---
         "line_dedup_newline": _q_line_dedup_newline,
         "extract_byte_budget": _q_extract_byte_budget,
+        "dedup_semantic_probe2": _q_dedup_semantic_probe2,
         # relational breadth over the TPC-H-ish tables
         "tpch_q1_like": _q_tpch_q1_like,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
@@ -2118,6 +2143,21 @@ def oracle_sql() -> dict[str, str]:
         # 0.999 (identical plants share clusters; natural max < 0.8), so
         # the twin is closed-form all-pairs cosine over the planted union
         "dedup_semantic": """
+            WITH all_v AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 8
+                UNION ALL
+                SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id < 4
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.999
+        """,
+        # dedup_semantic_probe2: n_probe=2 must return the SAME pairs,
+        # exactly once each -- identical closed-form twin
+        "dedup_semantic_probe2": """
             WITH all_v AS (
                 SELECT vec_id, embedding FROM embeddings
                 UNION ALL

@@ -855,6 +855,7 @@ def dedup_semantic(
     sample_size: int = 2048,
     max_cluster_size: int = 4096,
     on_oversized: str = "error",
+    n_probe: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     'SemDeDup: Data-efficient learning at web-scale through semantic
@@ -888,10 +889,17 @@ def dedup_semantic(
     threshold); compose with :func:`keep_canonical` (``src_col='id_a'``,
     ``dst_col='id_b'``) to drop every non-canonical cluster member.
 
-    Boundary caveat: a near-duplicate pair split across two clusters
-    (both members near a centroid boundary) is missed -- the standard
-    SemDeDup trade; raise ``n_lists`` resolution or run the LSH path for
-    boundary-robust recall.
+    Boundary caveat and ``n_probe``: at ``n_probe=1`` a near-duplicate
+    pair split across two clusters (both members near a centroid
+    boundary) is missed -- the standard SemDeDup trade.  ``n_probe=2``
+    closes it for the dedup pass: each vector joins its TWO nearest
+    lists, so a boundary-straddling pair shares the list either member's
+    second probe lands in whenever their nearest-two sets intersect
+    (the near-boundary geometry that causes the miss).  Cost: each list
+    roughly doubles in membership (size the ``max_cluster_size`` /
+    ``n_lists`` budget accordingly) and comparison volume scales ~2x --
+    still sum(k_c^2), nothing quadratic in n.  The pair output is
+    deduplicated across probes, so results are a superset of n_probe=1.
     """
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
@@ -900,6 +908,28 @@ def dedup_semantic(
     numeric_ids = isinstance(
         emb_df.schema[id_col].dataType, (LongType, IntegerType, ShortType, ByteType)
     )
+    if n_probe > 1:
+        # multi-probe dedup wants every vector in n_probe lists; assign
+        # ONCE with the multi-probe GEMM instead of reusing the index's
+        # single-probe assignment and re-probing (one corpus pass, not two)
+        from .similarity import (
+            _ivf_assign_fn,
+            _ivf_assign_schema,
+            _ivf_prep,
+            _train_ivf_centroids,
+        )
+
+        C = _train_ivf_centroids(emb_df, n_lists, sample_size, id_col, vec_col)
+        bc = emb_df.sparkSession.sparkContext.broadcast(C.tolist())
+        probes = _ivf_prep(emb_df, id_col, vec_col).mapInArrow(
+            _ivf_assign_fn(bc, n_probe), _ivf_assign_schema()
+        )
+        sigs = _persist(
+            probes.select("id", "vec", F.col("list_id").cast("string").alias("bucket"))
+        )
+        return _verify_bucketed_pairs(
+            sigs, threshold, max_cluster_size, numeric_ids, on_oversized=on_oversized
+        )
     index = ivf_build(emb_df, dim, n_lists, sample_size, id_col, vec_col)
     return dedup_semantic_from_index(
         index, threshold, max_cluster_size, numeric_ids=numeric_ids,
@@ -913,6 +943,7 @@ def dedup_semantic_from_index(
     max_cluster_size: int = 4096,
     numeric_ids: bool = True,
     on_oversized: str = "error",
+    n_probe: int = 1,
 ) -> DataFrame:
     """:func:`dedup_semantic` over a PREBUILT :class:`..similarity.IvfIndex`
     -- the corpus assignment GEMM is the expensive half and an ANN caller
@@ -920,7 +951,31 @@ def dedup_semantic_from_index(
     search and this for dedup, off the same persisted/parquet-round-tripped
     index).  ``numeric_ids=True`` (default) returns bigint pair ids; pass
     False when the original id column was non-numeric (ids ride as
-    strings inside the index either way)."""
+    strings inside the index either way).
+
+    ``n_probe=2`` adds boundary-pair recall (see :func:`dedup_semantic`);
+    since the stored assignment is single-probe, this re-probes the
+    stored corpus vectors against the index centroids -- one extra
+    corpus GEMM, the price of reusing a prebuilt index."""
+    if n_probe > 1:
+        from .similarity import _ivf_assign_fn, _ivf_assign_schema
+
+        if index.centroid_list is not None:
+            cents = index.centroid_list
+        else:
+            rows = index.centroids.orderBy("list_id").collect()
+            cents = [list(r["centroid"]) for r in rows]
+        corpus = index.assignments.select(
+            F.col("corpus_id").alias("id"), F.col("corpus_vec").alias("vec")
+        )
+        bc = corpus.sparkSession.sparkContext.broadcast(cents)
+        probes = corpus.mapInArrow(_ivf_assign_fn(bc, n_probe), _ivf_assign_schema())
+        sigs = _persist(
+            probes.select("id", "vec", F.col("list_id").cast("string").alias("bucket"))
+        )
+        return _verify_bucketed_pairs(
+            sigs, threshold, max_cluster_size, numeric_ids, on_oversized=on_oversized
+        )
     sigs = index.assignments.select(
         F.col("corpus_id").alias("id"),
         F.col("corpus_vec").alias("vec"),

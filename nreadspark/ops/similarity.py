@@ -268,7 +268,9 @@ def _ivf_assign_fn(bc, top_n: int):
             X = np.asarray(vecs, dtype=np.float64)
             X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
             sims = X @ cents.T
-            order = np.argsort(-sims, axis=1)[:, :top_n]
+            # stable: tied centroid similarities probe the lowest list id,
+            # deterministically, instead of quicksort's arbitrary pick
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :top_n]
             out_ids, out_vecs, out_lists = [], [], []
             for i, row_lists in enumerate(order):
                 for lid in row_lists:

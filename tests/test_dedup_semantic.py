@@ -182,3 +182,88 @@ def test_from_index_reuses_built_index_and_matches_one_shot(spark):
     q = df.limit(2)
     hits = ivf_query(index, q, k=3, n_probe=3).count()
     assert hits == 6
+
+
+def test_n_probe_2_recovers_boundary_pair(spark):
+    """The documented n_probe=1 miss case, planted: a near-duplicate pair
+    straddling the trained centroid boundary (each member nearest a
+    DIFFERENT centroid) is invisible at n_probe=1 and found at n_probe=2;
+    away-from-boundary results are unchanged (n_probe=2 is a superset).
+
+    Construction is deterministic: train the same centroids the operator
+    will train (placeholder pair on the e0/e1 bisector), then nudge the
+    pair off the ACTUAL centroid bisector -- normalize(c0+c1) is exactly
+    orthogonal to c0-c1 for unit centroids, so the +/- eps nudge decides
+    the assignment sign; a numpy replay of the final corpus asserts the
+    split before Spark runs."""
+    from nreadspark.ops.dedup import dedup_semantic
+    from nreadspark.ops.similarity import _train_ivf_centroids
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for axis in (0, 1):  # two tight bulks around orthogonal axes
+        c = np.zeros(DIM)
+        c[axis] = 1.0
+        for _ in range(40):
+            v = c + 0.08 * rng.randn(DIM)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    ida, idb = vid, vid + 1
+    mid = np.zeros(DIM)
+    mid[0] = mid[1] = 1 / np.sqrt(2)
+
+    def corpus(a, b):
+        return spark.createDataFrame(
+            rows + [(ida, [float(x) for x in a]), (idb, [float(x) for x in b])],
+            "vec_id long, embedding array<double>",
+        )
+
+    # fixed-point placement: the pair's own membership nudges the trained
+    # centroids, so re-place it off the RETRAINED bisector until stable --
+    # still fully deterministic (no RNG anywhere in the loop)
+    a = b = mid
+    for _ in range(6):
+        C = _train_ivf_centroids(corpus(a, b), 2, 128, "vec_id", "embedding")
+        d = C[0] - C[1]
+        bis = (C[0] + C[1]) / np.linalg.norm(C[0] + C[1])
+        a2 = bis + 0.015 * d
+        b2 = bis - 0.015 * d
+        a2 /= np.linalg.norm(a2)
+        b2 /= np.linalg.norm(b2)
+        if np.allclose(a2, a, atol=1e-9) and np.allclose(b2, b, atol=1e-9):
+            break
+        a, b = a2, b2
+    assert float(a @ b) >= 0.9988  # genuinely near-identical
+
+    df = corpus(a, b)
+    # deterministic replay: the FINAL corpus's trained centroids must
+    # split the pair (the construction premise, asserted not assumed)
+    C2 = _train_ivf_centroids(df, 2, 128, "vec_id", "embedding")
+    assert int(np.argmax(C2 @ a)) != int(np.argmax(C2 @ b))
+
+    kw = dict(dim=DIM, n_lists=2, threshold=0.998, sample_size=128,
+              max_cluster_size=256)
+    p1 = {(r["id_a"], r["id_b"]) for r in dedup_semantic(df, **kw).collect()}
+    p2 = {(r["id_a"], r["id_b"]) for r in
+          dedup_semantic(df, n_probe=2, **kw).collect()}
+    assert (ida, idb) not in p1  # the documented miss, reproduced
+    assert (ida, idb) in p2      # closed by the second probe
+    assert p1 <= p2              # superset: nothing regresses
+
+
+def test_n_probe_2_from_prebuilt_index_matches_one_shot(spark):
+    from nreadspark.ops.dedup import dedup_semantic, dedup_semantic_from_index
+    from nreadspark.ops.similarity import ivf_build
+
+    rows, _ = _clustered_corpus(n_clusters=3, per_cluster=16, n_dups=4)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    one_shot = dedup_semantic(
+        df, dim=DIM, n_lists=3, threshold=0.97, sample_size=128,
+        max_cluster_size=256, n_probe=2,
+    )
+    idx = ivf_build(df, DIM, n_lists=3, sample_size=128)
+    reused = dedup_semantic_from_index(
+        idx, threshold=0.97, max_cluster_size=256, n_probe=2
+    )
+    assert sorted(map(tuple, one_shot.collect())) == sorted(map(tuple, reused.collect()))
