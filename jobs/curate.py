@@ -38,6 +38,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -262,6 +263,7 @@ def curate_resumable(
     # -- stage 1: quality filter ------------------------------------------
     st = _read_stage(spark, output_path, "quality", n_buckets, qparams) if resume else None
     if st is None:
+        __t0 = time.perf_counter()
         docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
         qstats = {"input_docs": docs.count()}
         verdicts = c4_quality_filter(docs, text_col=text_col, min_words=min_words)
@@ -280,6 +282,7 @@ def curate_resumable(
         _commit_stage(spark, kept, output_path, "quality", n_buckets, qstats, resume, params=qparams)
         docs.unpersist()
         kept, qstats = _read_stage(spark, output_path, "quality", n_buckets, qparams)
+        stats.setdefault("stage_wall_s", {})["quality"] = round(time.perf_counter() - __t0, 3)
     else:
         kept, qstats = st
         stats["resumed_stages"].append("quality")
@@ -292,6 +295,7 @@ def curate_resumable(
 
         st = _read_stage(spark, output_path, "model_filter", n_buckets, mparams) if resume else None
         if st is None:
+            __t0 = time.perf_counter()
             # persist: the dropped-count action and the stage commit both
             # consume the scoring plan (explode + broadcast join + aggs
             # over the corpus) -- one evaluation, not two
@@ -308,6 +312,7 @@ def curate_resumable(
             )
             scored.unpersist()
             kept, mstats = _read_stage(spark, output_path, "model_filter", n_buckets, mparams)
+            stats.setdefault("stage_wall_s", {})["model_filter"] = round(time.perf_counter() - __t0, 3)
         else:
             kept, mstats = st
             stats["resumed_stages"].append("model_filter")
@@ -317,6 +322,7 @@ def curate_resumable(
     # -- stage 2: boilerplate line removal --------------------------------
     st = _read_stage(spark, output_path, "line_clean", n_buckets, lparams) if resume else None
     if st is None:
+        __t0 = time.perf_counter()
         cleaned = line_dedup(
             kept,
             text_col=text_col,
@@ -336,6 +342,7 @@ def curate_resumable(
         cleaned.unpersist()
         release_caches()  # line_dedup's auto-mode boilerplate set is spent
         cleaned, lstats = _read_stage(spark, output_path, "line_clean", n_buckets, lparams)
+        stats.setdefault("stage_wall_s", {})["line_clean"] = round(time.perf_counter() - __t0, 3)
     else:
         cleaned, lstats = st
         stats["resumed_stages"].append("line_clean")
@@ -348,6 +355,7 @@ def curate_resumable(
 
         st = _read_stage(spark, output_path, "decontam", n_buckets, dparams) if resume else None
         if st is None:
+            __t0 = time.perf_counter()
             # persist the (tiny) contaminated-id set: the count and the
             # anti-join both consume the full n-gram overlap plan
             bad_ids = decontaminate(
@@ -362,6 +370,7 @@ def curate_resumable(
             )
             bad_ids.unpersist()
             cleaned, dstats = _read_stage(spark, output_path, "decontam", n_buckets, dparams)
+            stats.setdefault("stage_wall_s", {})["decontam"] = round(time.perf_counter() - __t0, 3)
         else:
             cleaned, dstats = st
             stats["resumed_stages"].append("decontam")
@@ -371,6 +380,7 @@ def curate_resumable(
     # -- stage 3: near-dup pair verification ------------------------------
     st = _read_stage(spark, output_path, "pairs", n_buckets, pparams) if resume else None
     if st is None:
+        __t0 = time.perf_counter()
         # docs emptied by line dedup bypass the pair graph (all empty texts
         # tokenize identically -- they are not duplicates of each other)
         dedup_input = cleaned.filter(F.length(text_col) > 0).select("doc_id", text_col)
@@ -385,6 +395,7 @@ def curate_resumable(
         )
         release_caches()  # the banded/token-set persists are spent now
         pairs, pstats = _read_stage(spark, output_path, "pairs", n_buckets, pparams)
+        stats.setdefault("stage_wall_s", {})["pairs"] = round(time.perf_counter() - __t0, 3)
     else:
         pairs, pstats = st
         stats["resumed_stages"].append("pairs")
@@ -396,11 +407,16 @@ def curate_resumable(
     # the final marker carries the FULL merged stats so a completed job's
     # rerun can short-circuit with them (resumed_stages excluded: it
     # describes a particular run, not the output)
+    __t0 = time.perf_counter()
     _commit_stage(
         spark, surviving, output_path, "final", n_buckets,
-        {k: v for k, v in stats.items() if k != "resumed_stages"}, resume,
-        rows_stat_key="surviving_docs", params=fparams,
+        # resumed_stages / stage_wall_s describe a particular RUN, not the
+        # output -- they stay out of the committed marker
+        {k: v for k, v in stats.items()
+         if k not in ("resumed_stages", "stage_wall_s")},
+        resume, rows_stat_key="surviving_docs", params=fparams,
     )
+    stats.setdefault("stage_wall_s", {})["final"] = round(time.perf_counter() - __t0, 3)
     final_df, fstats = _read_stage(spark, output_path, "final", n_buckets, fparams)
     stats.update(fstats)
     if clean_stages:

@@ -79,6 +79,7 @@ def main() -> None:
     n_leak = len([i for i in range(100_000) if i % 50 == 7 and i % 20 != 3])
     report = {
         "full_s": round(full_s, 1),
+        "stage_wall_s": stats.get("stage_wall_s"),
         "model_dropped": stats.get("model_dropped"),
         "expect_spam": n_spam,
         "decontaminated_dropped": stats.get("decontaminated_dropped"),

@@ -95,6 +95,10 @@ def test_kill_after_line_clean_resumes_without_recompute(spark, tmp_path, monkey
 
     assert got_stats.pop("resumed_stages") == ["quality", "line_clean"]
     ref_stats.pop("resumed_stages")
+    # stage walls describe a particular run (resumed stages report none) --
+    # the resumed run must have timed ONLY the stages it recomputed
+    assert set(got_stats.pop("stage_wall_s")) == {"pairs", "final"}
+    ref_stats.pop("stage_wall_s")
     assert got_stats == ref_stats  # summed identically across the resume
     assert {r["doc_id"] for r in got_df.select("doc_id").collect()} == ref_ids
 
