@@ -476,6 +476,70 @@ def _q_ngram_dup_stats(spark, sf_dir):
     return ngram_duplicate_stats(docs.select("doc_id", planted.alias("text")), n=8)
 
 
+def _q_text_pii_scrub(spark, sf_dir):
+    """PII scrubbing (r6): deterministically plant emails / SSNs / IPv4s /
+    phone numbers by doc_id residue, scrub with the fixed-order codegen
+    regex chain, return clean text + per-category counts.  The oracle is
+    GENERATED from the same PII_PATTERNS table (ops.pii.pii_scrub_sql),
+    so pattern drift between engines is impossible by construction."""
+    from nreadspark.ops.pii import pii_scrub
+
+    docs = _table(spark, sf_dir, "documents")
+    extra = (
+        F.when(
+            F.pmod("doc_id", F.lit(4)) == 0,
+            F.concat(F.lit(" mail user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+        )
+        .when(F.pmod("doc_id", F.lit(4)) == 1,
+              F.lit(" ssn 123-45-6789 ip 10.0.0.7"))
+        .when(F.pmod("doc_id", F.lit(4)) == 2, F.lit(" call 415-555-0199 now"))
+        .otherwise(F.lit(""))
+    )
+    planted = docs.select(
+        "doc_id", F.concat(F.col("text"), extra).alias("text")
+    )
+    return pii_scrub(planted)
+
+
+def _q_domain_blocklist(spark, sf_dir):
+    """Domain blocklist tagging (r6): synthetic per-doc URLs over 20 hosts
+    x 4 TLDs (including a multi-part co.uk suffix), blocklist carried as a
+    broadcast membership join; output (doc_id, domain, blocked) against a
+    closed-form oracle."""
+    from nreadspark.ops.urls import tag_blocked_domains
+
+    docs = _table(spark, sf_dir, "documents")
+    tld = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, ".co.uk")
+        .when(F.pmod("doc_id", F.lit(4)) == 1, ".com")
+        .when(F.pmod("doc_id", F.lit(4)) == 2, ".org")
+        .otherwise(".io")
+    )
+    url = F.concat(
+        F.lit("https://sub.host"), F.pmod("doc_id", F.lit(20)).cast("string"),
+        tld, F.lit("/p/"), F.col("doc_id").cast("string"),
+    )
+    df = docs.select("doc_id", url.alias("url"))
+    blocked = ["host4.co.uk", "host5.com", "host6.org", "host7.io", "host12.co.uk"]
+    return tag_blocked_domains(df, blocked)
+
+
+def _q_spans_render(spark, sf_dir):
+    """Interleaved spans -> training text (r6): render the north-rule span
+    shape (text + image sentinel, offset-sorted) into the flat format
+    multimodal pipelines train on.  The interleaved construction is
+    closed-form, so the oracle rebuilds the exact rendered string."""
+    from nreadspark.ops.render import spans_to_training_text
+
+    df = _interleaved_docs(spark, sf_dir)
+    out = spans_to_training_text(df)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "text", "n_text_spans", "n_media_spans",
+    )
+
+
 def _q_dedup_url(spark, sf_dir):
     """URL canonicalization + URL-level dedup: deterministically messy
     URLs (scheme/host case, default :80 port, trailing slash, reordered
@@ -1290,8 +1354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_semantic": _q_dedup_semantic,
-        # similarity search
-        "ann_bruteforce_topk": _q_ann_bruteforce_topk,
+        # similarity search (brute-force baseline rides past the cap: the
+        # LSH/IVF scale paths are the primary evidence)
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         # text analysis
@@ -1303,8 +1367,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         # phase-3 surfaces: multi-page assembly + debug XHTML sink (rows-only)
         "multipage_extract": _q_multipage_extract,
-        "multimodal_resize": _q_multimodal_resize,
-        "multimodal_frames": _q_multimodal_frames,
         "debug_html": _q_debug_html,
         "pdf_extract": _q_pdf_extract,
         "line_dedup": _q_line_dedup,
@@ -1323,6 +1385,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_substring": _q_ngram_dup_stats,
         "text_decontaminate": _q_text_decontaminate,
         "sample_split_mix": _q_sample_split_mix,
+        "text_pii_scrub": _q_text_pii_scrub,
+        "domain_blocklist": _q_domain_blocklist,
+        "spans_render": _q_spans_render,
         # --- driver 50-row cap boundary: everything below either VARIES an
         # operator whose primary oracle sits above (line_dedup_newline,
         # extract_byte_budget) or is a redundant relational control, so a
@@ -1331,6 +1396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_newline": _q_line_dedup_newline,
         "extract_byte_budget": _q_extract_byte_budget,
         "dedup_semantic_probe2": _q_dedup_semantic_probe2,
+        "ann_bruteforce_topk": _q_ann_bruteforce_topk,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
         # relational breadth over the TPC-H-ish tables
         "tpch_q1_like": _q_tpch_q1_like,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
@@ -1349,6 +1417,32 @@ _NEGATIVE = (
     "combx|comment|com-|contact|foot|footer|footnote|masthead|media|meta|outbrain|"
     "promo|related|scroll|shoutbox|sidebar|side|sponsor|shopping|tags|tool|widget"
 )
+
+def _pii_scrub_oracle_sql() -> str:
+    """DuckDB twin of the text_pii_scrub query, generated from the SAME
+    patterns table the Spark op compiles (ops.pii.pii_scrub_sql) -- the
+    planting mirrors _q_text_pii_scrub closed-form."""
+    from nreadspark.ops.pii import pii_scrub_sql
+
+    exprs = pii_scrub_sql("text")
+    cols = ",\n                   ".join(
+        f"{sql} AS {name}" for name, sql in exprs.items()
+    )
+    return f"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text || CASE CAST(doc_id % 4 AS INT)
+                           WHEN 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                           WHEN 1 THEN ' ssn 123-45-6789 ip 10.0.0.7'
+                           WHEN 2 THEN ' call 415-555-0199 now'
+                           ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   {cols}
+            FROM planted
+        """
+
 
 def _minhash_oracle_sql() -> str:
     """Full SQL replication of the md5-mode MinHash+LSH+verify pipeline:
@@ -1558,6 +1652,39 @@ def oracle_sql() -> dict[str, str]:
                    b_s1 < 250000 AS in_sample,
                    b_m1 < (CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 100000 ELSE 0 END) AS in_mix
             FROM b
+        """,
+        # text_pii_scrub (r6): oracle GENERATED from ops.pii.PII_PATTERNS --
+        # same planting, same fixed-order replacement chain
+        "text_pii_scrub": _pii_scrub_oracle_sql(),
+        # domain_blocklist (r6): closed-form domain from the synthetic URL
+        # construction ('host' || doc_id%20 || tld; co.uk takes 3 labels)
+        "domain_blocklist": """
+            WITH d AS (
+                SELECT doc_id,
+                       'host' || CAST(doc_id % 20 AS VARCHAR) ||
+                       CASE CAST(doc_id % 4 AS INT)
+                            WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                            WHEN 2 THEN '.org' ELSE '.io' END AS domain
+                FROM documents
+            )
+            SELECT doc_id, domain,
+                   domain IN ('host4.co.uk','host5.com','host6.org','host7.io','host12.co.uk') AS blocked
+            FROM d
+        """,
+        # spans_render (r6): the interleaved construction is closed-form,
+        # so the rendered text rebuilds exactly (text, <|image|>, text,
+        # text joined by blank lines)
+        "spans_render": """
+            SELECT doc_id,
+                   '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                   || ' | Synthetic Corpus</title></head><body><div id=''content'' class=''post''><p>'
+                   || text || '</p>'
+                   || chr(10) || chr(10) || '<|image|>' || chr(10) || chr(10)
+                   || '<p>' || text || ', extended for sibling merge.</p>'
+                   || chr(10) || chr(10) || '</div></body></html>' AS text,
+                   CAST(3 AS BIGINT) AS n_text_spans,
+                   CAST(1 AS BIGINT) AS n_media_spans
+            FROM documents
         """,
         # dedup_ngram_substring: group on the n-gram STRING (Spark groups on
         # its xxhash64 -- same counts, fixed-width shuffle keys)

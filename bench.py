@@ -162,7 +162,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "text_decontaminate",
         "quality_model_score",
         "dedup_semantic",
+        "dedup_semantic_probe2",
         "dedup_url",
+        "text_pii_scrub",
+        "domain_blocklist",
+        "spans_render",
         "e1_title_rules",
         "f5_f6_regex_rewrite",
         "tpch_q1_like",

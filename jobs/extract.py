@@ -5,6 +5,10 @@ table (parquet/Iceberg) into a parquet output with per-bucket lineage.
         --input /path/to/docs --output /path/to/out \
         [--buckets 256] [--url-col url] [--no-resume] [--synthetic N]
 
+    # crawl-file ingestion (streamed .warc/.warc.gz, per-FILE resume):
+    spark-submit --py-files nreadspark.zip jobs/extract.py \
+        --warc-glob '/crawl/segment-00/*.warc.gz' --output /path/to/out
+
 Reference analogue: NReadability.Console/Program.cs:35-50 (file in/file out),
 re-expressed as a distributed, resumable Spark job.
 """
@@ -27,6 +31,12 @@ def main() -> None:
     parser.add_argument("--url-col", default=None)
     parser.add_argument("--no-resume", action="store_true")
     parser.add_argument(
+        "--warc-glob",
+        default=None,
+        help="ingest .warc/.warc.gz files matching this glob (streamed, "
+        "per-file resumable lineage) instead of reading an interleaved table",
+    )
+    parser.add_argument(
         "--synthetic",
         type=int,
         default=0,
@@ -44,13 +54,25 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    from nreadspark.lineage import run_extraction
+    from nreadspark.lineage import run_extraction, run_warc_ingestion
     from nreadspark.pipeline import configure_session_defaults
 
     builder = SparkSession.builder.appName("nreadspark-extract")
     if args.master:
         builder = builder.master(args.master)
     spark = configure_session_defaults(builder).getOrCreate()
+
+    if args.warc_glob:
+        summary = run_warc_ingestion(
+            spark,
+            args.warc_glob,
+            args.output,
+            n_buckets=args.buckets,
+            resume=not args.no_resume,
+            max_doc_bytes=args.max_doc_bytes,
+        )
+        print(json.dumps(summary))
+        return
 
     if args.synthetic:
         from nreadspark.corpus import build_corpus_df
@@ -65,7 +87,7 @@ def main() -> None:
         input_df = load_documents(spark, args.input)
         fingerprint = None  # derived from the source-file listing
     else:
-        parser.error("either --input or --synthetic is required")
+        parser.error("one of --input, --warc-glob or --synthetic is required")
         return
 
     summary = run_extraction(

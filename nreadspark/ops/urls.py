@@ -95,3 +95,92 @@ def keep_canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     canon = df.withColumn("__canon", canonical_url_col(url_col))
     winners = canon.groupBy("__canon").agg(F.min("doc_id").alias("doc_id"))
     return canon.join(winners, ["__canon", "doc_id"], "left_semi").drop("__canon")
+
+
+# ---------------------------------------------------------------------------
+# Domain-level filtering (blocklists) -- the crawl-hygiene pass public
+# pipelines (C4's badwords domains, Dolma's blocklists, RefinedWeb) run
+# before any content is even fetched/parsed.
+# ---------------------------------------------------------------------------
+
+# Multi-part public suffixes for the naive eTLD+1 cut below.  Deliberately
+# a SMALL well-known subset (full fidelity needs the Mozilla Public Suffix
+# List -- thousands of entries; load one and pass it as extra_suffixes for
+# production): these cover the high-traffic ccTLD second-level registries.
+MULTI_PART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tw", "com.sg", "co.za", "com.ar", "co.nz",
+)
+
+
+def host_col(url) -> Column:
+    """Lowercased host of an absolute URL (userinfo-aware, bracket-aware
+    for IPv6 literals, port stripped) -- the shared extraction step of
+    :func:`canonical_url_col`; non-absolute URLs yield NULL."""
+    url = F.col(url) if isinstance(url, str) else url
+    rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
+    authority = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(authority, r"^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)", 1))
+    return F.when(url.rlike(_ABSOLUTE_PATTERN), host)
+
+
+def registrable_domain_col(url, extra_suffixes=()) -> Column:
+    """Registrable domain (eTLD+1) of an absolute URL as a codegen column:
+    the last two host labels, or three when the last two form a known
+    multi-part suffix (:data:`MULTI_PART_SUFFIXES` + ``extra_suffixes``).
+    IP literals (v4 dotted quads, bracketed v6) and single-label hosts
+    pass through whole -- grouping by a truncated IP would merge unrelated
+    servers.  Non-absolute URLs yield NULL."""
+    host = host_col(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    suffixes = tuple(MULTI_PART_SUFFIXES) + tuple(extra_suffixes)
+    is_ip = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$") | host.startswith("[")
+    # outer guard: concat_ws SKIPS null args, so without it a NULL host
+    # (non-absolute URL) would yield '' instead of staying NULL
+    return F.when(
+        host.isNotNull(),
+        F.when(is_ip | (n <= 2), host).otherwise(
+            F.when((n >= 3) & last2.isin(*suffixes), last3).otherwise(last2)
+        ),
+    )
+
+
+def tag_blocked_domains(
+    df: DataFrame, blocked_domains, url_col: str = "url"
+) -> DataFrame:
+    """(doc_id, domain, blocked): registrable-domain extraction + a
+    BROADCAST membership join against the blocklist (blocklists are
+    thousands-to-millions of rows -- MBs; the corpus never shuffles).
+    ``blocked_domains``: an iterable of domain strings or a single-column
+    DataFrame."""
+    spark = df.sparkSession
+    if isinstance(blocked_domains, DataFrame):
+        bl = blocked_domains.toDF("domain")
+    else:
+        bl = spark.createDataFrame([(d,) for d in blocked_domains], "domain string")
+    bl = F.broadcast(bl.select(F.lower("domain").alias("domain")).distinct()
+                     .withColumn("__blocked", F.lit(True)))
+    tagged = df.select(
+        "doc_id", registrable_domain_col(url_col).alias("domain")
+    ).join(bl, "domain", "left")
+    return tagged.select(
+        "doc_id", "domain", F.coalesce("__blocked", F.lit(False)).alias("blocked")
+    )
+
+
+def drop_blocked_domains(
+    df: DataFrame, blocked_domains, url_col: str = "url"
+) -> DataFrame:
+    """Survivor composition: keep only rows whose registrable domain is
+    NOT on the blocklist (rows with un-parseable/non-absolute URLs are
+    kept -- a blocklist can only ban what it can name)."""
+    keep_ids = tag_blocked_domains(df, blocked_domains, url_col).filter(
+        ~F.col("blocked")
+    ).select("doc_id")
+    return df.join(keep_ids, "doc_id", "left_semi")

@@ -1,0 +1,210 @@
+"""Round-6 curation surface: PII scrubbing (ops/pii.py), domain blocklist
+filtering (ops/urls.py), and training-text rendering of interleaved spans
+(ops/render.py) -- unit semantics + cross-engine agreement with the
+generated DuckDB twins."""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("pii-domains-render-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+PII_DOCS = [
+    (1, "contact me at jane.doe+spam@example.co.uk or on 555-123-4567 today"),
+    (2, "ssn 123-45-6789 leaked from 192.168.0.1 yesterday"),
+    (3, "call +1 (415) 555-0199 now; backup mail root@10.0.0.1.example.com"),
+    (4, "clean document with no identifiers at all"),
+    (5, ""),
+    (6, None),
+    (7, "two mails a@b.io c@d.org and two ips 8.8.8.8 1.1.1.1"),
+]
+
+
+def test_pii_scrub_semantics(spark):
+    from nreadspark.ops.pii import pii_scrub
+
+    df = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+
+    assert out[1]["n_emails"] == 1 and "<EMAIL>" in out[1]["clean_text"]
+    assert "jane" not in out[1]["clean_text"]
+    # 555-123-4567 is phone-shaped, not SSN-shaped (3-2-4); after the ssn
+    # pass it survives to the phone pass
+    assert out[1]["n_phones"] == 1 and "<PHONE>" in out[1]["clean_text"]
+
+    assert out[2]["n_ssns"] == 1 and out[2]["n_ipv4s"] == 1
+    assert "<SSN>" in out[2]["clean_text"] and "<IP>" in out[2]["clean_text"]
+    assert "123-45-6789" not in out[2]["clean_text"]
+
+    assert out[3]["n_emails"] == 1  # root@10.0.0.1.example.com is an email
+    assert out[3]["n_phones"] == 1 and "+1" not in out[3]["clean_text"]
+
+    assert out[4]["clean_text"] == PII_DOCS[3][1]
+    assert all(out[4][c] == 0 for c in ("n_emails", "n_ssns", "n_ipv4s", "n_phones"))
+    assert out[5]["clean_text"] == ""
+    assert out[6]["clean_text"] is None and out[6]["n_emails"] == 0
+    assert out[7]["n_emails"] == 2 and out[7]["n_ipv4s"] == 2
+
+
+def test_pii_scrub_matches_duckdb_twin(spark):
+    """The generated SQL twin must replicate every replacement and count
+    byte-for-byte (same patterns table -> no drift)."""
+    import duckdb
+
+    from nreadspark.ops.pii import pii_scrub, pii_scrub_sql
+
+    df = spark.createDataFrame(PII_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", PII_DOCS)
+    exprs = pii_scrub_sql("text")
+    cols = ", ".join(f"{sql} AS {name}" for name, sql in exprs.items())
+    want = {
+        r[0]: dict(zip(["doc_id"] + list(exprs), r))
+        for r in con.execute(f"SELECT doc_id, {cols} FROM docs").fetchall()
+    }
+    for did, g in got.items():
+        w = want[did]
+        for k in ("clean_text", "n_emails", "n_ssns", "n_ipv4s", "n_phones"):
+            assert g[k] == w[k], (did, k, g[k], w[k])
+
+
+# ---------------------------------------------------------------------------
+# registrable domain + blocklist
+# ---------------------------------------------------------------------------
+
+DOMAIN_CASES = [
+    ("http://www.example.com/a", "example.com"),
+    ("https://a.b.news.co.uk/x?y=1", "news.co.uk"),
+    ("http://deep.sub.host.org", "host.org"),
+    ("http://localhost/x", "localhost"),
+    ("http://192.168.0.1:8080/a", "192.168.0.1"),
+    ("http://[2001:db8::1]/a", "[2001:db8::1]"),
+    ("HTTP://UPPER.Example.COM/a", "example.com"),
+    ("http://user:pw@shop.example.com.au/b", "example.com.au"),
+    ("not a url", None),
+    ("/relative", None),
+]
+
+
+def test_registrable_domain_col(spark):
+    from nreadspark.ops.urls import registrable_domain_col
+
+    df = spark.createDataFrame([(u,) for u, _ in DOMAIN_CASES], "url string")
+    got = [r["d"] for r in df.select(registrable_domain_col("url").alias("d")).collect()]
+    assert got == [want for _, want in DOMAIN_CASES]
+
+
+def test_blocklist_tag_and_drop(spark):
+    from nreadspark.ops.urls import drop_blocked_domains, tag_blocked_domains
+
+    rows = [
+        (1, "http://spamfarm.biz/a"),
+        (2, "http://www.spamfarm.biz/b"),  # same registrable domain
+        (3, "http://fine.example.org/c"),
+        (4, "http://shop.bad.co.uk/d"),
+        (5, "not a url"),  # unparseable -> never blocked
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = ["spamfarm.biz", "bad.co.uk", "BAD.CO.UK"]  # case-folded, deduped
+    tags = {r["doc_id"]: r for r in tag_blocked_domains(df, blocked).collect()}
+    assert tags[1]["blocked"] and tags[2]["blocked"] and tags[4]["blocked"]
+    assert not tags[3]["blocked"] and not tags[5]["blocked"]
+    assert tags[2]["domain"] == "spamfarm.biz"
+    kept = {r["doc_id"] for r in drop_blocked_domains(df, blocked).collect()}
+    assert kept == {3, 5}
+
+
+# ---------------------------------------------------------------------------
+# span rendering
+# ---------------------------------------------------------------------------
+
+
+def _span(kind, text, ref, off):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+
+SPAN_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def test_spans_to_training_text(spark):
+    from nreadspark.ops.render import spans_to_training_text
+
+    rows = [
+        # deliberately SHUFFLED offsets: rendering must sort
+        ("a", [_span("image", "", "img://1", 1), _span("text", "hello", None, 0),
+               _span("text", "world", None, 2)]),
+        ("b", [_span("text", "only text", None, 0)]),
+        ("c", [_span("video", "", "vid://9", 0)]),
+        ("d", [_span("text", "", None, 0), _span("text", "tail", None, 1)]),  # empty dropped
+        ("e", []),
+        ("f", None),
+    ]
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    out = {r["doc_id"]: r for r in spans_to_training_text(df).collect()}
+    assert out["a"]["text"] == "hello\n\n<|image|>\n\nworld"
+    assert out["a"]["n_text_spans"] == 2 and out["a"]["n_media_spans"] == 1
+    assert out["b"]["text"] == "only text"
+    assert out["c"]["text"] == "<|video|>" and out["c"]["n_media_spans"] == 1
+    assert out["d"]["text"] == "tail"  # no doubled separator
+    assert out["e"]["text"] == "" and out["e"]["n_text_spans"] == 0
+    assert out["f"]["text"] == "" and out["f"]["n_media_spans"] == 0
+
+
+def test_spans_render_with_refs_and_custom_format(spark):
+    from nreadspark.ops.render import spans_to_training_text
+
+    rows = [("a", [_span("text", "see", None, 0), _span("image", "", "img://7", 1)])]
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    (row,) = spans_to_training_text(
+        df, separator=" ", media_format="[{kind}]", include_ref=True
+    ).collect()
+    assert row["text"] == "see [image:img://7]"
+    with pytest.raises(ValueError, match="kind"):
+        spans_to_training_text(df, media_format="<media>").collect()
+
+
+def test_render_composes_with_extraction(spark):
+    """End-to-end: kernel spans -> training text keeps the media sentinel
+    between the text the extractor kept."""
+    from nreadspark.ops.render import spans_to_training_text
+    from nreadspark.pipeline import extract_from_html
+
+    html = (
+        "<html><head><title>T</title></head><body><div class='post'>"
+        "<p>First paragraph with plenty of words, commas, and real content "
+        "to keep the scorer happy.</p>"
+        "<img src='http://x/img.png'/>"
+        "<p>Second paragraph, also long enough to survive the cleaner in "
+        "this tiny fixture document.</p>"
+        "</div></body></html>"
+    )
+    df = spark.createDataFrame([("d1", html)], "doc_id string, html string")
+    spans = extract_from_html(df, html_col="html")
+    (row,) = spans_to_training_text(spans).collect()
+    assert "First paragraph" in row["text"] and "Second paragraph" in row["text"]
+    assert "<|image|>" in row["text"]
+    assert row["text"].index("First") < row["text"].index("<|image|>") < row["text"].index("Second")

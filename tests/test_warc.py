@@ -327,3 +327,58 @@ def test_stream_buffer_stays_bounded(tmp_path):
     assert n == 601
     # one record is ~30 KB; whole-blob inflation would be ~9 MB
     assert peak < 1_200_000, peak
+
+
+def test_run_warc_ingestion_with_per_file_resume(spark, tmp_path):
+    """The crawl-ingestion job tier: glob -> streamed extraction ->
+    bucketed output + manifests; resume recomputes exactly the missing
+    buckets' FILES (the atomic crawl-store retry unit); a different file
+    set recomputes everything (input fingerprint)."""
+    import json
+    import os
+
+    from nreadspark.lineage import run_warc_ingestion
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    for f in range(6):
+        pages = [
+            (f"http://ex.com/f{f}/p{i}",
+             f"<html><body><p>ingest file {f} page {i} body with words</p></body></html>".encode(),
+             "text/html")
+            for i in range(5)
+        ]
+        (d / f"seg-{f}.warc.gz").write_bytes(build_warc(pages, gzip_records=True))
+    out = str(tmp_path / "out")
+
+    s1 = run_warc_ingestion(spark, str(d), out, n_buckets=4)
+    assert s1["n_files"] == 6 and s1["buckets_skipped"] == 0
+    assert s1["docs_computed"] == 30
+    result = spark.read.parquet(out)
+    assert result.count() == 30
+    assert result.filter("content_extracted").count() == 30
+
+    # full-resume: nothing recomputes
+    s2 = run_warc_ingestion(spark, str(d), out, n_buckets=4)
+    assert s2["buckets_computed"] == 0 and s2["buckets_skipped"] == s1["buckets_computed"]
+
+    # delete one manifest -> exactly that bucket's files recompute
+    manifests = sorted(
+        p for p in os.listdir(os.path.join(out, "_lineage")) if p.startswith("bucket=")
+    )
+    victim = os.path.join(out, "_lineage", manifests[0])
+    victim_docs = json.load(open(victim))["docs"]
+    os.remove(victim)
+    s3 = run_warc_ingestion(spark, str(d), out, n_buckets=4)
+    assert s3["buckets_computed"] == 1
+    assert s3["docs_computed"] == victim_docs
+    assert spark.read.parquet(out).count() == 30  # dynamic overwrite: no dupes
+
+    # a different file set must invalidate everything (fingerprint)
+    (d / "seg-extra.warc.gz").write_bytes(
+        build_warc([("http://ex.com/x", b"<html><body><p>extra page body words</p></body></html>", "text/html")],
+                   gzip_records=True)
+    )
+    s4 = run_warc_ingestion(spark, str(d), out, n_buckets=4)
+    assert s4["buckets_skipped"] == 0 and s4["n_files"] == 7
+    assert spark.read.parquet(out).count() == 31
