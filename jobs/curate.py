@@ -112,6 +112,7 @@ def curate_resumable(
     model_threshold: float = 0.0,
     decontam_eval=None,
     decontam_n: int = 13,
+    pii: bool = False,
 ):
     """:func:`curate` with per-stage, per-bucket checkpointed lineage.
 
@@ -128,8 +129,13 @@ def curate_resumable(
       ``decontam_n``-gram with the eval set (stage ``decontam``;
       fingerprinted by the eval frame's file listing).
 
+    * ``pii=True``: PII scrubbing (ops.pii fixed-order redaction chain)
+      right before the pair graph, so near-dup hashing sees the text that
+      will actually ship (stage ``pii_scrub``; its presence alone is the
+      fingerprint key -- the pattern table is part of the code).
+
     Stage order: quality -> [model_filter] -> line_clean -> [decontam] ->
-    pairs -> final.  Every stage (optional ones included) commits through
+    [pii_scrub] -> pairs -> final.  Every stage (optional ones included) commits through
     the same bucketed parquet + manifest + marker protocol, and each
     stage's params fold into every DOWNSTREAM fingerprint, so toggling or
     re-tuning an optional stage recomputes exactly the stages after it.
@@ -224,7 +230,8 @@ def curate_resumable(
         if decontam_eval is not None
         else lparams
     )
-    pparams = {**dparams, "minhash_threshold": minhash_threshold}
+    sparams = {**dparams, "pii": 1} if pii else dparams
+    pparams = {**sparams, "minhash_threshold": minhash_threshold}
     fparams = pparams  # keep_canonical adds no knobs of its own
 
     # short-circuit: a COMPLETED job (final marker present, matching
@@ -238,6 +245,7 @@ def curate_resumable(
         + (["model_filter"] if quality_model is not None else [])
         + ["line_clean"]
         + (["decontam"] if decontam_eval is not None else [])
+        + (["pii_scrub"] if pii else [])
         + ["pairs", "final"]
     )
     if resume:
@@ -376,6 +384,40 @@ def curate_resumable(
             stats["resumed_stages"].append("decontam")
         stats.update(dstats)
         _fail_hook("decontam")
+
+    # -- optional stage: PII scrubbing ------------------------------------
+    if pii:
+        from nreadspark.ops.pii import PII_PATTERNS, pii_scrub
+
+        st = _read_stage(spark, output_path, "pii_scrub", n_buckets, sparams) if resume else None
+        if st is None:
+            __t0 = time.perf_counter()
+            # persist: the per-category totals and the stage commit both
+            # consume the scrub projection -- one evaluation, not two
+            scrubbed = pii_scrub(cleaned, text_col=text_col).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            totals = scrubbed.agg(
+                *[F.sum(f"n_{name}").alias(name) for name, _, _ in PII_PATTERNS]
+            ).collect()[0]
+            replaced = cleaned.drop(text_col).join(
+                scrubbed.select("doc_id", F.col("clean_text").alias(text_col)),
+                "doc_id",
+            )
+            sstats = {"pii_redactions": {name: int(totals[name] or 0)
+                                         for name, _, _ in PII_PATTERNS}}
+            _commit_stage(
+                spark, replaced, output_path, "pii_scrub", n_buckets,
+                sstats, resume, params=sparams,
+            )
+            scrubbed.unpersist()
+            cleaned, sstats = _read_stage(spark, output_path, "pii_scrub", n_buckets, sparams)
+            stats.setdefault("stage_wall_s", {})["pii_scrub"] = round(time.perf_counter() - __t0, 3)
+        else:
+            cleaned, sstats = st
+            stats["resumed_stages"].append("pii_scrub")
+        stats.update(sstats)
+        _fail_hook("pii_scrub")
 
     # -- stage 3: near-dup pair verification ------------------------------
     st = _read_stage(spark, output_path, "pairs", n_buckets, pparams) if resume else None
@@ -550,6 +592,10 @@ def main() -> None:
     parser.add_argument("--model-threshold", type=float, default=0.0,
                         help="keep docs with logit > threshold (logit space)")
     parser.add_argument(
+        "--pii-scrub", action="store_true",
+        help="enable the optional PII redaction stage (emails/ssns/ipv4s/phones)",
+    )
+    parser.add_argument(
         "--decontam-eval",
         help="parquet path of the eval set (must carry --text-col); enables "
         "the decontam stage",
@@ -614,6 +660,7 @@ def main() -> None:
         model_threshold=args.model_threshold,
         decontam_eval=decontam_eval,
         decontam_n=args.decontam_n,
+        pii=args.pii_scrub,
     )
     print(json.dumps(stats))
     spark.stop()

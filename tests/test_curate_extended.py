@@ -179,3 +179,54 @@ def test_plain_checkpoints_survive_the_optional_stage_upgrade(spark, tmp_path):
     for marker in markers:
         params = _json.loads(marker.read_text()).get("params", {})
         assert "input" not in params, marker
+
+
+def test_pii_stage_scrubs_and_checkpoints(spark, tmp_path):
+    """The optional pii_scrub stage redacts planted identifiers before the
+    pair graph, reports per-category totals, resumes like every other
+    stage, and its presence is fingerprint-gated (toggling it on
+    invalidates only downstream)."""
+    from curate import curate_resumable
+
+    rows = [
+        ("1", GOOD + " contact alice@example.com for details."),
+        ("2", GOOD + " my ssn is 123-45-6789 sadly."),
+        ("3", "a perfectly ordinary independent document, with words, ending."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = str(tmp_path / "pii")
+    kw = dict(min_words=5, minhash_threshold=0.9, line_min_repeats=100,
+              line_delimiter=",", n_buckets=4, clean_stages=False)
+
+    df, stats = curate_resumable(spark, docs, out, pii=True, **kw)
+    assert stats["pii_redactions"]["emails"] == 1
+    assert stats["pii_redactions"]["ssns"] == 1
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert "<EMAIL>" in texts["1"] and "alice@" not in texts["1"]
+    assert "<SSN>" in texts["2"] and "123-45-6789" not in texts["2"]
+    assert "pii_scrub" in stats["stage_wall_s"]
+
+    # full rerun resumes every stage including pii_scrub
+    _, s2 = curate_resumable(spark, docs, out, pii=True, **kw)
+    assert "pii_scrub" in s2["resumed_stages"]
+
+    # plain run into a DIFFERENT output has no pii keys anywhere
+    _, s3 = curate_resumable(spark, docs, str(tmp_path / "plain"), **kw)
+    assert "pii_redactions" not in s3
+
+
+def test_pii_toggle_invalidates_only_downstream(spark, tmp_path):
+    """Turning the pii stage ON over a completed plain run must resume
+    quality/line_clean (their params are untouched) and recompute from
+    the pii stage on."""
+    from curate import curate_resumable
+
+    docs = _docs(spark)
+    out = str(tmp_path / "toggle")
+    kw = dict(min_words=5, minhash_threshold=0.9, line_min_repeats=100,
+              line_delimiter=",", n_buckets=4, clean_stages=False)
+    _, s1 = curate_resumable(spark, docs, out, **kw)
+    assert s1["resumed_stages"] == []
+    _, s2 = curate_resumable(spark, docs, out, pii=True, **kw)
+    assert s2["resumed_stages"] == ["quality", "line_clean"]
+    assert "pii_redactions" in s2
