@@ -144,12 +144,20 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality heuristics: length, punctuation ratio, stopword ratio, mean
     word length -- all rounded to stable precision."""
-    length = F.length(text_col)
+    # staged (round-6 rule): length is read 3x and n_words 3x -- as plain
+    # expressions each reference re-ran the split / length per use
+    d = (
+        df.withColumn("__qs_len", F.length(text_col))
+        .withColumn("__qs_words", F.split(F.trim(F.col(text_col)), r"\s+"))
+        .withColumn("__qs_nw", F.size("__qs_words"))
+    )
+    length = F.col("__qs_len")
+    n_words = F.col("__qs_nw")
     punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_words = F.size(words)
-    stop_hits = F.size(F.filter(words, lambda w: w.isin("the", "a", "and", "of", "in", "to")))
-    return df.select(
+    stop_hits = F.size(
+        F.filter(F.col("__qs_words"), lambda w: w.isin("the", "a", "and", "of", "in", "to"))
+    )
+    return d.select(
         "doc_id",
         length.cast("bigint").alias("n_chars_measured"),
         F.round(punct / length, 6).alias("punct_ratio"),
@@ -338,16 +346,22 @@ def repetition_stats(
         )
     )
 
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # staged (round-6 rule): the pair construction reads the word array 5x
+    # (two slices, three sizes) -- materialize it once per row
+    wdf = df.withColumn(
+        "__rs_words", F.split(F.trim(F.col(text_col)), r"\s+")
+    ).withColumn("__rs_nw", F.size("__rs_words"))
+    words = F.col("__rs_words")
+    nw = F.col("__rs_nw")
     pair = F.when(
-        F.size(words) >= 2,
+        nw >= 2,
         F.zip_with(
-            F.slice(words, 1, F.size(words) - 1),
-            F.slice(words, 2, F.size(words) - 1),
+            F.slice(words, 1, nw - 1),
+            F.slice(words, 2, nw - 1),
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bigrams = df.select("doc_id", F.explode(pair).alias("bigram"))
+    bigrams = wdf.select("doc_id", F.explode(pair).alias("bigram"))
     bigram_stats = (
         bigrams.groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("c"))
@@ -403,14 +417,28 @@ def c4_quality_filter(
     Empty/whitespace text follows Spark split semantics (one empty token):
     it fires too_few_words + no_terminal_punct and is dropped.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_words = F.size(words)
-    n_chars = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
-    max_wlen = F.array_max(F.transform(words, lambda w: F.length(w)))
+    # staged child projections (round-6 rule: every rule condition is read
+    # TWICE -- once in `fired`, once in `keep` -- and several read the
+    # word array, so the single-expression form re-ran the split ~8x and
+    # the per-word length transform twice per row; staging the inputs and
+    # then the rule booleans makes every reference a column ref)
+    d = (
+        df.withColumn("__c4_words", F.split(F.trim(F.col(text_col)), r"\s+"))
+        .withColumn("__c4_nw", F.size("__c4_words"))
+        .withColumn(
+            "__c4_nc", F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+        )
+        .withColumn(
+            "__c4_mwl",
+            F.array_max(F.transform(F.col("__c4_words"), lambda w: F.length(w))),
+        )
+    )
+    n_words = F.col("__c4_nw")
+    n_chars = F.col("__c4_nc")
     rules = [
         ("too_few_words", n_words < min_words),
         ("too_many_words", n_words > max_words),
-        ("long_word", max_wlen > max_word_len),
+        ("long_word", F.col("__c4_mwl") > max_word_len),
         ("brace", F.col(text_col).contains("{")),
         ("lorem_ipsum", F.lower(F.col(text_col)).contains("lorem ipsum")),
         ("no_terminal_punct", ~F.trim(F.col(text_col)).rlike(_C4_TERMINAL_PUNCT)),
@@ -420,11 +448,15 @@ def c4_quality_filter(
             | (n_chars > F.lit(max_mean_word_len) * n_words),
         ),
     ]
-    fired = [F.when(cond, F.lit(name)) for name, cond in rules]
-    keep = ~rules[0][1]
-    for _, cond in rules[1:]:
-        keep = keep & ~cond
-    return df.select(
+    for name, cond in rules:
+        d = d.withColumn(f"__c4_r_{name}", cond)
+    fired = [
+        F.when(F.col(f"__c4_r_{name}"), F.lit(name)) for name, _ in rules
+    ]
+    keep = F.lit(True)
+    for name, _ in rules:
+        keep = keep & ~F.col(f"__c4_r_{name}")
+    return d.select(
         "doc_id",
         n_words.cast("bigint").alias("n_words"),
         keep.alias("keep"),
