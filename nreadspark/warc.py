@@ -126,6 +126,7 @@ def _gzip_member(data: bytes) -> bytes:
 
 
 _READ_CHUNK = 1 << 20  # compressed-side read granularity
+_MAX_INFLATE = 4 << 20  # per-call inflate burst cap (memory smoothing)
 
 
 class _GzipCorruption(Exception):
@@ -150,6 +151,13 @@ def _iter_decompressed(read):
     member yields its good prefix silently and lets the record parser
     flag the truncated record."""
     pending = read(2)
+    # raw (unbuffered) streams may legally return 1 byte on read(2):
+    # top up before classifying, or a gzip stream would misparse as plain
+    while len(pending) == 1:
+        more = read(1)
+        if not more:
+            break
+        pending += more
     if pending[:2] != b"\x1f\x8b":
         # plain .warc bytes: pass straight through
         while pending:
@@ -167,9 +175,11 @@ def _iter_decompressed(read):
             return
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         while not d.eof:
-            if not pending:
-                pending = read(_READ_CHUNK)
-                if not pending:
+            data = d.unconsumed_tail or pending
+            pending = b""
+            if not data:
+                data = read(_READ_CHUNK)
+                if not data:
                     # EOF mid-member (truncated, not corrupt): flush what
                     # inflated and let the record parser flag truncation
                     tail = d.flush()
@@ -177,10 +187,12 @@ def _iter_decompressed(read):
                         yield tail
                     return
             try:
-                out = d.decompress(pending)
+                # max_length caps each inflate burst: a 1000:1 member
+                # (bomb or just a huge record) emits bounded chunks
+                # instead of one giant allocation per compressed chunk
+                out = d.decompress(data, _MAX_INFLATE)
             except zlib.error as exc:
                 raise _GzipCorruption(f"corrupt gzip member: {exc}") from exc
-            pending = b""
             if out:
                 yield out
         pending = d.unused_data
@@ -273,10 +285,15 @@ def iter_warc_records_stream(stream):
             if pos >= len(buf):
                 break
             continue
+        search_from = pos
         while True:
-            head_end = buf.find(_SEP, pos)
+            head_end = buf.find(_SEP, search_from)
             if head_end != -1:
                 break
+            # resume the scan near the buffer tail (separator may straddle
+            # the chunk boundary) -- repeated full rescans would go
+            # quadratic on a pathological never-terminating header
+            search_from = max(pos, len(buf) - 3)
             if not pull():
                 break
         if head_end == -1:

@@ -382,3 +382,20 @@ def test_run_warc_ingestion_with_per_file_resume(spark, tmp_path):
     s4 = run_warc_ingestion(spark, str(d), out, n_buckets=4)
     assert s4["buckets_skipped"] == 0 and s4["n_files"] == 7
     assert spark.read.parquet(out).count() == 31
+
+
+def test_inflate_bursts_are_bounded():
+    """A single highly-compressible mega-member (bomb-shaped or just a
+    huge record) must inflate in bounded bursts, never one giant
+    allocation per compressed chunk."""
+    import io
+
+    import nreadspark.warc as W
+
+    rec = build_warc_record("response", build_http_response(b"\x00" * (64 << 20)),
+                            target_uri="http://ex.com/huge")
+    member = W._gzip_member(rec)
+    assert len(member) < (1 << 20)  # ~1000:1 -- the hazard shape
+    sizes = [len(c) for c in W._iter_decompressed(io.BytesIO(member).read)]
+    assert sum(sizes) == len(rec)
+    assert max(sizes) <= W._MAX_INFLATE
