@@ -462,3 +462,32 @@ def c4_quality_filter(
         keep.alias("keep"),
         F.concat_ws(";", *fired).alias("reasons"),
     )
+
+
+def corpus_profile(
+    df: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """Per-group corpus profile -- the one-pass monitoring aggregate a
+    curation fleet runs before/after every stage (per-language doc
+    counts, char volume, exact length distribution summary):
+    ``(group_key, n_docs, total_chars, min_chars, max_chars, mean_chars,
+    median_chars)``.
+
+    One map-side-combined hash aggregation keyed on the group; the EXACT
+    median uses Spark's ``percentile`` (linear interpolation -- the same
+    definition as ANSI ``percentile_cont``, so the DuckDB twin agrees to
+    the rounded precision).  Exact-median shuffle volume is per-group
+    value lists -- for profile dashboards at 10^12 docs swap in
+    ``percentile_approx`` and drop the oracle claim."""
+    return (
+        df.withColumn("__cp_len", F.length(text_col))
+        .groupBy(F.col(group_col).alias("group_key"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__cp_len").cast("bigint").alias("total_chars"),
+            F.min("__cp_len").cast("bigint").alias("min_chars"),
+            F.max("__cp_len").cast("bigint").alias("max_chars"),
+            F.round(F.avg("__cp_len"), 6).alias("mean_chars"),
+            F.round(F.expr("percentile(__cp_len, 0.5)"), 6).alias("median_chars"),
+        )
+    )

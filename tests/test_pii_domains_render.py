@@ -208,3 +208,30 @@ def test_render_composes_with_extraction(spark):
     assert "First paragraph" in row["text"] and "Second paragraph" in row["text"]
     assert "<|image|>" in row["text"]
     assert row["text"].index("First") < row["text"].index("<|image|>") < row["text"].index("Second")
+
+
+# ---------------------------------------------------------------------------
+# corpus profile
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_profile_exact_stats(spark):
+    from nreadspark.ops.textstats import corpus_profile
+
+    rows = [
+        (1, "aaaa", "en"),   # len 4
+        (2, "bb", "en"),     # len 2
+        (3, "cccccc", "en"), # len 6
+        (4, "ddddd", "de"),  # len 5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["group_key"]: r for r in corpus_profile(df).collect()}
+    en = out["en"]
+    assert (en["n_docs"], en["total_chars"], en["min_chars"], en["max_chars"]) == (3, 12, 2, 6)
+    assert en["mean_chars"] == 4.0 and en["median_chars"] == 4.0
+    de = out["de"]
+    assert de["n_docs"] == 1 and de["median_chars"] == 5.0
+    # even-count group: interpolated median (percentile_cont semantics)
+    df2 = spark.createDataFrame(rows + [(5, "eeeeeeee", "en")], "doc_id long, text string, lang string")
+    en2 = {r["group_key"]: r for r in corpus_profile(df2).collect()}["en"]
+    assert en2["median_chars"] == 5.0  # (4+6)/2
