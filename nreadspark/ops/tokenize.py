@@ -164,7 +164,9 @@ def load_gpt2_merges(source) -> list[tuple[bytes, bytes]]:
         with open(source, encoding="utf-8") as fh:
             lines = fh.read().splitlines()
     else:
-        lines = [ln.rstrip("\n") for ln in source]
+        # tolerate CRLF sources: a trailing '\r' is line framing, not a
+        # symbol byte
+        lines = [ln.rstrip("\r\n") for ln in source]
     decoder = gpt2_byte_decoder()
 
     def to_bytes(sym: str) -> bytes:
