@@ -500,10 +500,16 @@ def run_warc_ingestion(
         [(p,) for p in listing], "path string"
     ).withColumn("bucket", bucket_col(n_buckets, "path"))
     todo = bucketed.filter(~F.col("bucket").isin(list(done))) if done else bucketed
-    # repartition by bucket-of-file so each task streams whole files and
-    # output partitions align with the commit unit (files are ~1 GB in
-    # production -- one-file tasks; the exchange moves only path strings)
-    todo = todo.repartition(n_buckets, "bucket")
+    # spread FILES across the executor cores (the exchange moves only path
+    # strings).  Partitioning need not align with the bucket commit unit:
+    # manifests are aggregated from the written rows AFTER the write, so
+    # any task layout is crash-consistent -- capping parallelism at
+    # n_buckets would idle (cores - n_buckets) executors per wave
+    n_todo = todo.count()
+    n_part = max(
+        1, min(n_todo, max(n_buckets, spark.sparkContext.defaultParallelism))
+    )
+    todo = todo.repartition(n_part, "path")
 
     extracted = extract_warc_paths(todo, max_doc_bytes=max_doc_bytes)
     # recompute the bucket from the doc_id's path prefix (doc_id is

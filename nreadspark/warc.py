@@ -491,19 +491,26 @@ def _open_warc_path(path: str):
     return open(path, "rb")
 
 
-def warc_path_table(spark, pattern):
+def warc_path_table(spark, pattern, glob_filter: str | None = None):
     """(path, size) table for a glob of WARC files -- a distributed
     listing via the ``binaryFile`` source with COLUMN PRUNING, so file
     content is never read here (the format materializes only requested
     columns).  WARC files are non-splittable, so the scan plans roughly
     one ~1 GB crawl file per task -- exactly the unit Common Crawl
-    ships."""
+    ships.
+
+    Pass a glob in ``pattern`` (``.../segment-00/*.warc.gz``) or a
+    ``glob_filter`` (maps to the source's ``pathGlobFilter``) when the
+    directory holds anything besides the crawl files -- a bare directory
+    load trips binaryFile's partition-directory inference on mixed
+    content (e.g. an output table living next to the inputs)."""
     from pyspark.sql import functions as F
 
-    return (
-        spark.read.format("binaryFile")
-        .load(pattern)
-        .select(F.col("path"), F.col("length").alias("size"))
+    reader = spark.read.format("binaryFile")
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    return reader.load(pattern).select(
+        F.col("path"), F.col("length").alias("size")
     )
 
 
