@@ -230,3 +230,38 @@ def test_pii_toggle_invalidates_only_downstream(spark, tmp_path):
     _, s2 = curate_resumable(spark, docs, out, pii=True, **kw)
     assert s2["resumed_stages"] == ["quality", "line_clean"]
     assert "pii_redactions" in s2
+
+
+def test_all_three_optional_stages_compose(spark, tmp_path):
+    """model_filter + decontam + pii_scrub together: seven stages, each
+    dropping/redacting exactly its planted target, full-resume green."""
+    from curate import curate_resumable
+
+    rows = [
+        ("1", GOOD + " contact alice@example.com please."),
+        ("2", GOOD + " a second fine doc that differs."),
+        ("3", SPAMMY),                                        # model drops
+        ("4", f"an otherwise fine document, {LEAK}, ending."),  # decontam drops
+        ("5", "a perfectly ordinary independent document, with words, ending."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = str(tmp_path / "all")
+    kw = dict(min_words=5, minhash_threshold=0.9, line_min_repeats=100,
+              line_delimiter=",", n_buckets=4, clean_stages=False,
+              quality_model=_train_model(spark), decontam_eval=_eval_df(spark),
+              decontam_n=8, pii=True)
+    df, stats = curate_resumable(spark, docs, out, **kw)
+    kept = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert "3" not in kept and "4" not in kept
+    assert stats["model_dropped"] == 1 and stats["decontaminated_dropped"] == 1
+    assert stats["pii_redactions"]["emails"] == 1
+    assert "<EMAIL>" in kept["1"] and "alice@" not in kept["1"]
+    assert set(stats["stage_wall_s"]) == {
+        "quality", "model_filter", "line_clean", "decontam", "pii_scrub",
+        "pairs", "final",
+    }
+    _, s2 = curate_resumable(spark, docs, out, **kw)
+    assert s2["resumed_stages"] == [
+        "quality", "model_filter", "line_clean", "decontam", "pii_scrub",
+        "pairs", "final",
+    ]
