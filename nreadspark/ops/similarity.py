@@ -481,8 +481,18 @@ def quantize_embeddings(
     mode (half away from zero) matches DuckDB, so the driver oracle
     reproduces the exact codes.
     """
-    vec = _as_double_vec(F.col(vec_col))
-    amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    # vec/amax staged as child-projection columns: amax is referenced 3x
+    # (guard, lambda capture, scale) and vec 3x.  Measured ~10% at
+    # 100k x 256-dim -- NOT the r5 per-lambda-inlining blowup (an outer
+    # expression captured by a transform lambda evaluates per ROW, unlike
+    # the per-slice re-inlining that hit the gram windows) -- but staging
+    # keeps the multi-ref rule uniform and the plan readable.
+    d = emb_df.withColumn("__qe_vec", _as_double_vec(F.col(vec_col))).withColumn(
+        "__qe_amax",
+        F.array_max(F.transform(F.col("__qe_vec"), lambda x: F.abs(x))),
+    )
+    vec = F.col("__qe_vec")
+    amax = F.col("__qe_amax")
     qvec = F.when(
         amax > 0.0,
         F.transform(vec, lambda x: F.round(x * F.lit(127.0) / amax).cast("int")),
@@ -490,7 +500,7 @@ def quantize_embeddings(
     # scale is exact (callers dequantize with it; rounding it would leak
     # up to |q|*round_err into the reconstruction bound) -- display/oracle
     # layers round for representation stability
-    return emb_df.select(
+    return d.select(
         F.col(id_col), (amax / F.lit(127.0)).alias("scale"), qvec.alias("qvec")
     )
 
