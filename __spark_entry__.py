@@ -538,6 +538,27 @@ def _q_domain_blocklist(spark, sf_dir):
     return tag_blocked_domains(df, blocked)
 
 
+def _q_domain_cap(spark, sf_dir):
+    """Per-domain quota cap (r6): same synthetic URL family as
+    domain_blocklist; keep at most 3 docs per registrable domain with
+    deterministic doc_id-ordered survivors -- one window shuffle."""
+    from nreadspark.ops.urls import cap_per_domain
+
+    docs = _table(spark, sf_dir, "documents")
+    tld = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, ".co.uk")
+        .when(F.pmod("doc_id", F.lit(4)) == 1, ".com")
+        .when(F.pmod("doc_id", F.lit(4)) == 2, ".org")
+        .otherwise(".io")
+    )
+    url = F.concat(
+        F.lit("https://sub.host"), F.pmod("doc_id", F.lit(20)).cast("string"),
+        tld, F.lit("/p/"), F.col("doc_id").cast("string"),
+    )
+    df = docs.select("doc_id", url.alias("url"))
+    return cap_per_domain(df, max_docs=3).select("doc_id")
+
+
 def _q_spans_render(spark, sf_dir):
     """Interleaved spans -> training text (r6): render the north-rule span
     shape (text + image sentinel, offset-sorted) into the flat format
@@ -1402,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist": _q_domain_blocklist,
         "spans_render": _q_spans_render,
         "corpus_profile": _q_corpus_profile,
+        "domain_cap": _q_domain_cap,
         # --- driver 50-row cap boundary: everything below is a monitoring
         # aggregate (corpus_profile), a VARIANT of an operator whose
         # primary oracle sits above (line_dedup_newline, extract_byte_budget,
@@ -1681,6 +1703,22 @@ def oracle_sql() -> dict[str, str]:
                    round(percentile_cont(0.5) WITHIN GROUP (ORDER BY length(text)), 6) AS median_chars
             FROM documents
             GROUP BY lang
+        """,
+        # domain_cap (r6): closed-form domain + ANSI row_number window
+        "domain_cap": """
+            WITH d AS (
+                SELECT doc_id,
+                       'host' || CAST(doc_id % 20 AS VARCHAR) ||
+                       CASE CAST(doc_id % 4 AS INT)
+                            WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                            WHEN 2 THEN '.org' ELSE '.io' END AS domain
+                FROM documents
+            ), r AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+                FROM d
+            )
+            SELECT doc_id FROM r WHERE rn <= 3
         """,
         # text_pii_scrub (r6): oracle GENERATED from ops.pii.PII_PATTERNS --
         # same planting, same fixed-order replacement chain

@@ -292,3 +292,30 @@ def drop_blocked_domains(
         ~F.col("blocked")
     ).select("doc_id")
     return df.join(keep_ids, "doc_id", "left_semi")
+
+
+def cap_per_domain(
+    df: DataFrame, max_docs: int, url_col: str = "url", keep_order_col: str = "doc_id"
+) -> DataFrame:
+    """Domain diversity cap: keep at most ``max_docs`` rows per
+    registrable domain -- the anti-domination quota web-scale mixes apply
+    so a single mega-site cannot swamp the corpus (C4 kept whole domains;
+    later public recipes cap them).  Deterministic survivors: rows rank by
+    ``keep_order_col`` ascending within their domain, so reruns and
+    repartitions keep the same documents.  Rows with no parseable domain
+    (non-absolute URLs) are never capped -- a quota needs a key.
+
+    Shape: domain extraction in the scan stage (staged fast form), ONE
+    shuffle on the domain for the ranking window.  At 100 TB the window
+    partitions by domain -- skew from a mega-domain is exactly the thing
+    being capped, and rank-then-filter discards its tail without
+    collecting it."""
+    from pyspark.sql import Window
+
+    tagged = with_registrable_domain(df, url_col, "__cap_domain")
+    w = Window.partitionBy("__cap_domain").orderBy(F.col(keep_order_col).asc())
+    ranked = tagged.withColumn("__cap_rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("__cap_domain").isNull() | (F.col("__cap_rn") <= max_docs))
+        .drop("__cap_domain", "__cap_rn")
+    )

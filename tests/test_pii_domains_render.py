@@ -235,3 +235,19 @@ def test_corpus_profile_exact_stats(spark):
     df2 = spark.createDataFrame(rows + [(5, "eeeeeeee", "en")], "doc_id long, text string, lang string")
     en2 = {r["group_key"]: r for r in corpus_profile(df2).collect()}["en"]
     assert en2["median_chars"] == 5.0  # (4+6)/2
+
+
+def test_cap_per_domain(spark):
+    from nreadspark.ops.urls import cap_per_domain
+
+    rows = (
+        [(i, f"http://a{i%2}.big.com/p/{i}") for i in range(10)]       # big.com x10
+        + [(100 + i, f"http://small.org/{i}") for i in range(2)]       # small.org x2
+        + [(200, "not a url"), (201, "not a url")]                     # uncapped
+    )
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {r["doc_id"] for r in cap_per_domain(df, max_docs=3).collect()}
+    assert kept == {0, 1, 2, 100, 101, 200, 201}  # lowest ids survive
+    # cap larger than any group: everything survives, columns untouched
+    out = cap_per_domain(df, max_docs=50)
+    assert out.count() == len(rows) and out.columns == ["doc_id", "url"]
