@@ -166,7 +166,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_url",
         "text_pii_scrub",
         "domain_blocklist",
+        "domain_cap",
         "spans_render",
+        "corpus_profile",
         "e1_title_rules",
         "f5_f6_regex_rewrite",
         "tpch_q1_like",
