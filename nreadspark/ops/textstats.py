@@ -36,6 +36,15 @@ LANG_MARKERS = {
     "ru": ["и", "не", "что", "это", "как"],
     "zh": ["的", "是", "了", "在", "我"],
     "ja": ["の", "は", "を", "です", "した"],
+    # round 6: four more languages, each a DISTINCT script (Hangul,
+    # Arabic, Devanagari, Thai) so the single-pass charset-disjointness
+    # invariant holds by construction -- and the single combined scan
+    # means 14 languages cost barely more than 10 (the r5 per-language
+    # form would have added four more full-text regex passes)
+    "ko": ["이", "그", "을", "는", "하다"],
+    "ar": ["في", "من", "على", "أن", "هذا"],
+    "hi": ["है", "और", "की", "में", "यह"],
+    "th": ["ที่", "ใน", "ของ", "และ", "การ"],
 }
 
 # Languages whose markers are ASCII-ish space-delimited words get \b

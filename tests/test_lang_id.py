@@ -1,5 +1,5 @@
 """Production lang_id (ops/textstats.py): runs on bare (doc_id, text) with
-no label column, covers 10 languages, predicts 'und' on no-signal text, and
+no label column, covers 14 languages, predicts 'und' on no-signal text, and
 holds >=90 % accuracy on a held-out synthetic multilingual corpus the
 marker table was not written against."""
 
@@ -96,6 +96,34 @@ CORPUS = {
         "朝の電車は混んでいます。駅で待ちました",
         "友達の家は遠いです。バスで行きました",
         "今日の天気は晴れです。公園を歩きました",
+    ],
+    "ko": [
+        "그 아이는 공원에서 공을 차고 있다",
+        "이 책은 도서관에서 빌린 것이다",
+        "우리는 아침에 빵을 먹는다",
+        "그 사람은 노래를 잘 부른다",
+        "이 도시는 밤에도 밝다",
+    ],
+    "ar": [
+        "ذهب الولد إلى المدرسة في الصباح",
+        "خرجنا من البيت على عجل",
+        "أعتقد أن الطقس جميل اليوم",
+        "هذا الكتاب مفيد للقراءة",
+        "وضعت الكوب على الطاولة في المطبخ",
+    ],
+    "hi": [
+        "यह किताब बहुत अच्छी है",
+        "वह स्कूल में पढ़ता है और खेलता है",
+        "उस लड़की की आवाज़ मीठी है",
+        "बारिश में बच्चे खुश होते हैं",
+        "यह शहर रात में सुंदर लगता है",
+    ],
+    "th": [
+        "เด็กเล่นอยู่ในสวนของโรงเรียน",
+        "การเดินทางครั้งนี้สนุกมาก",
+        "หนังสือเล่มนี้อยู่ที่โต๊ะ",
+        "อาหารและน้ำอยู่ในครัว",
+        "บ้านของเราอยู่ที่เชิงเขา",
     ],
 }
 
