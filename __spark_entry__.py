@@ -480,6 +480,24 @@ def _q_ngram_dup_stats(spark, sf_dir):
     return ngram_duplicate_stats(docs.select("doc_id", planted.alias("text")), n=8)
 
 
+def _q_dedup_reference(spark, sf_dir):
+    """Cross-snapshot dedup (r6): reference = docs with doc_id%5==0 under
+    whitespace/case noise (normalization must still match them); corpus
+    docs flagged in_reference iff their normalized fingerprint exists in
+    the reference -- closed-form expected flags."""
+    from nreadspark.ops.dedup import dedup_against_reference
+
+    docs = _table(spark, sf_dir, "documents")
+    reference = docs.filter(F.pmod("doc_id", F.lit(5)) == 0).select(
+        (F.col("doc_id") + F.lit(9000000)).alias("doc_id"),
+        # case/whitespace noise: normalization is load-bearing
+        F.concat(F.lit("  "), F.upper("text"), F.lit("   ")).alias("text"),
+    )
+    return dedup_against_reference(
+        docs.select("doc_id", "text"), reference
+    )
+
+
 def _q_corpus_profile(spark, sf_dir):
     """Per-language corpus profile (r6): one map-side-combined hash agg
     with exact interpolated median -- the monitoring aggregate a curation
@@ -1424,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_render": _q_spans_render,
         "corpus_profile": _q_corpus_profile,
         "domain_cap": _q_domain_cap,
+        "dedup_reference": _q_dedup_reference,
         # --- driver 50-row cap boundary: everything below is a monitoring
         # aggregate (corpus_profile), a VARIANT of an operator whose
         # primary oracle sits above (line_dedup_newline, extract_byte_budget,
@@ -1703,6 +1722,18 @@ def oracle_sql() -> dict[str, str]:
                    round(percentile_cont(0.5) WITHIN GROUP (ORDER BY length(text)), 6) AS median_chars
             FROM documents
             GROUP BY lang
+        """,
+        # dedup_reference (r6): membership is closed-form (doc_id%5==0),
+        # but the oracle still computes it THROUGH the fingerprint match
+        # so the normalization (lower + \s+ collapse) is verified too
+        "dedup_reference": r"""
+            WITH ref AS (
+                SELECT DISTINCT md5(regexp_replace(lower(trim('  ' || upper(text) || '   ')), '\s+', ' ', 'g')) AS fp
+                FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT d.doc_id,
+                   (md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) IN (SELECT fp FROM ref)) AS in_reference
+            FROM documents d
         """,
         # domain_cap (r6): closed-form domain + ANSI row_number window
         "domain_cap": """

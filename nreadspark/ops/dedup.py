@@ -1401,3 +1401,72 @@ def keep_canonical(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot dedup: flag documents already present in a REFERENCE
+# corpus (the previous training snapshot, a licensed set that must not be
+# re-ingested, a partner's delivery) -- the between-dataset twin of
+# exact_duplicates, run before any within-corpus stage so known content
+# never re-enters the pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _normalized_fingerprint(text_col: str):
+    """md5 of the case-folded, whitespace-normalized text -- the
+    :func:`..textstats.fingerprint` definition, shared so the cross-
+    snapshot join and the single-corpus fingerprint agree byte-for-byte
+    (and the DuckDB oracle can reproduce both)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+
+
+def dedup_against_reference(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    broadcast: bool = False,
+) -> DataFrame:
+    """(doc_id, in_reference): True where the corpus document's normalized
+    fingerprint already exists in ``reference``.
+
+    Scale shape: both sides reduce to 16-byte md5 keys IN the scan
+    projection; the reference side is made distinct (map-side combined)
+    and the membership check is a left-semi-shaped join on the hash --
+    at snapshot scale (reference ~ previous training set, i.e. as large
+    as the corpus) this is ONE fixed-width shuffle per side, never a
+    payload shuffle.  ``broadcast=True`` opts small references (eval
+    sets, licensed lists; MBs of hashes) into a broadcast join with zero
+    corpus shuffle."""
+    ref_fp = (
+        reference.select(
+            _normalized_fingerprint(ref_text_col or text_col).alias("__fp")
+        )
+        .distinct()
+        .withColumn("__in_ref", F.lit(True))
+    )
+    if broadcast:
+        ref_fp = F.broadcast(ref_fp)
+    return (
+        corpus.select("doc_id", _normalized_fingerprint(text_col).alias("__fp"))
+        .join(ref_fp, "__fp", "left")
+        .select(
+            "doc_id", F.coalesce("__in_ref", F.lit(False)).alias("in_reference")
+        )
+    )
+
+
+def strip_reference_duplicates(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    broadcast: bool = False,
+) -> DataFrame:
+    """Survivor composition: corpus rows whose content is NOT already in
+    the reference snapshot (anti-join on the fingerprint keys)."""
+    flags = dedup_against_reference(
+        corpus, reference, text_col, ref_text_col, broadcast
+    )
+    keep = flags.filter(~F.col("in_reference")).select("doc_id")
+    return corpus.join(keep, "doc_id", "left_semi")

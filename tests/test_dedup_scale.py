@@ -586,3 +586,29 @@ def test_embedding_quantization_contract(spark):
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9, vid
         if vid != 3:
             assert r["cosine_kept"] >= 0.9999, vid
+
+
+def test_dedup_against_reference_snapshot(spark):
+    """Cross-snapshot dedup: corpus docs whose NORMALIZED content already
+    exists in a reference snapshot are flagged/stripped; normalization
+    (case + whitespace) is load-bearing; broadcast and shuffle paths
+    agree."""
+    from nreadspark.ops.dedup import dedup_against_reference, strip_reference_duplicates
+
+    corpus = spark.createDataFrame(
+        [(1, "the same old document"), (2, "a genuinely new document"),
+         (3, "Another   Known Text"), (4, None)],
+        "doc_id long, text string",
+    )
+    reference = spark.createDataFrame(
+        [(100, "  THE SAME  OLD   DOCUMENT "), (101, "another known text"),
+         (102, "something else entirely")],
+        "doc_id long, text string",
+    )
+    for bc in (False, True):
+        flags = {r["doc_id"]: r["in_reference"]
+                 for r in dedup_against_reference(corpus, reference, broadcast=bc).collect()}
+        assert flags == {1: True, 2: False, 3: True, 4: False}
+        kept = {r["doc_id"] for r in
+                strip_reference_duplicates(corpus, reference, broadcast=bc).collect()}
+        assert kept == {2, 4}
