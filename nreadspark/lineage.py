@@ -443,11 +443,28 @@ def run_extraction(
         payload = row.asDict()
         payload["committed_at"] = time.time()
         _write_manifest(output_path, int(row["bucket"]), payload, spark=spark)
+    # a bucket whose files yield ZERO extraction rows (all non-response /
+    # damaged / empty crawl files) produces no stats row -- without a
+    # manifest every later resume would re-stream those files forever.
+    # The files WERE processed, so commit an explicit zero-doc manifest.
+    nonempty = {int(r["bucket"]) for r in stats}
+    processed = {
+        int(r["bucket"]) for r in todo.select("bucket").distinct().collect()
+    }
+    for b in sorted(processed - nonempty):
+        _write_manifest(
+            output_path, b,
+            {"bucket": b, "docs": 0, "docs_extracted": 0, "fallback_reruns": 0,
+             "parse_retries": 0, "kernel_failures": 0, "docs_truncated": 0,
+             "in_bytes": 0, "kernel_ms": 0.0, "max_doc_ms": 0.0,
+             "committed_at": time.time()},
+            spark=spark,
+        )
 
     return {
         "n_buckets": n_buckets,
         "buckets_skipped": len(done),
-        "buckets_computed": len(stats),
+        "buckets_computed": len(processed),
         "docs_computed": int(sum(r["docs"] for r in stats)),
         "wall_ms": (time.perf_counter() - started) * 1000.0,
     }

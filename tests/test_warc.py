@@ -399,3 +399,36 @@ def test_inflate_bursts_are_bounded():
     sizes = [len(c) for c in W._iter_decompressed(io.BytesIO(member).read)]
     assert sum(sizes) == len(rec)
     assert max(sizes) <= W._MAX_INFLATE
+
+
+def test_zero_row_files_still_commit_their_bucket(spark, tmp_path):
+    """A crawl file with no extractable responses (warcinfo/request only)
+    must still commit its bucket manifest -- otherwise every resume
+    re-streams it forever."""
+    from nreadspark.lineage import run_warc_ingestion
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    # one normal file + one with zero 200-responses
+    (d / "good.warc.gz").write_bytes(
+        build_warc([("http://ex.com/p", b"<html><body><p>real page body words</p></body></html>", "text/html")],
+                   gzip_records=True)
+    )
+    empty_records = build_warc_record(
+        "warcinfo", b"software: x\r\n", content_type="application/warc-fields"
+    ) + build_warc_record(
+        "request", b"GET / HTTP/1.1\r\n\r\n",
+        target_uri="http://ex.com/q",
+        content_type="application/http;msgtype=request",
+    )
+    from nreadspark.warc import _gzip_member
+
+    (d / "norsp.warc.gz").write_bytes(_gzip_member(empty_records))
+
+    out = str(tmp_path / "out")
+    s1 = run_warc_ingestion(spark, str(d), out, n_buckets=4)
+    assert s1["docs_computed"] == 1
+    # both files' buckets committed (possibly the same bucket)
+    s2 = run_warc_ingestion(spark, str(d), out, n_buckets=4)
+    assert s2["buckets_computed"] == 0  # nothing re-streams
+    assert s2["buckets_skipped"] == s1["buckets_computed"]
