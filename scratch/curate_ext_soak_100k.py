@@ -1,6 +1,7 @@
 """100k-document soak of the EXTENDED curation pipeline (quality rules ->
-model_filter -> line_clean -> decontam -> pairs -> survivors) with planted
-ground truth for every stage, plus a kill-and-resume leg.
+model_filter -> line_clean -> decontam -> pii_scrub -> pairs ->
+survivors; seven stages since round 6) with planted ground truth for
+every stage, plus a kill-and-resume leg.
 
 Usage: python scratch/curate_ext_soak_100k.py
 """
@@ -45,7 +46,15 @@ def main() -> None:
             lambda i: F.concat(F.lit("w"), F.pmod(F.xxhash64(F.col("id") * 131 + i), F.lit(99991)).cast("string")),
         ),
     )
-    base = F.concat(F.lit(GOOD + " "), words, F.lit(", and a proper ending."))
+    # every 10th doc carries a plantable email for the pii stage -- BEFORE
+    # the terminal period, or the quality stage's no_terminal_punct rule
+    # drops the doc first and pii never sees it (found by this soak's
+    # zero-redaction run: stage ORDER is part of the semantics)
+    pii_mark = F.when(
+        F.pmod("id", F.lit(10)) == 4,
+        F.concat(F.lit(" contact user"), F.col("id").cast("string"), F.lit("@example.org")),
+    ).otherwise(F.lit(""))
+    base = F.concat(F.lit(GOOD + " "), words, pii_mark, F.lit(", and a proper ending."))
     text = (
         F.when(F.pmod("id", F.lit(20)) == 3, F.lit(SPAM + ", again and again."))
         .when(F.pmod("id", F.lit(50)) == 7, F.concat(F.lit(f"fine doc, {LEAK}, ending well "), words, F.lit(".")))
@@ -69,6 +78,7 @@ def main() -> None:
         min_words=5, minhash_threshold=0.7, line_min_repeats=200_000,
         line_delimiter=",", n_buckets=32,
         quality_model=model, decontam_eval=eval_df, decontam_n=8,
+        pii=True,
         clean_stages=False, input_fingerprint="soak:100k",
     )
     t0 = time.perf_counter()
@@ -77,15 +87,20 @@ def main() -> None:
 
     n_spam = 100_000 // 20
     n_leak = len([i for i in range(100_000) if i % 50 == 7 and i % 20 != 3])
+    n_email = len([i for i in range(100_000)
+                   if i % 10 == 4 and i % 20 != 3 and i % 50 != 7])
     report = {
         "full_s": round(full_s, 1),
         "stage_wall_s": stats.get("stage_wall_s"),
+        "pii_redactions": stats.get("pii_redactions"),
+        "expect_emails": n_email,
         "model_dropped": stats.get("model_dropped"),
         "expect_spam": n_spam,
         "decontaminated_dropped": stats.get("decontaminated_dropped"),
         "expect_leak": n_leak,
         "surviving": stats.get("surviving_docs"),
     }
+    assert stats["pii_redactions"]["emails"] == n_email, report
     print(json.dumps(report))
 
     # resume leg: rerun must short-circuit through all six stages
