@@ -331,6 +331,77 @@ def _q_text_fingerprint(spark, sf_dir):
     return fingerprint(_table(spark, sf_dir, "documents"))
 
 
+#: byte-level noise planted by ``doc_id % 5`` residue -- ONE table feeds
+#: the Spark query and the DuckDB oracle, so the planting cannot drift
+#: (residue 0 additionally PREPENDS real mojibake, computed in place by
+#: both sides from the same _sloppy_cp1252 helper).
+_NZ_PLANT = {
+    1: "\r\nline\ttwo\rthree",              # CRLF / bare CR / tab
+    2: " a\u200bb\x01c\xadd",                # zero-width, C0 control, soft hyphen
+    3: "\n\n\n\nx\u00a0y\u3000z  ",       # blank-line run, NBSP, ideographic sp
+}
+
+
+def _q_text_normalize(spark, sf_dir):
+    """Pretraining-corpus text normalization (r6): deterministically plant
+    byte-level noise by doc_id residue (mojibake, CRLF/tabs, zero-widths
+    and controls, NBSP + blank-line runs), then run the table-driven
+    repair + whitespace canonicalization chain.  The oracle's scrub
+    expressions are GENERATED from the same tables
+    (ops.normalize.normalize_text_sql) and the planting strings come from
+    the shared ``_NZ_PLANT`` table, so engine drift is impossible by
+    construction."""
+    from nreadspark.ops.normalize import _sloppy_cp1252, normalize_text
+
+    docs = _table(spark, sf_dir, "documents")
+    # run the ACTUAL corruption on a clean phrase -- both engines plant
+    # the same bytes because both sides call this one helper
+    moji = _sloppy_cp1252("café – don’t ".encode("utf-8"))
+    extra = (
+        F.when(F.pmod("doc_id", F.lit(5)) == 0,
+               F.concat(F.lit(moji), F.col("text")))
+        .when(F.pmod("doc_id", F.lit(5)) == 1,
+              F.concat(F.col("text"), F.lit(_NZ_PLANT[1])))
+        .when(F.pmod("doc_id", F.lit(5)) == 2,
+              F.concat(F.col("text"), F.lit(_NZ_PLANT[2])))
+        .when(F.pmod("doc_id", F.lit(5)) == 3,
+              F.concat(F.col("text"), F.lit(_NZ_PLANT[3])))
+        .otherwise(F.col("text"))
+    )
+    return normalize_text(docs.select("doc_id", extra.alias("text")))
+
+
+#: decomposed-Unicode noise planted by ``doc_id % 4`` residue -- explicit
+#: escapes so the strings are GUARANTEED decomposed in source; ONE table
+#: feeds the Spark query and the DuckDB oracle.
+_NFC_PLANT = {
+    0: " cafe\u0301 A\u030a",          # combining acute / ring -> compose
+    1: " \u1100\u1161\u11a8",         # Hangul jamo -> syllable
+    2: " caf\u00e9 \ufb01ne",          # already NFC (compat chars stay)
+}
+
+
+def _q_text_nfc(spark, sf_dir):
+    """Unicode NFC normalization tier (r6): plant decomposed sequences by
+    doc_id residue, then run the mapInArrow unicodedata kernel.  The
+    DuckDB twin is ``nfc_normalize`` (utf8proc): two INDEPENDENT UAX #15
+    implementations hashed against each other over the whole documents
+    table -- a stronger check than the generated-twin pattern, since
+    nothing is shared but the spec."""
+    from nreadspark.ops.normalize import nfc_normalize_text
+
+    docs = _table(spark, sf_dir, "documents")
+    extra = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit(_NFC_PLANT[0]))
+        .when(F.pmod("doc_id", F.lit(4)) == 1, F.lit(_NFC_PLANT[1]))
+        .when(F.pmod("doc_id", F.lit(4)) == 2, F.lit(_NFC_PLANT[2]))
+        .otherwise(F.lit(""))
+    )
+    return nfc_normalize_text(
+        docs.select("doc_id", F.concat("text", extra).alias("text"))
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Binary media feature extraction: the images are structurally valid
     PNG prefixes, so the stdlib header decoder reads real dimensions; the
@@ -1443,6 +1514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": _q_corpus_profile,
         "domain_cap": _q_domain_cap,
         "dedup_reference": _q_dedup_reference,
+        "text_normalize": _q_text_normalize,
+        "text_nfc": _q_text_nfc,
         # --- driver 50-row cap boundary: everything below is a monitoring
         # aggregate (corpus_profile), a VARIANT of an operator whose
         # primary oracle sits above (line_dedup_newline, extract_byte_budget,
@@ -1497,6 +1570,80 @@ def _pii_scrub_oracle_sql() -> str:
             )
             SELECT doc_id,
                    {cols}
+            FROM planted
+        """
+
+
+def _normalize_oracle_sql() -> str:
+    """DuckDB twin of the text_normalize query.  The scrub expressions are
+    GENERATED from the same tables the Spark op compiles
+    (ops.normalize.normalize_text_sql); the planted noise comes from the
+    shared _NZ_PLANT table plus the same _sloppy_cp1252 corruption helper,
+    emitted with control characters as chr(n) pieces so no SQL-literal
+    escaping ambiguity can creep in."""
+    from nreadspark.ops.normalize import _sloppy_cp1252, normalize_text_sql
+
+    def lit(s: str) -> str:
+        # printable runs as quoted literals, control chars as chr(n)
+        parts, buf = [], []
+
+        def flush():
+            if buf:
+                parts.append("'" + "".join(buf).replace("'", "''") + "'")
+                buf.clear()
+
+        for ch in s:
+            if ord(ch) < 0x20:
+                flush()
+                parts.append(f"chr({ord(ch)})")
+            else:
+                buf.append(ch)
+        flush()
+        return "(" + " || ".join(parts) + ")" if parts else "''"
+
+    moji = _sloppy_cp1252("café – don’t ".encode("utf-8"))
+    ex = normalize_text_sql("text")
+    return f"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE CAST(doc_id % 5 AS INT)
+                           WHEN 0 THEN {lit(moji)} || text
+                           WHEN 1 THEN text || {lit(_NZ_PLANT[1])}
+                           WHEN 2 THEN text || {lit(_NZ_PLANT[2])}
+                           WHEN 3 THEN text || {lit(_NZ_PLANT[3])}
+                           ELSE text END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   {ex['clean_text']} AS clean_text,
+                   {ex['changed']} AS changed
+            FROM planted
+        """
+
+
+def _nfc_oracle_sql() -> str:
+    """DuckDB twin of text_nfc: utf8proc's nfc_normalize vs the Spark
+    kernel's CPython unicodedata -- independent UAX #15 implementations;
+    the planted noise comes from the shared _NFC_PLANT table."""
+    from nreadspark.ops.normalize import nfc_normalize_sql
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    ex = nfc_normalize_sql("text")
+    return f"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text || CASE CAST(doc_id % 4 AS INT)
+                           WHEN 0 THEN {lit(_NFC_PLANT[0])}
+                           WHEN 1 THEN {lit(_NFC_PLANT[1])}
+                           WHEN 2 THEN {lit(_NFC_PLANT[2])}
+                           ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   {ex['text_nfc']} AS text_nfc,
+                   {ex['changed']} AS changed
             FROM planted
         """
 
@@ -1754,6 +1901,8 @@ def oracle_sql() -> dict[str, str]:
         # text_pii_scrub (r6): oracle GENERATED from ops.pii.PII_PATTERNS --
         # same planting, same fixed-order replacement chain
         "text_pii_scrub": _pii_scrub_oracle_sql(),
+        "text_normalize": _normalize_oracle_sql(),
+        "text_nfc": _nfc_oracle_sql(),
         # domain_blocklist (r6): closed-form domain from the synthetic URL
         # construction ('host' || doc_id%20 || tld; co.uk takes 3 labels)
         "domain_blocklist": """

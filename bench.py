@@ -169,6 +169,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "domain_cap",
         "spans_render",
         "corpus_profile",
+        "dedup_reference",
+        "text_normalize",
+        "text_nfc",
         "e1_title_rules",
         "f5_f6_regex_rewrite",
         "tpch_q1_like",

@@ -443,14 +443,33 @@ def run_extraction(
         payload = row.asDict()
         payload["committed_at"] = time.time()
         _write_manifest(output_path, int(row["bucket"]), payload, spark=spark)
-    # a bucket whose files yield ZERO extraction rows (all non-response /
-    # damaged / empty crawl files) produces no stats row -- without a
-    # manifest every later resume would re-stream those files forever.
-    # The files WERE processed, so commit an explicit zero-doc manifest.
-    nonempty = {int(r["bucket"]) for r in stats}
-    processed = {
-        int(r["bucket"]) for r in todo.select("bucket").distinct().collect()
+    # a bucket that yields ZERO output rows (no docs hash to it, or -- in
+    # the WARC twin -- its files are all non-response/damaged) produces no
+    # stats row; without a manifest every later resume would recompute it
+    # forever.  Every non-skipped bucket IS fully processed this run by
+    # construction (todo = everything outside ``done``), so the processed
+    # set is exact and free -- no second scan of the input.
+    processed = _commit_zero_doc_manifests(
+        spark, output_path, n_buckets, done, stats
+    )
+
+    return {
+        "n_buckets": n_buckets,
+        "buckets_skipped": len(done),
+        "buckets_computed": len(processed),
+        "docs_computed": int(sum(r["docs"] for r in stats)),
+        "wall_ms": (time.perf_counter() - started) * 1000.0,
     }
+
+
+def _commit_zero_doc_manifests(spark, output_path, n_buckets, done, stats):
+    """Write explicit zero-doc manifests for processed-but-empty buckets
+    and return the processed set (all buckets not skipped via ``done``).
+    Safe for empty-because-no-input buckets too: the input fingerprint in
+    the layout params already forces a clean recompute if the corpus
+    changes, so marking them done never hides future work."""
+    processed = set(range(n_buckets)) - {int(b) for b in done}
+    nonempty = {int(r["bucket"]) for r in stats}
     for b in sorted(processed - nonempty):
         _write_manifest(
             output_path, b,
@@ -460,14 +479,7 @@ def run_extraction(
              "committed_at": time.time()},
             spark=spark,
         )
-
-    return {
-        "n_buckets": n_buckets,
-        "buckets_skipped": len(done),
-        "buckets_computed": len(processed),
-        "docs_computed": int(sum(r["docs"] for r in stats)),
-        "wall_ms": (time.perf_counter() - started) * 1000.0,
-    }
+    return processed
 
 
 def run_warc_ingestion(
@@ -555,11 +567,16 @@ def run_warc_ingestion(
         payload = row.asDict()
         payload["committed_at"] = time.time()
         _write_manifest(output_path, int(row["bucket"]), payload, spark=spark)
+    # crawl files with zero extractable responses (warcinfo/request-only,
+    # damaged) must still commit their bucket, or resume re-streams them
+    processed = _commit_zero_doc_manifests(
+        spark, output_path, n_buckets, done, stats
+    )
     return {
         "n_buckets": n_buckets,
         "n_files": len(listing),
         "buckets_skipped": len(done),
-        "buckets_computed": len(stats),
+        "buckets_computed": len(processed),
         "docs_computed": int(sum(r["docs"] for r in stats)),
         "wall_ms": (time.perf_counter() - started) * 1000.0,
     }
