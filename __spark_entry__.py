@@ -402,6 +402,29 @@ def _q_text_nfc(spark, sf_dir):
     )
 
 
+def _q_line_dedup_within_doc(spark, sf_dir):
+    """Within-document keep-first line dedup (r6): plant a repeated share
+    bar and a repeated text-prefix line (plus a structural blank) into
+    every document, then scrub.  NULL-propagating concat keeps the two
+    engines identical on any NULL text row; the oracle replicates
+    keep-first with a row_number window over (doc, line) ordered by
+    position."""
+    from nreadspark.ops.dedup import dedup_lines_within_doc
+
+    docs = _table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nshare this article\n"),
+            F.substring("text", 1, 24),
+            F.lit("\n\nshare this article\n"),
+            F.substring("text", 1, 24),
+        ).alias("text"),
+    )
+    return dedup_lines_within_doc(planted)
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Binary media feature extraction: the images are structurally valid
     PNG prefixes, so the stdlib header decoder reads real dimensions; the
@@ -1516,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_reference": _q_dedup_reference,
         "text_normalize": _q_text_normalize,
         "text_nfc": _q_text_nfc,
+        "line_dedup_within_doc": _q_line_dedup_within_doc,
         # --- driver 50-row cap boundary: everything below is a monitoring
         # aggregate (corpus_profile), a VARIANT of an operator whose
         # primary oracle sits above (line_dedup_newline, extract_byte_budget,
@@ -1903,6 +1927,47 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": _pii_scrub_oracle_sql(),
         "text_normalize": _normalize_oracle_sql(),
         "text_nfc": _nfc_oracle_sql(),
+        # line_dedup_within_doc (r6): keep-first replicated as rn=1 over
+        # (doc, line) ordered by position; short lines (< min_chars=1, i.e.
+        # empties) always kept; NULL text -> (NULL, 0, 0) via the left join
+        "line_dedup_within_doc": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text || chr(10) || 'share this article' || chr(10)
+                            || substr(text, 1, 24)
+                            || chr(10) || chr(10) || 'share this article'
+                            || chr(10) || substr(text, 1, 24) AS text
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS pos
+                FROM planted
+            ),
+            ranked AS (
+                SELECT doc_id, line, pos,
+                       row_number() OVER (
+                           PARTITION BY doc_id, line ORDER BY pos
+                       ) AS rn
+                FROM lines
+            ),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                       count(*) AS n_kept
+                FROM ranked
+                WHERE rn = 1 OR length(line) < 1
+                GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   a.clean_text AS clean_text,
+                   CAST(coalesce(len(string_split(p.text, chr(10))), 0) AS BIGINT) AS n_lines,
+                   CAST(coalesce(len(string_split(p.text, chr(10))), 0)
+                        - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM planted p
+            LEFT JOIN agg a USING (doc_id)
+        """,
         # domain_blocklist (r6): closed-form domain from the synthetic URL
         # construction ('host' || doc_id%20 || tld; co.uk takes 3 labels)
         "domain_blocklist": """

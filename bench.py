@@ -172,6 +172,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_reference",
         "text_normalize",
         "text_nfc",
+        "line_dedup_within_doc",
         "e1_title_rules",
         "f5_f6_regex_rewrite",
         "tpch_q1_like",

@@ -1124,6 +1124,109 @@ def line_dedup(
     return out
 
 
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 1,
+    method: str = "scan",
+) -> DataFrame:
+    """WITHIN-document exact line dedup: keep the FIRST occurrence of each
+    repeated line inside a document, preserving order (the self-repetition
+    scrub run after extraction on pages whose template repeats nav blocks,
+    share bars, or cookie text several times in one page -- the within-doc
+    complement of :func:`line_dedup`'s cross-document boilerplate removal;
+    repetition-HEAVY docs are better dropped outright via
+    ``textstats.repetition_stats``, this trims the light cases).
+
+    Output: (doc_id, clean_text, n_lines, n_removed).  Lines shorter than
+    ``min_chars`` (default 1 = empty lines, i.e. paragraph breaks) are
+    ALWAYS kept -- deduping structural blanks would collapse paragraph
+    layout.  NULL text passes through as (NULL, 0, 0).  Lines are split on
+    '\\n' exactly (run :func:`nreadspark.ops.normalize.normalize_text`
+    first to fold CRLF and space-hugged newlines).
+
+    Scale shape -- two equivalent methods:
+
+    * ``method='scan'`` (default): the whole operator is ONE codegen
+      projection -- split, then a higher-order ``filter`` keeping element i
+      iff ``array_position(lines, x) == i+1`` (the first occurrence), then
+      re-join.  ZERO shuffles; at 100 TB this rides the scan like the rest
+      of the normalization tier.  ``array_position`` rescans the array per
+      element, so the per-document cost is O(lines^2) COMPARISONS -- flat
+      until ~10^4 lines/doc, which is orders beyond a real extracted page.
+    * ``method='window'``: posexplode -> ``row_number() OVER (doc, line
+      ORDER BY pos)`` -> re-assemble.  Two exchanges, but per-task memory
+      is one line not one document -- the mega-document escape hatch (the
+      same reasoning as chunk-then-pack), and the shape whose equality the
+      tests pin against 'scan'.
+    """
+    if method not in ("scan", "window"):
+        raise ValueError(f"method must be 'scan' or 'window', got {method!r}")
+    if method == "window":
+        from pyspark.sql import Window
+
+        lines = df.select(
+            "doc_id",
+            F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+        )
+        w = Window.partitionBy("doc_id", "line").orderBy("pos")
+        kept = lines.withColumn("rn", F.row_number().over(w)).filter(
+            (F.col("rn") == 1) | (F.length("line") < min_chars)
+        )
+        agg = kept.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count("*").cast("bigint").alias("n_kept"),
+        )
+        n_lines = df.select(
+            "doc_id",
+            F.coalesce(F.size(F.split(F.col(text_col), "\n", -1)), F.lit(0))
+            .cast("bigint")
+            .alias("n_lines"),
+        )
+        # NULL-text docs vanish at explode; restore them via the left join
+        return n_lines.join(agg, "doc_id", "left").select(
+            "doc_id",
+            "clean_text",
+            F.greatest("n_lines", F.lit(0)).alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+
+    # scan method: stage the split ONCE as a child-projection column (it is
+    # referenced by the filter lambda, the n_lines count AND the kept-size
+    # delta -- the round-6 multi-ref staging rule), then keep first
+    # occurrences with array_position (1-based first index)
+    d = df.withColumn("__ld_lines", F.split(F.col(text_col), "\n", -1))
+    d = d.withColumn(
+        "__ld_kept",
+        F.expr(
+            "filter(transform(__ld_lines, (x, i) -> struct(x, i)), "
+            f"s -> length(s.x) < {int(min_chars)} "
+            "OR array_position(__ld_lines, s.x) == s.i + 1)"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(F.transform("__ld_kept", lambda s: s["x"]), "\n").alias(
+            "clean_text"
+        ),
+        F.coalesce(F.size("__ld_lines"), F.lit(0)).cast("bigint").alias("n_lines"),
+        (
+            F.coalesce(F.size("__ld_lines"), F.lit(0))
+            - F.coalesce(F.size("__ld_kept"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
 def ngram_duplicate_stats(
     df: DataFrame, text_col: str = "text", n: int = 8, exact: bool = False,
     persist_ngrams: bool = True,

@@ -612,3 +612,87 @@ def test_dedup_against_reference_snapshot(spark):
         kept = {r["doc_id"] for r in
                 strip_reference_duplicates(corpus, reference, broadcast=bc).collect()}
         assert kept == {2, 4}
+
+
+# ---------------------------------------------------------------------------
+# within-document line dedup (keep-first self-repetition scrub)
+# ---------------------------------------------------------------------------
+
+_WD_ROWS = [
+    # repeated promo line kept once, blank structural lines always kept
+    (0, "intro\npromo\nbody text\npromo\n\npromo\noutro"),
+    (1, "a\na\na"),                      # total repetition -> one line
+    (2, "unique one\nunique two"),        # nothing removed
+    (3, ""),                               # one empty line, kept
+    (4, "\n\n"),                         # blanks only: all kept
+    (5, None),                             # NULL passthrough
+    (6, "x\n\nx\n\nx"),                # blanks kept, both repeats dropped
+]
+
+_WD_WANT = {
+    0: ("intro\npromo\nbody text\n\noutro", 7, 2),
+    1: ("a", 3, 2),
+    2: ("unique one\nunique two", 2, 0),
+    3: ("", 1, 0),
+    4: ("\n\n", 3, 0),
+    5: (None, 0, 0),
+    6: ("x\n\n", 5, 2),
+}
+
+
+@pytest.mark.parametrize("method", ["scan", "window"])
+def test_dedup_lines_within_doc_semantics(spark, method):
+    from nreadspark.ops.dedup import dedup_lines_within_doc
+
+    df = spark.createDataFrame(_WD_ROWS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in dedup_lines_within_doc(df, method=method).collect()
+    }
+    assert got == _WD_WANT
+
+
+def test_dedup_lines_within_doc_min_chars(spark):
+    from nreadspark.ops.dedup import dedup_lines_within_doc
+
+    # min_chars=3 exempts short lines ('--' separators) from dedup
+    df = spark.createDataFrame(
+        [(0, "alpha\n--\nbeta\n--\nalpha")], "doc_id long, text string"
+    )
+    r = dedup_lines_within_doc(df, min_chars=3).collect()[0]
+    assert r["clean_text"] == "alpha\n--\nbeta\n--"
+    assert (r["n_lines"], r["n_removed"]) == (5, 1)
+    with pytest.raises(ValueError):
+        dedup_lines_within_doc(df, method="nope")
+
+
+def test_dedup_lines_within_doc_scan_plan_zero_shuffle(spark):
+    from nreadspark.ops.dedup import dedup_lines_within_doc
+
+    df = spark.createDataFrame([(1, "x\ny")], "doc_id long, text string")
+    plan = (
+        dedup_lines_within_doc(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_dedup_lines_within_doc_methods_agree_on_fuzz(spark):
+    """scan and window must be byte-identical on a messy generated corpus
+    (repeats, blanks, short lines, trailing newlines)."""
+    import random
+
+    from nreadspark.ops.dedup import dedup_lines_within_doc
+
+    rng = random.Random(64)
+    pool = ["promo", "", "a", "body text", "share this", "x y z", " "]
+    rows = [
+        (i, "\n".join(rng.choice(pool) for _ in range(rng.randrange(0, 12))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: tuple(r) for r in dedup_lines_within_doc(df, method="scan").collect()}
+    b = {r["doc_id"]: tuple(r) for r in dedup_lines_within_doc(df, method="window").collect()}
+    assert a == b
