@@ -425,6 +425,24 @@ def _q_line_dedup_within_doc(spark, sf_dir):
     return dedup_lines_within_doc(planted)
 
 
+def _q_text_sentences(spark, sf_dir):
+    """Heuristic sentence segmentation (r6): plant a multi-sentence
+    prefix (terminator runs included) onto every document, then split.
+    The oracle is GENERATED from the same SENTENCE_PATTERN /
+    _BARE_TERMINATORS tables (Java-regex/RE2-identical constructs), so
+    the engines cannot drift."""
+    from nreadspark.ops.chunking import split_sentences
+
+    docs = _table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("Alpha beta. Gamma delta! Epsilon?!  ... "), F.col("text")
+        ).alias("text"),
+    )
+    return split_sentences(planted)
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Binary media feature extraction: the images are structurally valid
     PNG prefixes, so the stdlib header decoder reads real dimensions; the
@@ -1540,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": _q_text_normalize,
         "text_nfc": _q_text_nfc,
         "line_dedup_within_doc": _q_line_dedup_within_doc,
+        "text_sentences": _q_text_sentences,
         # --- driver 50-row cap boundary: everything below is a monitoring
         # aggregate (corpus_profile), a VARIANT of an operator whose
         # primary oracle sits above (line_dedup_newline, extract_byte_budget,
@@ -1669,6 +1688,36 @@ def _nfc_oracle_sql() -> str:
                    {ex['text_nfc']} AS text_nfc,
                    {ex['changed']} AS changed
             FROM planted
+        """
+
+
+def _sentences_oracle_sql() -> str:
+    """DuckDB twin of text_sentences, GENERATED from the same pattern
+    constants the Spark op compiles (chunking.SENTENCE_PATTERN +
+    _BARE_TERMINATORS -- both Java/RE2-identical subsets)."""
+    from nreadspark.ops.chunking import _BARE_TERMINATORS, SENTENCE_PATTERN
+
+    return f"""
+            WITH planted AS (
+                SELECT doc_id,
+                       'Alpha beta. Gamma delta! Epsilon?!  ... ' || text AS text
+                FROM documents
+            ),
+            split AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               regexp_extract_all(text, '{SENTENCE_PATTERN}'),
+                               x -> trim(x)
+                           ),
+                           x -> x <> '' AND NOT regexp_matches(x, '{_BARE_TERMINATORS}')
+                       ) AS sents
+                FROM planted
+            )
+            SELECT doc_id,
+                   CAST(generate_subscripts(sents, 1) - 1 AS INT) AS sentence_id,
+                   unnest(sents) AS sentence
+            FROM split
         """
 
 
@@ -1927,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": _pii_scrub_oracle_sql(),
         "text_normalize": _normalize_oracle_sql(),
         "text_nfc": _nfc_oracle_sql(),
+        "text_sentences": _sentences_oracle_sql(),
         # line_dedup_within_doc (r6): keep-first replicated as rn=1 over
         # (doc, line) ordered by position; short lines (< min_chars=1, i.e.
         # empties) always kept; NULL text -> (NULL, 0, 0) via the left join

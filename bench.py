@@ -173,6 +173,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "text_normalize",
         "text_nfc",
         "line_dedup_within_doc",
+        "text_sentences",
         "e1_title_rules",
         "f5_f6_regex_rewrite",
         "tpch_q1_like",

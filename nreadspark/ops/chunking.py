@@ -28,19 +28,70 @@ def _words_col(text_col: str):
     )
 
 
+#: Heuristic sentence segmentation: a run of non-terminators followed by
+#: its terminator run ('Mr.' abbreviation handling is a model problem, not
+#: a regex one -- this is the C4-grade splitter).  Restricted to constructs
+#: with IDENTICAL Java-regex/RE2 semantics (character classes, + and *,
+#: whole-string-anchored ^$ in the fragment filter), so the DuckDB twin
+#: uses the same pattern strings.
+SENTENCE_PATTERN = "[^.!?]+[.!?]*"
+
+#: post-split noise filter: a fragment that trims to '' (whitespace between
+#: terminators) or to bare terminators ('...' with no content) is not a
+#: sentence
+_BARE_TERMINATORS = "^[.!?]+$"
+
+
+def _sentences_col(text_col: str):
+    """Trimmed, noise-filtered sentences (see the two patterns above)."""
+    return F.filter(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_PATTERN), 0),
+            # explicit 1-arg lambda: F.transform feeds 2-arity callables the
+            # element INDEX as a second argument, which F.trim would accept
+            # as a trim-character set
+            lambda s: F.trim(s),
+        ),
+        lambda s: (s != "") & ~s.rlike(_BARE_TERMINATORS),
+    )
+
+
+def split_sentences(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sentence_id, sentence): heuristic sentence segmentation
+    (see :data:`SENTENCE_PATTERN`).  Documents with NULL text or no
+    extractable sentence produce NO rows (the per-doc explode contract
+    shared with :func:`chunk_documents`).
+
+    Scale shape: one codegen projection -> posexplode, zero shuffles; rows
+    inherit the input partitioning, so the downstream per-sentence ops
+    (dedup, quality, embedding) start map-side."""
+    return df.select(
+        "doc_id",
+        F.posexplode(_sentences_col(text_col)).alias("sentence_id", "sentence"),
+    ).select(
+        "doc_id", F.col("sentence_id").cast("int").alias("sentence_id"), "sentence"
+    )
+
+
 def _unit_col(text_col: str, unit: str):
-    """The chunking/packing unit array: 'words' (whitespace-robust split)
-    or 'tokens' (the ``TOKEN_PATTERN`` regex pre-tokenizer: word runs +
+    """The chunking/packing unit array: 'words' (whitespace-robust split),
+    'tokens' (the ``TOKEN_PATTERN`` regex pre-tokenizer: word runs +
     single punctuation marks -- the unit a subword tokenizer's
     pre-tokenization stage produces, 20-40 % denser than words on
-    punctuated web text)."""
+    punctuated web text) or 'sentences' (:data:`SENTENCE_PATTERN` -- for
+    sentence-window chunks; note chunks re-join sentences with single
+    spaces like token mode)."""
     if unit == "words":
         return _words_col(text_col)
     if unit == "tokens":
         from .textstats import TOKEN_PATTERN
 
         return F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0)
-    raise ValueError(f"unit must be 'words' or 'tokens', got {unit!r}")
+    if unit == "sentences":
+        return _sentences_col(text_col)
+    raise ValueError(
+        f"unit must be 'words', 'tokens' or 'sentences', got {unit!r}"
+    )
 
 
 def chunk_documents(
@@ -87,7 +138,7 @@ def chunk_documents(
             "negative overlap silently skips words between windows"
         )
     stride = max_words - overlap
-    count_alias = "n_words" if unit == "words" else "n_tokens"
+    count_alias = {"words": "n_words", "tokens": "n_tokens"}.get(unit, "n_units")
     # materialize the unit array in a CHILD projection: an expression
     # referenced inside a higher-order-function lambda is inlined into
     # every lambda evaluation by codegen, so slicing the split/regex

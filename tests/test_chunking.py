@@ -191,3 +191,62 @@ def test_pack_shards_rejects_unknown_hash_fn(spark):
     for bad in ("MD5", "xxHash", "sha1"):
         with pytest.raises(ValueError, match="hash_fn"):
             pack_shards(docs, hash_fn=bad)
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation
+# ---------------------------------------------------------------------------
+
+
+def test_split_sentences_semantics(spark):
+    from nreadspark.ops.chunking import split_sentences
+
+    rows = [
+        (0, "Alpha beta. Gamma delta! Epsilon?  Zeta eta"),
+        (1, "No terminator at all"),
+        (2, "Multi!!! Wow... right?!"),
+        (3, "... . !"),       # bare terminator runs: nothing extractable
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in split_sentences(df).collect():
+        got.setdefault(r["doc_id"], []).append((r["sentence_id"], r["sentence"]))
+    for v in got.values():
+        v.sort()
+    assert got[0] == [
+        (0, "Alpha beta."),
+        (1, "Gamma delta!"),
+        (2, "Epsilon?"),
+        (3, "Zeta eta"),
+    ]
+    assert got[1] == [(0, "No terminator at all")]
+    # terminator RUNS stay attached to their sentence
+    assert got[2] == [(0, "Multi!!!"), (1, "Wow..."), (2, "right?!")]
+    # bare terminators, empty and NULL docs produce no rows
+    assert 3 not in got and 4 not in got and 5 not in got
+
+
+def test_split_sentences_plan_zero_shuffle(spark):
+    from nreadspark.ops.chunking import split_sentences
+
+    df = spark.createDataFrame([(1, "a. b.")], "doc_id long, text string")
+    plan = split_sentences(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_chunk_documents_by_sentences(spark):
+    from nreadspark.ops.chunking import chunk_documents
+
+    text = "One one. Two two! Three three? Four four. Five five."
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    out = sorted(
+        (r["chunk_id"], r["chunk_text"], r["n_units"])
+        for r in chunk_documents(df, max_words=2, overlap=0, unit="sentences").collect()
+    )
+    assert out == [
+        (0, "One one. Two two!", 2),
+        (1, "Three three? Four four.", 2),
+        (2, "Five five.", 1),
+    ]
