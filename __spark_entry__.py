@@ -443,6 +443,20 @@ def _q_text_sentences(spark, sf_dir):
     return split_sentences(planted)
 
 
+def _q_sample_upsample(spark, sf_dir):
+    """Deterministic stratified upsampling (r6): epoch factors per lang
+    (en x2.0 integral, de x1.5 fractional via the md5 bucket, fr dropped,
+    others pass through once).  The oracle replicates the bucket rule
+    bit-for-bit (same convention as sample_split_mix) and expands copies
+    with unnest(range(n_copies))."""
+    from nreadspark.ops.sampling import stratified_repeat
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_repeat(
+        docs, {"en": 2.0, "de": 1.5, "fr": 0.0}, "lang", salt="epoch"
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Binary media feature extraction: the images are structurally valid
     PNG prefixes, so the stdlib header decoder reads real dimensions; the
@@ -1559,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nfc": _q_text_nfc,
         "line_dedup_within_doc": _q_line_dedup_within_doc,
         "text_sentences": _q_text_sentences,
+        "sample_upsample": _q_sample_upsample,
         # --- driver 50-row cap boundary: everything below is a monitoring
         # aggregate (corpus_profile), a VARIANT of an operator whose
         # primary oracle sits above (line_dedup_newline, extract_byte_budget,
@@ -1977,6 +1992,28 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize": _normalize_oracle_sql(),
         "text_nfc": _nfc_oracle_sql(),
         "text_sentences": _sentences_oracle_sql(),
+        # sample_upsample (r6): md5-bucket fractional epochs, replicated
+        # bit-for-bit; copies expand via unnest(range(n_copies))
+        "sample_upsample": """
+            WITH b AS (
+                SELECT doc_id, lang,
+                       CAST(CAST('0x' || substring(md5('epoch' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 AS BIGINT) AS bu
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, lang,
+                       CASE lang
+                           WHEN 'en' THEN 2
+                           WHEN 'de' THEN 1 + (CASE WHEN bu < 500000 THEN 1 ELSE 0 END)
+                           WHEN 'fr' THEN 0
+                           ELSE 1 END AS n_copies
+                FROM b
+            )
+            SELECT doc_id, lang,
+                   CAST(unnest(range(n_copies)) AS INT) AS copy
+            FROM c
+            WHERE n_copies > 0
+        """,
         # line_dedup_within_doc (r6): keep-first replicated as rn=1 over
         # (doc, line) ordered by position; short lines (< min_chars=1, i.e.
         # empties) always kept; NULL text -> (NULL, 0, 0) via the left join

@@ -57,6 +57,55 @@ def train_val_split(
     )
 
 
+def stratified_repeat(
+    df: DataFrame,
+    factors: dict[str, float],
+    stratum_col: str,
+    salt: str = "repeat",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Source-weighted UPSAMPLING: emit each document of stratum ``s``
+    ``factors[s]`` times in expectation -- the epochs-per-source half of
+    training-mix assembly (multiple passes over a small high-quality
+    source while the crawl gets one), complementing
+    :func:`stratified_mix`'s downsampling half.
+
+    A factor ``f`` emits ``floor(f)`` copies always, plus one more for the
+    documents whose hash bucket falls under ``frac(f)`` -- per-document
+    deterministic (hash of the id, not RNG), so reruns, retries and any
+    partitioning produce the SAME corpus.  Strata absent from ``factors``
+    keep factor 1.0 (pass through); factor 0.0 drops the stratum.  Output
+    adds a ``copy`` column (0-based repeat index) so downstream shuffles /
+    shard packing can distinguish copies; dedup must run BEFORE this
+    operator, for the obvious reason.
+
+    Scale shape: one codegen projection computes n_copies, one
+    ``posexplode(sequence(...))`` emits the copies map-side -- ZERO
+    shuffles; the expansion happens inside the scan stage like
+    chunk_documents.  Skew note: factors are small constants (1-10x), so
+    the expansion cannot create a hot key by itself.
+    """
+    for s, f in factors.items():
+        if f < 0:
+            raise ValueError(f"factor for stratum {s!r} must be >= 0, got {f}")
+    bucket = _hash_bucket(id_col, salt)
+    n_copies = F.lit(1)  # default: strata not listed pass through once
+    for s, f in factors.items():
+        base = int(f)
+        frac_thresh = int(round((f - base) * _BUCKETS))
+        n_copies = F.when(
+            F.col(stratum_col) == s,
+            F.lit(base) + F.when(bucket < frac_thresh, F.lit(1)).otherwise(F.lit(0)),
+        ).otherwise(n_copies)
+    d = df.withColumn("__n_copies", n_copies)
+    return (
+        d.filter(F.col("__n_copies") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)))
+        .drop("__n_copies")
+        .withColumn("copy", F.col("copy").cast("int"))
+    )
+
+
 def stratified_mix(
     df: DataFrame,
     rates: dict[str, float],

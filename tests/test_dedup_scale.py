@@ -696,3 +696,59 @@ def test_dedup_lines_within_doc_methods_agree_on_fuzz(spark):
     a = {r["doc_id"]: tuple(r) for r in dedup_lines_within_doc(df, method="scan").collect()}
     b = {r["doc_id"]: tuple(r) for r in dedup_lines_within_doc(df, method="window").collect()}
     assert a == b
+
+
+def test_stratified_repeat_semantics(spark):
+    from nreadspark.ops.sampling import stratified_repeat
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_repeat(
+        df, {"a": 2.0, "b": 2.5, "c": 0.0}, "lang", salt="ep"
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    langs = dict(rows)
+    for doc_id, copies in by_doc.items():
+        # copy ids are exactly 0..k-1
+        assert sorted(copies) == list(range(len(copies)))
+        lang = langs[doc_id]
+        if lang == "a":
+            assert len(copies) == 2
+        elif lang == "b":
+            assert len(copies) in (2, 3)
+        elif lang == "d":   # unlisted stratum passes through once
+            assert len(copies) == 1
+    # factor 0 drops the stratum entirely
+    assert not any(langs[d] == "c" for d in by_doc)
+    # fractional part lands between floor and ceil in expectation
+    b_counts = [len(c) for d, c in by_doc.items() if langs[d] == "b"]
+    assert 0.2 < sum(n == 3 for n in b_counts) / len(b_counts) < 0.8
+
+
+def test_stratified_repeat_deterministic_and_validates(spark):
+    from nreadspark.ops.sampling import stratified_repeat
+
+    rows = [(i, "x" if i % 2 else "y") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = sorted(map(tuple, stratified_repeat(df, {"x": 1.3}, "lang").collect()))
+    b = sorted(
+        map(tuple, stratified_repeat(df.repartition(7), {"x": 1.3}, "lang").collect())
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        stratified_repeat(df, {"x": -0.5}, "lang")
+
+
+def test_stratified_repeat_plan_zero_shuffle(spark):
+    from nreadspark.ops.sampling import stratified_repeat
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, lang string")
+    plan = (
+        stratified_repeat(df, {"x": 2.5}, "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
