@@ -1559,6 +1559,117 @@ def dedup_against_reference(
     )
 
 
+def minhash_near_dups_against_reference(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    k: int = 3,
+    n_hashes: int = _N_HASHES,
+    n_bands: int = _N_BANDS,
+    hash_fn: str = "xxhash64",
+    threshold: float = 0.7,
+    max_ref_bucket_size: int | None = 256,
+    persist: bool = True,
+) -> DataFrame:
+    """(doc_id, ref_doc_id, jaccard): NEW-snapshot documents whose exact
+    token-set Jaccard against some PREVIOUS-snapshot document clears
+    ``threshold`` -- the crawl-over-crawl *incremental* near-dedup.
+    :func:`dedup_against_reference` catches byte-identical re-crawls; this
+    catches the rest of what a monthly crawl actually contains (same page,
+    updated timestamp/footer/ad markup).
+
+    Why a dedicated op instead of union + :func:`minhash_lsh_candidates`:
+    the reference snapshot was already deduped when IT was built, so
+    ref x ref pairs are pure waste -- at snapshot scale (reference as
+    large as the corpus) the union self-join generates ~half its
+    candidates inside the reference.  Banding both sides and joining
+    new-bands AGAINST ref-bands emits only new x ref candidates.
+
+    Scale shape: each side reduces to (doc_id, band, band_key) rows in its
+    own scan stage; ONE shuffle join on (band, band_key); exact-Jaccard
+    verification touches only candidate pairs.  Hot REFERENCE buckets
+    (boilerplate band keys shared by >``max_ref_bucket_size`` ref docs)
+    collapse to their canonical (minimum doc_id) member, bounding per-key
+    fan-out at ``max_ref_bucket_size``: the worst join key holds
+    new_bucket x max_ref rows, and a hot NEW bucket is a plain
+    skewed-left-side shuffle join that AQE skew splitting handles (the
+    per-new-doc candidate count stays <= n_bands * max_ref_bucket_size
+    regardless).  Recall note: a new doc whose only shared bucket with a
+    ref doc is a hot one is verified against that bucket's canonical
+    member instead -- near-identical by construction; pass
+    ``max_ref_bucket_size=None`` for exact all-pairs banding.
+    """
+    ref = reference.select(
+        F.col("doc_id").alias("ref_doc_id"),
+        F.col(ref_text_col or text_col).alias(text_col),
+    )
+    new_bands = _banded_signatures(corpus, text_col, k, n_hashes, n_bands, hash_fn)
+    ref_bands = _banded_signatures(
+        ref.withColumnRenamed("ref_doc_id", "doc_id"), text_col, k, n_hashes, n_bands, hash_fn
+    ).withColumnRenamed("doc_id", "ref_doc_id")
+    if persist:
+        # ref bands feed the hot-bucket count AND the join; new bands feed
+        # the join once but the signature pass is the expensive part
+        ref_bands = _persist(ref_bands)
+
+    if max_ref_bucket_size is not None:
+        counts = ref_bands.groupBy("band", "band_key").agg(
+            F.count("*").alias("__n"), F.min("ref_doc_id").alias("__canon")
+        )
+        hot = counts.filter(F.col("__n") > max_ref_bucket_size)
+        ref_side = ref_bands.join(
+            F.broadcast(hot.select("band", "band_key")), ["band", "band_key"], "left_anti"
+        ).unionByName(
+            # representative-only rows for hot buckets (canon was removed
+            # by the anti-join above, so no duplicate row)
+            hot.select("band", "band_key", F.col("__canon").alias("ref_doc_id"))
+        )
+    else:
+        ref_side = ref_bands
+
+    cand = (
+        new_bands.join(ref_side, ["band", "band_key"])
+        .select("doc_id", "ref_doc_id")
+        .distinct()
+    )
+
+    toks_new = tokenize(corpus, text_col).select(
+        "doc_id", F.array_distinct("__tokens").alias("set_a")
+    )
+    toks_ref = tokenize(ref.withColumnRenamed("ref_doc_id", "doc_id"), text_col).select(
+        F.col("doc_id").alias("ref_doc_id"), F.array_distinct("__tokens").alias("set_b")
+    )
+    jaccard = F.size(F.array_intersect("set_a", "set_b")) / F.size(
+        F.array_union("set_a", "set_b")
+    )
+    return (
+        cand.join(toks_new, "doc_id")
+        .join(toks_ref, "ref_doc_id")
+        .select("doc_id", "ref_doc_id", F.round(jaccard, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def strip_reference_near_duplicates(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    threshold: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """Survivor composition for the incremental crawl: corpus rows with no
+    near-duplicate in the reference snapshot (anti-join on the flagged
+    ids).  Run :func:`strip_reference_duplicates` (exact) first if the
+    corpus is re-crawl-heavy -- exact membership is one fixed-width
+    shuffle vs banding's signature pass."""
+    flagged = minhash_near_dups_against_reference(
+        corpus, reference, text_col, ref_text_col, threshold=threshold, **kwargs
+    ).select("doc_id").distinct()
+    return corpus.join(flagged, "doc_id", "left_anti")
+
+
 def strip_reference_duplicates(
     corpus: DataFrame,
     reference: DataFrame,

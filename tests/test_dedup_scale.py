@@ -614,6 +614,64 @@ def test_dedup_against_reference_snapshot(spark):
         assert kept == {2, 4}
 
 
+def test_minhash_near_dups_against_reference(spark):
+    """Incremental near-dedup: re-crawled docs with small edits are flagged
+    against the previous snapshot; genuinely novel docs survive; ref x ref
+    pairs are never emitted (every output doc_id belongs to the NEW side)."""
+    from nreadspark.ops.dedup import (
+        minhash_near_dups_against_reference,
+        strip_reference_near_duplicates,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    reference = spark.createDataFrame(
+        [(100, base), (101, base + " lambda mu nu xi"),
+         (102, "totally unrelated reference text about other things entirely")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, base + " extra"),                       # near-dup of 100 (and 101)
+         (2, "a genuinely new document about fresh topics never seen before"),
+         (3, base)],                                 # exact re-crawl of 100
+        "doc_id long, text string",
+    )
+    pairs = minhash_near_dups_against_reference(corpus, reference).collect()
+    flagged = {r["doc_id"] for r in pairs}
+    assert flagged == {1, 3}
+    assert all(r["ref_doc_id"] >= 100 for r in pairs)
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in pairs)
+    exact = [r for r in pairs if r["doc_id"] == 3 and r["ref_doc_id"] == 100]
+    assert exact and exact[0]["jaccard"] == 1.0
+
+    kept = {r["doc_id"] for r in
+            strip_reference_near_duplicates(corpus, reference).collect()}
+    assert kept == {2}
+
+
+def test_minhash_reference_hot_bucket_guard(spark):
+    """A hot reference bucket (many near-identical ref docs sharing band
+    keys) collapses to its canonical member: the new doc is still flagged,
+    and the candidate fan-out is bounded by the guard."""
+    from nreadspark.ops.dedup import minhash_near_dups_against_reference
+
+    base = "one two three four five six seven eight nine ten"
+    # 12 identical reference docs -> every band bucket has 12 members
+    reference = spark.createDataFrame(
+        [(100 + i, base) for i in range(12)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame([(1, base + " extra")], "doc_id long, text string")
+    pairs = minhash_near_dups_against_reference(
+        corpus, reference, max_ref_bucket_size=4
+    ).collect()
+    # representative-only: flagged once, against the canonical min ref id
+    assert {(r["doc_id"], r["ref_doc_id"]) for r in pairs} == {(1, 100)}
+    # exact mode restores all-pairs
+    pairs_all = minhash_near_dups_against_reference(
+        corpus, reference, max_ref_bucket_size=None
+    ).collect()
+    assert {r["ref_doc_id"] for r in pairs_all} == set(range(100, 112))
+
+
 # ---------------------------------------------------------------------------
 # within-document line dedup (keep-first self-repetition scrub)
 # ---------------------------------------------------------------------------
