@@ -730,6 +730,28 @@ def _q_domain_cap(spark, sf_dir):
     return cap_per_domain(df, max_docs=3).select("doc_id")
 
 
+def _q_domain_quality(spark, sf_dir):
+    """Pooled per-domain quality (r6): same synthetic URL family as
+    domain_blocklist (20 registrable domains); every aggregate is an
+    integer sum so the pooled ratios are single exact-integer divisions
+    the oracle reproduces bit-for-bit."""
+    from nreadspark.ops.urls import domain_quality_stats
+
+    docs = _table(spark, sf_dir, "documents")
+    tld = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, ".co.uk")
+        .when(F.pmod("doc_id", F.lit(4)) == 1, ".com")
+        .when(F.pmod("doc_id", F.lit(4)) == 2, ".org")
+        .otherwise(".io")
+    )
+    url = F.concat(
+        F.lit("https://sub.host"), F.pmod("doc_id", F.lit(20)).cast("string"),
+        tld, F.lit("/p/"), F.col("doc_id").cast("string"),
+    )
+    df = docs.select("doc_id", url.alias("url"), "text")
+    return domain_quality_stats(df)
+
+
 def _q_spans_render(spark, sf_dir):
     """Interleaved spans -> training text (r6): render the north-rule span
     shape (text + image sentinel, offset-sorted) into the flat format
@@ -1610,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sentences": _q_text_sentences,
         "sample_upsample": _q_sample_upsample,
         "dedup_minhash_incremental": _q_dedup_minhash_incremental,
+        "domain_quality": _q_domain_quality,
         "line_dedup_newline": _q_line_dedup_newline,
         "extract_byte_budget": _q_extract_byte_budget,
         "dedup_semantic_probe2": _q_dedup_semantic_probe2,
@@ -2733,6 +2756,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_minhash_incremental": _minhash_incremental_oracle_sql(),
+        # domain_quality (r6): pooled integer sums per closed-form domain;
+        # each ratio is one exact-integer division
+        "domain_quality": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       'host' || CAST(doc_id % 20 AS VARCHAR) ||
+                       CASE CAST(doc_id % 4 AS INT)
+                            WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                            WHEN 2 THEN '.org' ELSE '.io' END AS domain,
+                       CAST(length(text) AS BIGINT) AS c,
+                       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS p,
+                       CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+                            w -> w IN ('the', 'a', 'and', 'of', 'in', 'to'))) AS BIGINT) AS s,
+                       CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+                FROM documents
+            )
+            SELECT domain,
+                   count(*) AS n_docs,
+                   CAST(sum(c) AS BIGINT) AS total_chars,
+                   round(CAST(sum(c) AS DOUBLE) / count(*), 2) AS mean_doc_chars,
+                   round(CAST(sum(p) AS DOUBLE) / sum(c), 6) AS punct_ratio,
+                   round(CAST(sum(s) AS DOUBLE) / sum(w), 6) AS stopword_ratio
+            FROM d GROUP BY domain
+        """,
         "dedup_simhash": _simhash_oracle_sql(),
         "dedup_ngram_jaccard": r"""
             WITH toks AS (

@@ -150,6 +150,11 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# shared with the domain-level pooled aggregate (ops.urls) so per-doc and
+# per-domain stopword ratios can never drift apart
+QUALITY_STOPWORDS = ("the", "a", "and", "of", "in", "to")
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality heuristics: length, punctuation ratio, stopword ratio, mean
     word length -- all rounded to stable precision."""
@@ -164,7 +169,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_words = F.col("__qs_nw")
     punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
     stop_hits = F.size(
-        F.filter(F.col("__qs_words"), lambda w: w.isin("the", "a", "and", "of", "in", "to"))
+        F.filter(F.col("__qs_words"), lambda w: w.isin(*QUALITY_STOPWORDS))
     )
     return d.select(
         "doc_id",

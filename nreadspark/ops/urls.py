@@ -319,3 +319,91 @@ def cap_per_domain(
         ranked.filter(F.col("__cap_domain").isNull() | (F.col("__cap_rn") <= max_docs))
         .drop("__cap_domain", "__cap_rn")
     )
+
+
+def domain_quality_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    extra_suffixes=(),
+) -> DataFrame:
+    """(domain, n_docs, total_chars, mean_doc_chars, punct_ratio,
+    stopword_ratio): POOLED quality per registrable domain -- the
+    aggregate behind domain-level filtering (public web recipes filter
+    whole domains, not just documents: a domain whose pooled text is
+    keyword-stuffed spam predicts its next crawl is spam too, and the
+    pooled signal is robust where single-doc heuristics are noisy).
+
+    Exactness: every aggregate is an integer SUM (chars, punct chars,
+    stopword hits via :data:`..textstats.QUALITY_STOPWORDS`, words) --
+    order-independent under any partitioning -- and each ratio is ONE
+    division of exact integers, so any engine reproduces the values
+    bit-for-bit (means of per-doc doubles would drift with sum order).
+
+    Shape: domain extraction + per-doc counters land in the scan
+    projection (staged fast form); ONE map-side-combined hash agg on the
+    domain; output is #domains rows.  Docs with no parseable domain pool
+    under NULL.  Scales: no payload shuffle -- only the fixed-width
+    counter rows move.
+    """
+    from .textstats import QUALITY_STOPWORDS
+
+    d = with_registrable_domain(
+        df.select("doc_id", url_col, text_col), url_col, "__dq_domain", extra_suffixes
+    ).withColumn("__dq_words", F.split(F.trim(F.col(text_col)), r"\s+"))
+    per_doc = d.select(
+        F.col("__dq_domain").alias("domain"),
+        F.length(text_col).cast("bigint").alias("__c"),
+        F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+        .cast("bigint")
+        .alias("__p"),
+        F.size(F.filter(F.col("__dq_words"), lambda w: w.isin(*QUALITY_STOPWORDS)))
+        .cast("bigint")
+        .alias("__s"),
+        F.size("__dq_words").cast("bigint").alias("__w"),
+    )
+    agg = per_doc.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__c").alias("total_chars"),
+        F.sum("__p").alias("__tp"),
+        F.sum("__s").alias("__ts"),
+        F.sum("__w").alias("__tw"),
+    )
+    return agg.select(
+        "domain",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("total_chars") / F.col("n_docs"), 2).alias("mean_doc_chars"),
+        F.round(F.col("__tp") / F.col("total_chars"), 6).alias("punct_ratio"),
+        F.round(F.col("__ts") / F.col("__tw"), 6).alias("stopword_ratio"),
+    )
+
+
+def filter_spam_domains(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_stopword_ratio: float = 0.03,
+    min_docs: int = 3,
+    extra_suffixes=(),
+) -> DataFrame:
+    """Survivor composition: drop every document of a domain whose POOLED
+    stopword ratio falls below ``min_stopword_ratio`` -- the
+    keyword-stuffing / word-salad signature -- once the domain has at
+    least ``min_docs`` documents (smaller domains carry too little
+    pooled evidence to ban; their docs pass to per-doc filters).  Rows
+    with no parseable domain are kept -- a domain filter can only ban
+    what it can name.
+
+    Shape: the flagged-domain frame is a FILTER over the #domains-row
+    aggregate -- far smaller than the corpus but not assumed
+    broadcastable at web scale (10^8 registrable domains exist); the
+    anti-join shuffles on the domain key and AQE downgrades it to a
+    broadcast join when the flagged side measures small."""
+    stats = domain_quality_stats(df, url_col, text_col, extra_suffixes)
+    bad = stats.filter(
+        (F.col("n_docs") >= min_docs)
+        & (F.col("stopword_ratio") < min_stopword_ratio)
+    ).select(F.col("domain").alias("__fs_domain"))
+    tagged = with_registrable_domain(df, url_col, "__fs_domain", extra_suffixes)
+    return tagged.join(bad, "__fs_domain", "left_anti").drop("__fs_domain")

@@ -251,3 +251,36 @@ def test_cap_per_domain(spark):
     # cap larger than any group: everything survives, columns untouched
     out = cap_per_domain(df, max_docs=50)
     assert out.count() == len(rows) and out.columns == ["doc_id", "url"]
+
+
+def test_domain_quality_stats_pooled_exact(spark):
+    """Pooled per-domain quality: integer-sum ratios, NULL-domain pooling
+    for unparseable URLs, and the spam-domain filter drops exactly the
+    low-stopword domain once it clears min_docs."""
+    from nreadspark.ops.urls import domain_quality_stats, filter_spam_domains
+
+    spam = "buy cheap pills casino bonus click here winner prize"   # 0 stopwords
+    good = "the cat sat on a mat and the dog slept in the sun."
+    rows = (
+        [(i, f"https://spam.example.com/{i}", spam) for i in range(4)]
+        + [(10 + i, f"https://good.example.org/{i}", good) for i in range(4)]
+        + [(20, "not a url", good)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    stats = {r["domain"]: r for r in domain_quality_stats(df).collect()}
+    assert set(stats) == {"example.com", "example.org", None}
+    s = stats["example.com"]
+    assert s["n_docs"] == 4 and s["stopword_ratio"] == 0.0
+    assert s["total_chars"] == 4 * len(spam)
+    g = stats["example.org"]
+    # good text: 6 stopword hits ('the' x3, 'a', 'and', 'in') of 13 words
+    assert g["stopword_ratio"] == round(6 / 13, 6)
+    assert stats[None]["n_docs"] == 1
+
+    kept = {r["doc_id"] for r in filter_spam_domains(df, min_docs=3).collect()}
+    # spam domain banned; good domain and the unparseable-URL row survive
+    assert kept == {10, 11, 12, 13, 20}
+    # below min_docs the same spam domain is NOT banned
+    small = spark.createDataFrame(rows[:2] + rows[4:], "doc_id long, url string, text string")
+    kept_small = {r["doc_id"] for r in filter_spam_domains(small, min_docs=3).collect()}
+    assert {0, 1} <= kept_small
