@@ -484,6 +484,20 @@ def _q_sample_upsample(spark, sf_dir):
     )
 
 
+def _q_mixture_plan(spark, sf_dir):
+    """Training-mix planning (r6): derive per-language epoch factors for a
+    60/30/10 en/de/fr mixture at a 1M-token budget; unlisted languages get
+    weight 0 (dropped).  Integer token sums make every ratio a single
+    exact division the oracle reproduces bit-for-bit."""
+    from nreadspark.ops.sampling import plan_epoch_factors
+
+    docs = _table(spark, sf_dir, "documents").select("lang", "text")
+    return plan_epoch_factors(
+        docs, {"en": 0.6, "de": 0.3, "fr": 0.1}, token_budget=1_000_000,
+        max_epochs=10.0,
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Binary media feature extraction: the images are structurally valid
     PNG prefixes, so the stdlib header decoder reads real dimensions; the
@@ -1633,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_upsample": _q_sample_upsample,
         "dedup_minhash_incremental": _q_dedup_minhash_incremental,
         "domain_quality": _q_domain_quality,
+        "mixture_plan": _q_mixture_plan,
         "line_dedup_newline": _q_line_dedup_newline,
         "extract_byte_budget": _q_extract_byte_budget,
         "dedup_semantic_probe2": _q_dedup_semantic_probe2,
@@ -2137,6 +2152,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unnest(range(n_copies)) AS INT) AS copy
             FROM c
             WHERE n_copies > 0
+        """,
+        # mixture_plan (r6): per-language integer token sums -> exact
+        # single-division epoch factors at a 1M budget, capped at 10 epochs
+        "mixture_plan": r"""
+            WITH t AS (
+                SELECT lang AS stratum, count(*) AS n_docs,
+                       CAST(sum(length(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+                FROM documents GROUP BY lang
+            ), w AS (
+                SELECT stratum, n_docs, total_tokens,
+                       CASE stratum WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.3
+                                    WHEN 'fr' THEN 0.1 ELSE 0.0 END AS weight
+                FROM t
+            )
+            SELECT stratum, n_docs, total_tokens, weight,
+                   round(1000000 * weight, 2) AS target_tokens,
+                   round(1000000 * weight / total_tokens, 6) AS factor_raw,
+                   round(least(1000000 * weight / total_tokens, 10.0), 6) AS factor
+            FROM w
         """,
         # line_dedup_within_doc (r6): keep-first replicated as rn=1 over
         # (doc, line) ordered by position; short lines (< min_chars=1, i.e.

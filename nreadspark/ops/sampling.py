@@ -106,6 +106,71 @@ def stratified_repeat(
     )
 
 
+def plan_epoch_factors(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: float,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    token_col: str | None = None,
+    max_epochs: float = 10.0,
+) -> DataFrame:
+    """Training-mix planning: per stratum, the epoch factor that hits a
+    target token mixture -- ``factor = budget * weight / stratum_tokens``
+    -- the number :func:`stratified_repeat` consumes.  Public mixture
+    recipes (Pile / Doremi-style) express the corpus as (source, weight,
+    epochs); this op derives the epochs from the measured token counts so
+    the mix survives re-crawls that change source sizes.
+
+    Output (one row per stratum, #strata rows total): n_docs,
+    total_tokens (exact integer sum of whitespace tokens, or of
+    ``token_col`` when a production tokenizer's counts are precomputed),
+    weight (0.0 for strata absent from ``weights`` -- i.e. dropped),
+    target_tokens, factor_raw, and factor capped at ``max_epochs``
+    (repeating a tiny source dozens of times memorizes it; the cap makes
+    the shortfall visible as factor < factor_raw instead of silent).
+
+    Shape: ONE map-side-combined hash agg on the stratum; every input
+    token count is an integer sum so any engine reproduces the division
+    bit-for-bit.  Collect the (tiny) result and feed
+    ``{r['stratum']: r['factor']}`` to :func:`stratified_repeat`.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be > 0, got {token_budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    toks = (
+        F.col(token_col).cast("bigint")
+        if token_col
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    )
+    agg = (
+        df.select(F.col(stratum_col).alias("stratum"), toks.alias("__t"))
+        .groupBy("stratum")
+        .agg(F.count("*").alias("n_docs"), F.sum("__t").alias("total_tokens"))
+    )
+    weight = F.lit(0.0)
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for stratum {s!r} must be >= 0, got {w}")
+        weight = F.when(F.col("stratum") == s, F.lit(float(w))).otherwise(weight)
+    raw = F.lit(float(token_budget)) * F.col("weight") / F.col("total_tokens")
+    return (
+        agg.withColumn("weight", weight)
+        .select(
+            "stratum",
+            "n_docs",
+            "total_tokens",
+            "weight",
+            F.round(F.lit(float(token_budget)) * F.col("weight"), 2).alias(
+                "target_tokens"
+            ),
+            F.round(raw, 6).alias("factor_raw"),
+            F.round(F.least(raw, F.lit(float(max_epochs))), 6).alias("factor"),
+        )
+    )
+
+
 def stratified_mix(
     df: DataFrame,
     rates: dict[str, float],

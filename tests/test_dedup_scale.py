@@ -810,3 +810,44 @@ def test_stratified_repeat_plan_zero_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_plan_epoch_factors_and_repeat_roundtrip(spark):
+    """Mixture planning: factors hit the token targets, the cap binds on
+    tiny sources, and plan -> stratified_repeat composes to roughly the
+    planned mixture."""
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.sampling import plan_epoch_factors, stratified_repeat
+
+    rows = (
+        [(i, "en", "one two three four five six seven eight") for i in range(200)]
+        + [(1000 + i, "de", "eins zwei drei vier") for i in range(100)]
+        + [(2000, "la", "lorem ipsum")]          # tiny source: cap must bind
+        + [(3000 + i, "xx", "spam spam spam") for i in range(10)]  # unlisted
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    plan = {r["stratum"]: r for r in plan_epoch_factors(
+        df, {"en": 0.5, "de": 0.4, "la": 0.1}, token_budget=4000, max_epochs=3.0
+    ).collect()}
+    assert set(plan) == {"en", "de", "la", "xx"}
+    # en: 200 docs x 8 tokens = 1600; target 2000 -> factor 1.25
+    assert plan["en"]["total_tokens"] == 1600 and plan["en"]["factor"] == 1.25
+    # de: 100 x 4 = 400; target 1600 -> raw 4.0, capped at 3.0
+    assert plan["de"]["factor_raw"] == 4.0 and plan["de"]["factor"] == 3.0
+    # unlisted stratum: weight 0, factor 0 (dropped from the mix)
+    assert plan["xx"]["weight"] == 0.0 and plan["xx"]["factor"] == 0.0
+
+    factors = {s: r["factor"] for s, r in plan.items()}
+    out = stratified_repeat(df.select("doc_id", "lang"), factors, "lang")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # integral factor exact; fractional factor within hash-bucket noise
+    assert counts["de"] == 300
+    assert 225 <= counts["en"] <= 275
+    assert "xx" not in counts
+
+    with pytest.raises(ValueError):
+        plan_epoch_factors(df, {"en": 1.0}, token_budget=0)
+    with pytest.raises(ValueError):
+        plan_epoch_factors(df, {"en": -0.1}, token_budget=100)
