@@ -484,6 +484,31 @@ def _q_sample_upsample(spark, sf_dir):
     )
 
 
+def _q_robots_noindex(spark, sf_dir):
+    """Robots-meta hygiene (r6): plant the directive zoo by doc_id residue
+    (attribute orders, quote styles, case, the 'none' shorthand, a decoy
+    description tag) into synthetic markup around the real document text;
+    the oracle states the expected flags closed-form from the residue, so
+    the regex chain is checked against ground truth, not against itself."""
+    from nreadspark.ops.robots import robots_meta
+
+    docs = _table(spark, sf_dir, "documents")
+    r = F.pmod("doc_id", F.lit(6))
+    meta = (
+        F.when(r == 0, '<meta name="robots" content="noindex,follow">')
+        .when(r == 1, '<meta content="nofollow" name="ROBOTS">')
+        .when(r == 2, "<META NAME='robots' CONTENT='NOINDEX, NOFOLLOW'>")
+        .when(r == 3, '<meta name="description" content="noindex nofollow">')
+        .when(r == 4, F.lit(""))
+        .otherwise('<meta name=robots content="none">')
+    )
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("<title>t</title></head><body><p>"),
+        F.col("text"), F.lit("</p></body></html>"),
+    )
+    return robots_meta(docs.select("doc_id", html.alias("html")))
+
+
 def _q_mixture_plan(spark, sf_dir):
     """Training-mix planning (r6): derive per-language epoch factors for a
     60/30/10 en/de/fr mixture at a 1M-token budget; unlisted languages get
@@ -1648,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_incremental": _q_dedup_minhash_incremental,
         "domain_quality": _q_domain_quality,
         "mixture_plan": _q_mixture_plan,
+        "robots_noindex": _q_robots_noindex,
         "line_dedup_newline": _q_line_dedup_newline,
         "extract_byte_budget": _q_extract_byte_budget,
         "dedup_semantic_probe2": _q_dedup_semantic_probe2,
@@ -2152,6 +2178,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unnest(range(n_copies)) AS INT) AS copy
             FROM c
             WHERE n_copies > 0
+        """,
+        # robots_noindex (r6): expected directive flags stated closed-form
+        # from the planting residue -- ground truth, not regex-vs-regex
+        "robots_noindex": """
+            SELECT doc_id,
+                   CAST(doc_id % 6 AS INT) IN (0, 2, 5) AS noindex,
+                   CAST(doc_id % 6 AS INT) IN (1, 2, 5) AS nofollow
+            FROM documents
         """,
         # mixture_plan (r6): per-language integer token sums -> exact
         # single-division epoch factors at a 1M budget, capped at 10 epochs

@@ -174,6 +174,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "text_nfc",
         "line_dedup_within_doc",
         "text_sentences",
+        "sample_upsample",
+        "dedup_minhash_incremental",
+        "domain_quality",
+        "mixture_plan",
         "e1_title_rules",
         "f5_f6_regex_rewrite",
         "tpch_q1_like",

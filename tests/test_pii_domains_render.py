@@ -284,3 +284,34 @@ def test_domain_quality_stats_pooled_exact(spark):
     small = spark.createDataFrame(rows[:2] + rows[4:], "doc_id long, url string, text string")
     kept_small = {r["doc_id"] for r in filter_spam_domains(small, min_docs=3).collect()}
     assert {0, 1} <= kept_small
+
+
+def test_robots_meta_directives(spark):
+    """Directive zoo: attribute order, quote styles, case, 'none' shorthand,
+    multi-tag union, decoys, word boundaries, NULL html."""
+    from nreadspark.ops.robots import drop_noindex, robots_meta
+
+    rows = [
+        (0, '<meta name="robots" content="noindex, follow">'),
+        (1, "<meta content='nofollow' name='ROBOTS'>"),
+        (2, '<META NAME=robots CONTENT="none">'),
+        (3, '<meta name="description" content="noindex">'),      # decoy name
+        (4, '<meta name="robots" content="index, follow">'),
+        (5, '<meta name="robots" content="nonoindex noindexing">'),  # boundaries
+        # union across tags
+        (6, '<meta name="robots" content="noindex"><meta name=robots content="nofollow">'),
+        (7, None),
+        (8, "no meta tags at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    flags = {r["doc_id"]: (r["noindex"], r["nofollow"]) for r in robots_meta(df).collect()}
+    assert flags == {
+        0: (True, False), 1: (False, True), 2: (True, True), 3: (False, False),
+        4: (False, False), 5: (False, False), 6: (True, True), 7: (False, False),
+        8: (False, False),
+    }
+    kept = {r["doc_id"] for r in drop_noindex(df).collect()}
+    assert kept == {1, 3, 4, 5, 7, 8}
+    # hygiene scan is pure codegen: no shuffle, no Python
+    plan = robots_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
