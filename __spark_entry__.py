@@ -484,6 +484,56 @@ def _q_sample_upsample(spark, sf_dir):
     )
 
 
+def _link_docs(spark, sf_dir):
+    """Shared construction for the web-graph queries: the domain_blocklist
+    URL family as the page's own URL, markup with one cross-domain link to
+    host{(doc_id+7)%20}.com, a hub link from every third doc, and a
+    relative link that must stay OUT of the domain graph."""
+    docs = _table(spark, sf_dir, "documents")
+    tld = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, ".co.uk")
+        .when(F.pmod("doc_id", F.lit(4)) == 1, ".com")
+        .when(F.pmod("doc_id", F.lit(4)) == 2, ".org")
+        .otherwise(".io")
+    )
+    url = F.concat(
+        F.lit("https://sub.host"), F.pmod("doc_id", F.lit(20)).cast("string"),
+        tld, F.lit("/p/"), F.col("doc_id").cast("string"),
+    )
+    hub = F.when(
+        F.pmod("doc_id", F.lit(3)) == 0,
+        F.lit('<a href="https://hub.example.com/">the hub</a>'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<p><a href="https://host'),
+        F.pmod(F.col("doc_id") + 7, F.lit(20)).cast("string"),
+        F.lit('.com/x">next <b>site</b></a> '),
+        hub,
+        F.lit(' <a href="/nav">relative nav</a></p>'),
+    )
+    return docs.select("doc_id", url.alias("url"), html.alias("html"))
+
+
+def _q_link_graph(spark, sf_dir):
+    """Registrable-domain link graph (r6): outlink extraction + domain
+    aggregation over planted markup; the oracle rebuilds the expected
+    edges closed-form from the planting residues (relative links must not
+    appear)."""
+    from nreadspark.ops.links import domain_link_graph
+
+    return domain_link_graph(_link_docs(spark, sf_dir))
+
+
+def _q_domain_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (r6) over the planted domain graph: 2
+    iterations of BIGINT-exact rank propagation; the oracle unrolls the
+    same integer arithmetic over the closed-form edge set."""
+    from nreadspark.ops.links import domain_link_graph, domain_pagerank
+
+    edges = domain_link_graph(_link_docs(spark, sf_dir))
+    return domain_pagerank(edges, n_iter=2)
+
+
 def _q_robots_noindex(spark, sf_dir):
     """Robots-meta hygiene (r6): plant the directive zoo by doc_id residue
     (attribute orders, quote styles, case, the 'none' shorthand, a decoy
@@ -1674,6 +1724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": _q_domain_quality,
         "mixture_plan": _q_mixture_plan,
         "robots_noindex": _q_robots_noindex,
+        "link_graph": _q_link_graph,
+        "domain_pagerank": _q_domain_pagerank,
         "line_dedup_newline": _q_line_dedup_newline,
         "extract_byte_budget": _q_extract_byte_budget,
         "dedup_semantic_probe2": _q_dedup_semantic_probe2,
@@ -2178,6 +2230,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unnest(range(n_copies)) AS INT) AS copy
             FROM c
             WHERE n_copies > 0
+        """,
+        # link_graph (r6): expected edges rebuilt closed-form from the
+        # planting residues; the relative link contributes nothing
+        "link_graph": """
+            WITH e AS (
+                SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) ||
+                       CASE CAST(doc_id % 4 AS INT)
+                            WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                            WHEN 2 THEN '.org' ELSE '.io' END AS src_domain,
+                       'host' || CAST((doc_id + 7) % 20 AS VARCHAR) || '.com' AS dst_domain
+                FROM documents
+                UNION ALL
+                SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) ||
+                       CASE CAST(doc_id % 4 AS INT)
+                            WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                            WHEN 2 THEN '.org' ELSE '.io' END,
+                       'example.com'
+                FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT src_domain, dst_domain, count(*) AS n_links
+            FROM e GROUP BY src_domain, dst_domain
+        """,
+        # domain_pagerank (r6): the same closed-form edges, then TWO
+        # unrolled iterations of the identical BIGINT fixed-point
+        # arithmetic (floor div, damping as (s // 100) * 85)
+        "domain_pagerank": """
+            WITH raw AS (
+                SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) ||
+                       CASE CAST(doc_id % 4 AS INT)
+                            WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                            WHEN 2 THEN '.org' ELSE '.io' END AS src_domain,
+                       'host' || CAST((doc_id + 7) % 20 AS VARCHAR) || '.com' AS dst_domain
+                FROM documents
+                UNION ALL
+                SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) ||
+                       CASE CAST(doc_id % 4 AS INT)
+                            WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                            WHEN 2 THEN '.org' ELSE '.io' END,
+                       'example.com'
+                FROM documents WHERE doc_id % 3 = 0
+            ), se AS (
+                SELECT DISTINCT src_domain, dst_domain FROM raw
+            ), nodes AS (
+                SELECT DISTINCT domain FROM (
+                    SELECT src_domain AS domain FROM se
+                    UNION ALL SELECT dst_domain FROM se
+                )
+            ), od AS (
+                SELECT src_domain, count(*) AS odeg FROM se GROUP BY src_domain
+            ), r0 AS (
+                SELECT domain, CAST(1000000000000 AS BIGINT) AS r FROM nodes
+            ), c1 AS (
+                SELECT se.dst_domain AS domain,
+                       CAST(sum(r0.r // od.odeg) AS BIGINT) AS s
+                FROM se JOIN r0 ON r0.domain = se.src_domain
+                        JOIN od ON od.src_domain = se.src_domain
+                GROUP BY se.dst_domain
+            ), r1 AS (
+                SELECT n.domain,
+                       CAST(150000000000 + (coalesce(c1.s, 0) // 100) * 85 AS BIGINT) AS r
+                FROM nodes n LEFT JOIN c1 ON c1.domain = n.domain
+            ), c2 AS (
+                SELECT se.dst_domain AS domain,
+                       CAST(sum(r1.r // od.odeg) AS BIGINT) AS s
+                FROM se JOIN r1 ON r1.domain = se.src_domain
+                        JOIN od ON od.src_domain = se.src_domain
+                GROUP BY se.dst_domain
+            ), r2 AS (
+                SELECT n.domain,
+                       CAST(150000000000 + (coalesce(c2.s, 0) // 100) * 85 AS BIGINT) AS r
+                FROM nodes n LEFT JOIN c2 ON c2.domain = n.domain
+            )
+            SELECT domain, r AS rank_scaled FROM r2
         """,
         # robots_noindex (r6): expected directive flags stated closed-form
         # from the planting residue -- ground truth, not regex-vs-regex
