@@ -504,10 +504,15 @@ def _link_docs(spark, sf_dir):
         F.pmod("doc_id", F.lit(3)) == 0,
         F.lit('<a href="https://hub.example.com/">the hub</a>'),
     ).otherwise(F.lit(""))
+    anchor = (
+        F.when(F.pmod("doc_id", F.lit(3)) == 0, "Next <b>Site</b>")
+        .when(F.pmod("doc_id", F.lit(3)) == 1, "read more")
+        .otherwise("continue reading")
+    )
     html = F.concat(
         F.lit('<p><a href="https://host'),
         F.pmod(F.col("doc_id") + 7, F.lit(20)).cast("string"),
-        F.lit('.com/x">next <b>site</b></a> '),
+        F.lit('.com/x">'), anchor, F.lit("</a> "),
         hub,
         F.lit(' <a href="/nav">relative nav</a></p>'),
     )
@@ -532,6 +537,26 @@ def _q_domain_pagerank(spark, sf_dir):
 
     edges = domain_link_graph(_link_docs(spark, sf_dir))
     return domain_pagerank(edges, n_iter=2)
+
+
+def _q_anchor_profile(spark, sf_dir):
+    """Top-k anchor texts per destination domain (r6): the planted anchor
+    zoo (markup-nested, case-varied, three rotating texts + the hub label)
+    aggregated and rank-filtered; the oracle rebuilds counts closed-form
+    from the planting residues."""
+    from nreadspark.ops.links import anchor_text_profile
+
+    return anchor_text_profile(_link_docs(spark, sf_dir), k=3)
+
+
+def _q_text_readability(spark, sf_dir):
+    """Flesch/Kincaid readability (r6): integer sentence/word/vowel-group
+    counters in scan-stage codegen; the formulas are one fixed expression
+    tree over exact-integer quotients, replicated term-for-term in the
+    DuckDB twin."""
+    from nreadspark.ops.textstats import readability
+
+    return readability(_table(spark, sf_dir, "documents"))
 
 
 def _q_robots_noindex(spark, sf_dir):
@@ -1726,6 +1751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_noindex": _q_robots_noindex,
         "link_graph": _q_link_graph,
         "domain_pagerank": _q_domain_pagerank,
+        "anchor_profile": _q_anchor_profile,
+        "text_readability": _q_text_readability,
         "line_dedup_newline": _q_line_dedup_newline,
         "extract_byte_budget": _q_extract_byte_budget,
         "dedup_semantic_probe2": _q_dedup_semantic_probe2,
@@ -2303,6 +2330,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM nodes n LEFT JOIN c2 ON c2.domain = n.domain
             )
             SELECT domain, r AS rank_scaled FROM r2
+        """,
+        # anchor_profile (r6): planted anchor counts closed-form; same
+        # deterministic (n desc, anchor asc) rank ordering in both engines
+        "anchor_profile": """
+            WITH l AS (
+                SELECT 'host' || CAST((doc_id + 7) % 20 AS VARCHAR) || '.com' AS dst_domain,
+                       CASE CAST(doc_id % 3 AS INT)
+                            WHEN 0 THEN 'next site' WHEN 1 THEN 'read more'
+                            ELSE 'continue reading' END AS anchor
+                FROM documents
+                UNION ALL
+                SELECT 'example.com', 'the hub' FROM documents WHERE doc_id % 3 = 0
+            ), c AS (
+                SELECT dst_domain, anchor, count(*) AS n_links
+                FROM l GROUP BY dst_domain, anchor
+            ), r AS (
+                SELECT dst_domain, anchor, n_links,
+                       CAST(row_number() OVER (
+                            PARTITION BY dst_domain
+                            ORDER BY n_links DESC, anchor ASC) AS INT) AS rank
+                FROM c
+            )
+            SELECT dst_domain, anchor, n_links, rank FROM r WHERE rank <= 3
+        """,
+        # text_readability (r6): identical counter definitions and formula
+        # tree (term order preserved for bit-identical doubles)
+        "text_readability": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(greatest(length(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+                       CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+                       CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                            w -> length(regexp_extract_all(lower(w), '[aeiouy]+')))) AS BIGINT) AS n_syllables
+                FROM documents
+            )
+            SELECT doc_id, n_sentences, n_words, n_syllables,
+                   round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch_reading_ease,
+                   round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                         + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4) AS fk_grade
+            FROM d
         """,
         # robots_noindex (r6): expected directive flags stated closed-form
         # from the planting residue -- ground truth, not regex-vs-regex

@@ -178,6 +178,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_minhash_incremental",
         "domain_quality",
         "mixture_plan",
+        "robots_noindex",
+        "link_graph",
+        "domain_pagerank",
+        "anchor_profile",
+        "text_readability",
         "e1_title_rules",
         "f5_f6_regex_rewrite",
         "tpch_q1_like",

@@ -140,10 +140,9 @@ def domain_pagerank(
     cannot promise that under shuffle reordering.  Per-iteration
     truncation is bounded by outdeg/SCALE of one rank unit (negligible at
     SCALE=10^12).  Dangling mass is dropped (see module docstring).
-    Multi-edges weight contributions by ``n_links``... no: edge
-    multiplicity is intentionally IGNORED (one domain's 10^6 footer links
-    to a partner count once) -- the graph is treated as simple; pass
-    pre-filtered edges to change that.
+    Edge multiplicity is intentionally IGNORED (one domain's 10^6 footer
+    links to a partner count once): the graph is treated as simple; weight
+    or pre-filter the edge frame upstream to change that.
 
     Shape: per iteration ONE join (ranks x edges on src) + ONE agg on
     dst + a left join back onto the node set -- the same bulk-shuffle
@@ -200,3 +199,49 @@ def domain_pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def anchor_text_profile(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    k: int = 3,
+    extra_suffixes=(),
+) -> DataFrame:
+    """(dst_domain, anchor, n_links, rank): the ``k`` most common anchor
+    texts pointing at each registrable domain -- "what the web calls this
+    site".  Anchor text is the classic external relevance/label signal
+    (it powered early web search ranking and is how a crawl pipeline
+    labels link-farm targets: a domain whose top anchors are all "cheap
+    pills" needs no content fetch to classify).
+
+    Anchors are lowercased and whitespace-collapsed before counting;
+    empty anchors (image links) are dropped.  Deterministic ordering:
+    count desc, then anchor asc -- reruns return the same rows.
+
+    Shape: outlink explode + domain extraction in the scan stage -> ONE
+    hash agg on (dst_domain, anchor) -> ONE window shuffle on dst_domain
+    for the top-k rank-filter.  Like ``cap_per_domain``, the window
+    discards the per-domain tail without collecting it; the aggregated
+    (domain, anchor) frame is already far smaller than the corpus."""
+    from pyspark.sql import Window
+
+    links = extract_outlinks(df.select("doc_id", url_col, html_col), html_col).filter(
+        F.col("href").rlike(_ABSOLUTE_PATTERN)
+    )
+    counted = (
+        links.select(
+            registrable_domain_col("href", extra_suffixes).alias("dst_domain"),
+            F.lower(F.regexp_replace(F.col("anchor"), r"\s+", " ")).alias("anchor"),
+        )
+        .filter((F.col("anchor") != "") & F.col("dst_domain").isNotNull())
+        .groupBy("dst_domain", "anchor")
+        .agg(F.count("*").alias("n_links"))
+    )
+    w = Window.partitionBy("dst_domain").orderBy(
+        F.desc("n_links"), F.asc("anchor")
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -505,3 +505,60 @@ def corpus_profile(
             F.round(F.expr("percentile(__cp_len, 0.5)"), 6).alias("median_chars"),
         )
     )
+
+
+def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_sentences, n_words, n_syllables, flesch_reading_ease,
+    fk_grade): the classic English readability pair (Flesch 1948 /
+    Kincaid 1975), used as a curation feature: pathologically low reading
+    ease flags word salad, absurdly high flags listicle chaff; the grade
+    level stratifies mixes ("textbook-grade" vs "forum-grade" buckets).
+
+    Heuristics, stated plainly: a sentence is a ``[.!?]+`` run (clamped
+    to >=1 so fragments don't divide by zero); a syllable is a maximal
+    ``[aeiouy]+`` vowel group in the lowercased word -- the standard
+    cheap approximation (miscounts silent-e words by ~1, which the
+    formula's constants absorb in aggregate).  English-specific by
+    construction; run downstream of ``lang_id``.
+
+    Exactness: the three counters are integers; each formula is one
+    fixed expression tree over their exact-double quotients, so any
+    engine computing the same tree reproduces the rounded values
+    bit-for-bit.  Shape: pure scan-stage codegen (regexp + higher-order
+    aggregate over the word array) -- zero shuffles, zero Python."""
+    d = df.withColumn(
+        "__rd_words", F.split(F.trim(F.col(text_col)), r"\s+")
+    ).withColumn(
+        "__rd_syl",
+        F.aggregate(
+            F.transform(
+                "__rd_words",
+                lambda w: F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), 0)),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    ).withColumn(
+        "__rd_sent",
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)),
+            F.lit(1),
+        ),
+    )
+    words = F.size("__rd_words").cast("bigint")
+    sents = F.col("__rd_sent").cast("bigint")
+    syl = F.col("__rd_syl")
+    wps = words / sents
+    spw = syl / words
+    return d.select(
+        "doc_id",
+        sents.alias("n_sentences"),
+        words.alias("n_words"),
+        syl.alias("n_syllables"),
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias(
+            "flesch_reading_ease"
+        ),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4).alias(
+            "fk_grade"
+        ),
+    )

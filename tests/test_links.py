@@ -112,3 +112,43 @@ def test_pagerank_authority_ordering(spark):
     assert a["hub"] > a["other"] > a["s1"] == a["s2"]
     b = {r["domain"]: r["rank_scaled"] for r in domain_pagerank(edges, n_iter=3).collect()}
     assert a == b
+
+
+def test_anchor_text_profile_topk(spark):
+    from nreadspark.ops.links import anchor_text_profile
+
+    mk = lambda n, a: f'<a href="https://t.com/{n}">{a}</a>'  # noqa: E731
+    rows = [
+        (1, "https://s1.com/", mk(1, "Buy <b>Pills</b>") + mk(2, "buy pills") + mk(3, "other")),
+        (2, "https://s2.com/", mk(4, "buy   pills") + mk(5, "zzz") + mk(6, "aaa")),
+        (3, "https://s3.com/", '<a href="https://t.com/i"><img src="x.png"></a>'),  # empty anchor
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    out = [(r["anchor"], r["n_links"], r["rank"])
+           for r in anchor_text_profile(df, k=2).orderBy("rank", "anchor").collect()]
+    # case + whitespace + nested markup fold together; ties break anchor-asc;
+    # k=2 keeps two rows; the image link's empty anchor is dropped
+    assert out == [("buy pills", 3, 1), ("aaa", 1, 2)]
+
+
+def test_readability_counts_and_formula(spark):
+    from nreadspark.ops.textstats import readability
+
+    rows = [
+        (1, "The cat sat. The dog ran! Did it?"),
+        (2, "word"),                       # no terminator: sentence clamp to 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in readability(df).collect()}
+    r1 = out[1]
+    assert r1["n_sentences"] == 3 and r1["n_words"] == 8
+    # the/cat/sat/the/dog/ran/did/it -> vowel groups: e,a,a,e,o,a,i,i = 8
+    assert r1["n_syllables"] == 8
+    fre = round(206.835 - 1.015 * (8 / 3) - 84.6 * (8 / 8), 4)
+    fk = round(0.39 * (8 / 3) + 11.8 * (8 / 8) - 15.59, 4)
+    assert r1["flesch_reading_ease"] == fre and r1["fk_grade"] == fk
+    r2 = out[2]
+    assert r2["n_sentences"] == 1 and r2["n_words"] == 1 and r2["n_syllables"] == 1
+    # scan-stage only: no shuffle, no Python
+    plan = readability(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
