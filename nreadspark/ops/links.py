@@ -160,13 +160,18 @@ def domain_pagerank(
         .select("src_domain", "dst_domain")
         .distinct()
     )
+    # checkpoint the edge set FIRST, then derive nodes from the
+    # checkpointed frame: deriving both from the raw plan would recompute
+    # the (possibly corpus-scan-expensive) upstream twice -- at crawl
+    # scale that is two full passes over the HTML instead of one.
+    if checkpoint:
+        simple = simple.localCheckpoint(eager=True)
     nodes = (
         simple.select(F.col("src_domain").alias("domain"))
         .unionByName(simple.select(F.col("dst_domain").alias("domain")))
         .distinct()
     )
     if checkpoint:
-        simple = simple.localCheckpoint(eager=True)
         nodes = nodes.localCheckpoint(eager=True)
     outdeg = simple.groupBy(F.col("src_domain").alias("domain")).agg(
         F.count("*").alias("__outdeg")
