@@ -584,6 +584,56 @@ def _q_robots_noindex(spark, sf_dir):
     return robots_meta(docs.select("doc_id", html.alias("html")))
 
 
+def _q_robots_rules(spark, sf_dir):
+    """robots.txt fetch-permission filter (r6): plant a 7-domain robots.txt
+    zoo (group selection, exact-agent preference over *, wildcard + $
+    anchor rules, allow-wins-ties, preamble rules outside any group, empty
+    disallow, comments/case/whitespace) and a 5-path URL grid over it; the
+    oracle states the expected allow/deny closed-form from the planting
+    residues -- ground truth, not parser-vs-parser."""
+    from nreadspark.ops.robots import parse_robots_rules, tag_robots_permissions
+
+    docs = _table(spark, sf_dir, "documents")
+    dres = F.pmod("doc_id", F.lit(7))
+    pres = F.pmod("doc_id", F.lit(5))
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("site"), dres.cast("string"), F.lit(".com")).alias("domain"),
+        F.when(pres == 0, "/private/pub/x.html")
+        .when(pres == 1, "/private/y")
+        .when(pres == 2, "/docs/m.pdf")
+        .when(pres == 3, "/dir/page")
+        .otherwise("/x/top")
+        .alias("path"),
+    )
+    txt = (
+        F.when(F.col("res") == 0,
+               "User-agent: *\nDisallow: /private/\nAllow: /private/pub/")
+        .when(F.col("res") == 1,
+              "User-agent: *\nDisallow: /\n\nUser-agent: trainbot\nDisallow: /tmp/")
+        .when(F.col("res") == 2,
+              "User-agent: *\nDisallow: /*.pdf$\nDisallow: /cgi*/x")
+        .when(F.col("res") == 3,
+              "# preamble\nUSER-AGENT: TrainBot\n Disallow : /private\nallow: /private/pub")
+        .when(F.col("res") == 4, "Disallow: /ignored/\nUser-agent: *\nDisallow:")
+        .when(F.col("res") == 5,
+              "User-agent: otherbot\nUser-agent: trainbot\nDisallow: /x/")
+        .otherwise("User-agent: *\nAllow: /dir/\nDisallow: /dir/")
+    )
+    robots = (
+        docs.select(F.pmod("doc_id", F.lit(7)).alias("res"))
+        .distinct()
+        .select(
+            F.concat(F.lit("site"), F.col("res").cast("string"), F.lit(".com")).alias(
+                "domain"
+            ),
+            txt.alias("robots_txt"),
+        )
+    )
+    rules = parse_robots_rules(robots, agent="trainbot")
+    return tag_robots_permissions(urls, rules)
+
+
 def _q_mixture_plan(spark, sf_dir):
     """Training-mix planning (r6): derive per-language epoch factors for a
     60/30/10 en/de/fr mixture at a 1M-token budget; unlisted languages get
@@ -1753,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank": _q_domain_pagerank,
         "anchor_profile": _q_anchor_profile,
         "text_readability": _q_text_readability,
+        "robots_rules": _q_robots_rules,
         "line_dedup_newline": _q_line_dedup_newline,
         "extract_byte_budget": _q_extract_byte_budget,
         "dedup_semantic_probe2": _q_dedup_semantic_probe2,
@@ -2371,6 +2422,24 @@ def oracle_sql() -> dict[str, str]:
                    round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
                          + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4) AS fk_grade
             FROM d
+        """,
+        # robots_rules (r6): expected allow/deny stated closed-form from
+        # the planting residues (the four denied (domain, path) cells) --
+        # ground truth, not parser-vs-parser
+        "robots_rules": """
+            SELECT doc_id,
+                   'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,
+                   CASE CAST(doc_id % 5 AS INT)
+                        WHEN 0 THEN '/private/pub/x.html'
+                        WHEN 1 THEN '/private/y'
+                        WHEN 2 THEN '/docs/m.pdf'
+                        WHEN 3 THEN '/dir/page'
+                        ELSE '/x/top' END AS path,
+                   NOT ((doc_id % 7 = 0 AND doc_id % 5 = 1)
+                     OR (doc_id % 7 = 2 AND doc_id % 5 = 2)
+                     OR (doc_id % 7 = 3 AND doc_id % 5 = 1)
+                     OR (doc_id % 7 = 5 AND doc_id % 5 = 4)) AS allowed
+            FROM documents
         """,
         # robots_noindex (r6): expected directive flags stated closed-form
         # from the planting residue -- ground truth, not regex-vs-regex

@@ -183,6 +183,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "domain_pagerank",
         "anchor_profile",
         "text_readability",
+        "robots_rules",
         "e1_title_rules",
         "f5_f6_regex_rewrite",
         "tpch_q1_like",

@@ -1,4 +1,5 @@
-"""Robots-directive hygiene: ``<meta name="robots">`` extraction as JVM
+"""Robots-directive hygiene: ``<meta name="robots">`` extraction plus
+robots.txt (RFC 9309) parsing and fetch-permission filtering, all as JVM
 column expressions.
 
 A crawl that trains on pages whose publishers opted out via
@@ -25,7 +26,7 @@ shuffles, no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # every <meta ...> tag; robots filtering happens on the extracted array so
 # the expensive full-text scan runs ONCE
@@ -76,3 +77,204 @@ def drop_noindex(df: DataFrame, html_col: str = "html") -> DataFrame:
     flags = robots_meta(df, html_col)
     keep = flags.filter(~F.col("noindex")).select("doc_id")
     return df.join(keep, "doc_id", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) -- the per-SITE opt-out published at /robots.txt,
+# applied at frontier time (before the fetch) and re-applied at curation
+# time (the CCBot/GPTBot opt-out wave made retroactive re-filtering a
+# standard stage).  Semantics implemented, and their scale shapes, are
+# documented on the functions below; out of scope: %-decoding
+# normalization of patterns and the Crawl-delay/Sitemap metadata fields.
+#
+# - parsing windows over the robots table: one small frame (a row per
+#   domain, exploded to a row per line); the corpus never enters.
+# - compilation folds each domain's rules into ONE array row, so
+# - permission tagging is a single join on the domain (AQE broadcasts a
+#   small compiled side) + higher-order array evaluation in the scan
+#   stage: the corpus is never re-shuffled and never re-joined per rule.
+#   Plain-prefix rules (the vast majority in real robots.txt) match via
+#   startswith; only wildcard/anchored rules pay data-driven regex.
+# ---------------------------------------------------------------------------
+
+_RULE_FIELDS = ("allow", "disallow")
+
+
+def parse_robots_rules(
+    df: DataFrame,
+    agent: str = "*",
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(domain, allow, path, rule_len): the rule set governing ``agent``,
+    one row per effective Allow/Disallow rule.  Group selection (exact
+    agent match beats ``*``), comment stripping, field case folding and
+    the ignore-rules-before-any-group behavior all happen here; empty
+    patterns are dropped (an empty ``Disallow:`` allows everything by
+    saying nothing).
+
+    Shape: posexplode to one row per line, then per-domain windows (lag
+    for group starts, running sum for group ids) + one small agg for
+    group-agent matching -- every frame is robots-table-sized (lines of
+    text per domain), never corpus-sized."""
+    agent_lc = agent.lower()
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("__rb_pos", "__rb_raw"),
+    )
+    # comments strip first (inline or whole-line), then trim; \r from CRLF
+    # transfers dies with the trim
+    clean = F.trim(F.regexp_replace(F.col("__rb_raw"), "#.*", ""))
+    lines = (
+        lines.withColumn("__rb_line", clean)
+        .withColumn(
+            "field",
+            F.lower(F.trim(F.regexp_extract("__rb_line", "^([^:]+):", 1))),
+        )
+        .withColumn(
+            "value", F.trim(F.regexp_extract("__rb_line", "^[^:]+:(.*)", 1))
+        )
+        .filter(F.col("field").isin("user-agent", *_RULE_FIELDS))
+        .select("domain", "__rb_pos", "field", "value")
+    )
+    w = Window.partitionBy("domain").orderBy("__rb_pos")
+    # a group starts at a user-agent line not preceded by another
+    # user-agent line (consecutive UA lines share one group, RFC 9309 §2.1)
+    start = (F.col("field") == "user-agent") & (
+        F.coalesce(F.lag("field").over(w), F.lit("")) != "user-agent"
+    )
+    lines = lines.withColumn(
+        "__rb_grp",
+        F.sum(start.cast("int")).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    groups = (
+        lines.filter(F.col("field") == "user-agent")
+        .groupBy("domain", "__rb_grp")
+        .agg(
+            F.max((F.lower("value") == agent_lc).cast("int")).alias("__rb_exact"),
+            F.max((F.col("value") == "*").cast("int")).alias("__rb_star"),
+        )
+        .withColumn(
+            "__rb_has_exact",
+            F.max("__rb_exact").over(Window.partitionBy("domain")),
+        )
+        .filter(
+            ((F.col("__rb_has_exact") == 1) & (F.col("__rb_exact") == 1))
+            | ((F.col("__rb_has_exact") == 0) & (F.col("__rb_star") == 1))
+        )
+        .select("domain", "__rb_grp")
+    )
+    return (
+        lines.filter(
+            F.col("field").isin(*_RULE_FIELDS)
+            & (F.col("__rb_grp") > 0)
+            & (F.col("value") != "")
+        )
+        .join(groups, ["domain", "__rb_grp"])
+        .select(
+            "domain",
+            (F.col("field") == "allow").alias("allow"),
+            F.col("value").alias("path"),
+            F.length("value").cast("int").alias("rule_len"),
+        )
+    )
+
+
+def compile_robots(rules: DataFrame) -> DataFrame:
+    """(domain, __rb_rules): each domain's rule set folded into ONE array
+    of (a: allow int, l: rule_len, rx: is-regex, pat: prefix-or-pattern)
+    structs, so permission tagging joins the corpus against one row per
+    domain.  Plain prefixes stay plain (``startswith`` at eval time);
+    rules containing ``*`` or a trailing ``$`` are pre-translated to an
+    anchored regex here, once, not per URL."""
+    anchored = F.col("path").endswith("$")
+    body = F.when(
+        anchored, F.expr("substring(path, 1, length(path) - 1)")
+    ).otherwise(F.col("path"))
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    pattern = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    is_rx = F.col("path").contains("*") | anchored
+    return (
+        rules.select(
+            "domain",
+            F.struct(
+                F.col("allow").cast("int").alias("a"),
+                F.col("rule_len").alias("l"),
+                is_rx.alias("rx"),
+                F.when(is_rx, pattern).otherwise(F.col("path")).alias("pat"),
+            ).alias("__rb_r"),
+        )
+        .groupBy("domain")
+        .agg(F.collect_list("__rb_r").alias("__rb_rules"))
+    )
+
+
+def robots_path_col(url) -> Column:
+    """Match-target path of a URL per RFC 9309: everything after the
+    authority, fragment stripped, query kept (rules with ``?`` exist and
+    must see it), empty path -> ``/``.  Non-absolute inputs pass through
+    as-is (they are already paths)."""
+    url = F.col(url) if isinstance(url, str) else url
+    tail = F.regexp_extract(
+        F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*", ""),
+        r"^([^#]*)",
+        1,
+    )
+    return F.when(tail == "", F.lit("/")).otherwise(tail)
+
+
+def tag_robots_permissions(
+    df: DataFrame,
+    rules: DataFrame,
+    domain_col: str = "domain",
+    path_col: str = "path",
+    out_col: str = "allowed",
+) -> DataFrame:
+    """Add ``out_col``: whether fetching ``path_col`` on ``domain_col`` is
+    permitted by ``rules`` (a :func:`parse_robots_rules` frame).  Winner
+    selection is the RFC's longest-match-wins with allow-beats-disallow
+    ties, evaluated per row as pure array ops: filter the domain's rule
+    array down to matches, take the lexicographic max of (rule_len,
+    allow) structs -- no per-rule join, no corpus re-shuffle.  URLs with
+    no matching rule, and domains with no rules at all, are allowed.
+
+    Shape: ONE left join on the domain against the one-row-per-domain
+    compiled frame (AQE broadcasts it when small); everything else is
+    scan-stage array evaluation."""
+    compiled = compile_robots(rules)
+    joined = df.join(
+        compiled, df[domain_col] == compiled["domain"], "left"
+    ).drop(compiled["domain"])
+    path = F.col(path_col)
+    matched = F.filter(
+        F.coalesce(F.col("__rb_rules"), F.array()),
+        lambda r: F.when(r["rx"], F.regexp_like(path, r["pat"])).otherwise(
+            F.startswith(path, r["pat"])
+        ),
+    )
+    best = F.array_max(
+        F.transform(matched, lambda r: F.struct(r["l"].alias("l"), r["a"].alias("a")))
+    )
+    return joined.withColumn(
+        out_col, F.coalesce(best["a"] == 1, F.lit(True))
+    ).drop("__rb_rules")
+
+
+def filter_robots_disallowed(
+    df: DataFrame,
+    rules: DataFrame,
+    domain_col: str = "domain",
+    path_col: str = "path",
+) -> DataFrame:
+    """Survivor composition: keep only rows whose fetch the rule set
+    permits (the retroactive re-filter a curation pipeline runs when a
+    site's robots.txt revokes consent)."""
+    return tag_robots_permissions(df, rules, domain_col, path_col, "__rb_ok").filter(
+        F.col("__rb_ok")
+    ).drop("__rb_ok")

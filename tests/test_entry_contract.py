@@ -2,6 +2,7 @@
 on sf0.001 and compare against its oracle_sql() twin through DuckDB
 (row-count + column names + order-insensitive values)."""
 
+import decimal
 import math
 import os
 
@@ -44,7 +45,10 @@ def duck():
 
 
 def _norm(v):
-    if isinstance(v, float):
+    # DuckDB returns DECIMAL for decimal-literal arithmetic via fetchall;
+    # the driver's pandas path coerces those to float64, so mirror that
+    if isinstance(v, (float, decimal.Decimal)):
+        v = float(v)
         if math.isnan(v):
             return "nan"
         return f"{v:.6f}"
