@@ -634,6 +634,19 @@ def _q_robots_rules(spark, sf_dir):
     return tag_robots_permissions(urls, rules)
 
 
+def _q_lm_familiarity(spark, sf_dir):
+    """Bigram LM familiarity (r6): CCNet-style LM quality ranking in exact
+    integer arithmetic -- counts self-trained on the corpus with hapax
+    pruning (min_count=2), each bigram scoring floor(log2(n+1)) via binary
+    string length (no floats until the final mean).  The DuckDB twin
+    replicates tokenization, pruning and the log2 bucket definition."""
+    from nreadspark.ops.lm import lm_familiarity, train_bigram_counts
+
+    docs = _table(spark, sf_dir, "documents")
+    counts = train_bigram_counts(docs, min_count=2)
+    return lm_familiarity(docs, counts)
+
+
 def _q_mixture_plan(spark, sf_dir):
     """Training-mix planning (r6): derive per-language epoch factors for a
     60/30/10 en/de/fr mixture at a 1M-token budget; unlisted languages get
@@ -1804,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_profile": _q_anchor_profile,
         "text_readability": _q_text_readability,
         "robots_rules": _q_robots_rules,
+        "lm_familiarity": _q_lm_familiarity,
         "line_dedup_newline": _q_line_dedup_newline,
         "extract_byte_budget": _q_extract_byte_budget,
         "dedup_semantic_probe2": _q_dedup_semantic_probe2,
@@ -2422,6 +2436,34 @@ def oracle_sql() -> dict[str, str]:
                    round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
                          + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4) AS fk_grade
             FROM d
+        """,
+        # lm_familiarity (r6): same tokenization, hapax pruning and the
+        # float-free log2 bucket (floor(log2(n+1)) == binary length - 1)
+        "lm_familiarity": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS w
+                FROM documents
+            ), b AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, length(w)),
+                                             i -> w[i] || ' ' || w[i + 1])) AS gram
+                FROM toks
+            ), c AS (
+                SELECT gram, count(*) AS n FROM b GROUP BY gram
+                HAVING count(*) >= 2
+            ), s AS (
+                SELECT b.doc_id, count(*) AS n_bigrams,
+                       CAST(sum(length(format('{:b}', coalesce(c.n, 0) + 1)) - 1)
+                            AS BIGINT) AS fam_sum
+                FROM b LEFT JOIN c USING (gram)
+                GROUP BY b.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(s.fam_sum, 0) AS BIGINT) AS fam_sum,
+                   round(CAST(s.fam_sum AS DOUBLE) / s.n_bigrams, 6) AS familiarity
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         # robots_rules (r6): expected allow/deny stated closed-form from
         # the planting residues (the four denied (domain, path) cells) --

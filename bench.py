@@ -184,6 +184,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "anchor_profile",
         "text_readability",
         "robots_rules",
+        "lm_familiarity",
         "e1_title_rules",
         "f5_f6_regex_rewrite",
         "tpch_q1_like",
