@@ -4,7 +4,7 @@
 sf0.001.  ``queries()`` exposes one callable per implemented operator from
 SURVEY.md §2 plus the training-data ops (dedup / similarity / text analysis /
 multimodal / PII / domains / rendering); ``oracle_sql()`` carries a
-DuckDB-checkable ANSI-SQL twin for EVERY entry (61/61 -- non-SQL kernels
+DuckDB-checkable ANSI-SQL twin for EVERY entry (82/82 -- non-SQL kernels
 like the DOM extraction get closed-form oracles over deterministic
 constructions).  Ordering contract: the driver's CORRECTNESS file caps at
 the first 50 entries, so every SURVEY §2 operator's primary oracle sits
@@ -1653,6 +1653,64 @@ def _q_multimodal_frames(spark, sf_dir):
     )
 
 
+def _q_multimodal_phash(spark, sf_dir):
+    """Perceptual image hashes (r6): the Spark side ENCODES complete PNGs
+    (real zlib IDAT + CRCs, pixel values closed-form in doc_id), DECODES
+    them through the vendored pixel path, and hashes; the oracle
+    recomputes the hashes from the generative pixel formula alone -- so
+    the encode->decode round trip is verified against ground truth the
+    oracle never has to parse PNG bytes for.  doc_id % 101 == 7 rows are
+    truncated payloads exercising the containment tier."""
+    from nreadspark.ops.images import image_hashes, synthesize_png_corpus
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = synthesize_png_corpus(docs.select("doc_id"))
+    return image_hashes(media).select(
+        "media_ref",
+        "width",
+        "height",
+        "ahash_hi",
+        "ahash_lo",
+        "ghash_hi",
+        "ghash_lo",
+        "decoder",
+    )
+
+
+def _q_dedup_image_phash(spark, sf_dir):
+    """Image near-duplicate pairs (r6) within hamming<=3 on the average
+    hash: banded 4x16-bit self-join (pigeonhole-exact at <=3 bits) +
+    exact bit_count verification; doc_id % 97 collisions plant the
+    duplicate clusters.  The oracle does the quadratic join the Spark
+    side avoids."""
+    from nreadspark.ops.images import (
+        image_hashes,
+        near_dup_image_pairs,
+        synthesize_png_corpus,
+    )
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    hdf = image_hashes(synthesize_png_corpus(docs.select("doc_id")))
+    return near_dup_image_pairs(hdf, max_hamming=3).select(
+        "ref_a", "ref_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _q_dedup_reference_bloom(spark, sf_dir):
+    """Bloom-prefiltered cross-snapshot dedup (r6): same exact semantics
+    as dedup_reference (the oracle is the plain exact-membership SQL --
+    Bloom false positives only cost join traffic, never flip a flag);
+    mod-3 reference with case/whitespace noise."""
+    from nreadspark.ops.dedup import dedup_against_reference_bloom
+
+    docs = _table(spark, sf_dir, "documents")
+    reference = docs.filter(F.pmod("doc_id", F.lit(3)) == 0).select(
+        (F.col("doc_id") + F.lit(9000000)).alias("doc_id"),
+        F.concat(F.lit(" "), F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    return dedup_against_reference_bloom(docs.select("doc_id", "text"), reference)
+
+
 def _q_tpch_q1_like(spark, sf_dir):
     li = _table(spark, sf_dir, "lineitem")
     return (
@@ -1824,6 +1882,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": _q_ann_bruteforce_topk,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
+        # image perceptual-hash tier (r6): real PNG encode->decode round
+        # trip vs generative ground truth + banded near-dup pairs + the
+        # Bloom-prefiltered membership twin
+        "multimodal_phash": _q_multimodal_phash,
+        "dedup_image_phash": _q_dedup_image_phash,
+        "dedup_reference_bloom": _q_dedup_reference_bloom,
         # relational breadth over the TPC-H-ish tables
         "tpch_q1_like": _q_tpch_q1_like,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
@@ -3418,6 +3482,101 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(rewritten) AS BIGINT) AS rewritten_len,
                    md5(rewritten) AS rewritten_md5
             FROM rw
+        """,
+        # image perceptual hashes (r6): the oracle recomputes aHash/gHash
+        # from the generative pixel formula (37*base + 13x + 29y) % 256 --
+        # it never parses PNG bytes, so a Spark-side encode->decode bug
+        # cannot self-confirm.  Every mean comparison is cross-multiplied
+        # integer arithmetic; the 64 bits pack into two int32-range
+        # BIGINTs (hi = bits 32..63), sidestepping 64-bit sign traps.
+        "multimodal_phash": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            px AS (
+                SELECT g.doc_id, x.x AS x, y.y AS y,
+                       ((37*(g.doc_id % 97) + 13*x.x + 29*y.y) % 256) * 1000 AS luma
+                FROM (SELECT doc_id FROM d WHERE doc_id % 101 <> 7) g,
+                     generate_series(0, 15) AS x(x),
+                     generate_series(0, 15) AS y(y)
+            ),
+            blocks AS (
+                SELECT doc_id, (y//2)*8 + (x//2) AS j,
+                       SUM(luma) AS s, COUNT(*) AS c
+                FROM px GROUP BY 1, 2
+            ),
+            tot AS (SELECT doc_id, SUM(s) AS t, SUM(c) AS n FROM blocks GROUP BY doc_id),
+            nb AS (
+                SELECT b.doc_id, b.j, b.s, b.c, b2.s AS ns, b2.c AS nc
+                FROM blocks b JOIN blocks b2
+                  ON b2.doc_id = b.doc_id
+                 AND b2.j = (b.j//8)*8 + ((b.j%8)+1)%8
+            ),
+            hashes AS (
+                SELECT nb.doc_id,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.s * tot.n > tot.t * nb.c
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ahash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.s * tot.n > tot.t * nb.c
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ahash_lo,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.s * nb.nc > nb.ns * nb.c
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ghash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.s * nb.nc > nb.ns * nb.c
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ghash_lo
+                FROM nb JOIN tot ON tot.doc_id = nb.doc_id
+                GROUP BY nb.doc_id
+            )
+            SELECT 'img://' || CAST(d.doc_id AS VARCHAR) AS media_ref,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 16 END AS INT) AS width,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 16 END AS INT) AS height,
+                   h.ahash_hi, h.ahash_lo, h.ghash_hi, h.ghash_lo,
+                   CASE WHEN h.doc_id IS NULL THEN 'undecodable'
+                        ELSE 'pixels:png' END AS decoder
+            FROM d LEFT JOIN hashes h ON h.doc_id = d.doc_id
+        """,
+        # image near-dup pairs (r6): the oracle does the quadratic join the
+        # Spark side's 4x16-bit banding avoids (exact for hamming <= 3 by
+        # pigeonhole)
+        "dedup_image_phash": """
+            WITH px AS (
+                SELECT d.doc_id, x.x AS x, y.y AS y,
+                       ((37*(d.doc_id % 97) + 13*x.x + 29*y.y) % 256) * 1000 AS luma
+                FROM (SELECT doc_id FROM documents
+                      WHERE doc_id < 500 AND doc_id % 101 <> 7) d,
+                     generate_series(0, 15) AS x(x),
+                     generate_series(0, 15) AS y(y)
+            ),
+            blocks AS (
+                SELECT doc_id, (y//2)*8 + (x//2) AS j,
+                       SUM(luma) AS s, COUNT(*) AS c
+                FROM px GROUP BY 1, 2
+            ),
+            tot AS (SELECT doc_id, SUM(s) AS t, SUM(c) AS n FROM blocks GROUP BY doc_id),
+            hashes AS (
+                SELECT b.doc_id,
+                       SUM(CASE WHEN b.j >= 32 AND b.s * tot.n > tot.t * b.c
+                                THEN (1::BIGINT << (b.j-32)) ELSE 0 END) AS hi,
+                       SUM(CASE WHEN b.j < 32 AND b.s * tot.n > tot.t * b.c
+                                THEN (1::BIGINT << b.j) ELSE 0 END) AS lo
+                FROM blocks b JOIN tot ON tot.doc_id = b.doc_id
+                GROUP BY b.doc_id
+            ),
+            refs AS (
+                SELECT 'img://' || CAST(doc_id AS VARCHAR) AS ref, hi, lo FROM hashes
+            )
+            SELECT a.ref AS ref_a, b.ref AS ref_b,
+                   CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+            FROM refs a JOIN refs b ON a.ref < b.ref
+            WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        """,
+        # Bloom-prefiltered membership (r6): exact semantics, so the oracle
+        # is the plain exact-membership SQL -- false positives only route
+        # rows through the exact join, never flip a flag
+        "dedup_reference_bloom": r"""
+            WITH ref AS (
+                SELECT DISTINCT md5(regexp_replace(lower(trim(' ' || upper(text) || '  ')), '\s+', ' ', 'g')) AS fp
+                FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT d.doc_id,
+                   (md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) IN (SELECT fp FROM ref)) AS in_reference
+            FROM documents d
         """,
         "tpch_q1_like": """
             SELECT l_returnflag, l_linestatus,

@@ -185,6 +185,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "text_readability",
         "robots_rules",
         "lm_familiarity",
+        "multimodal_phash",
+        "dedup_image_phash",
+        "dedup_reference_bloom",
         "e1_title_rules",
         "f5_f6_regex_rewrite",
         "tpch_q1_like",

@@ -1,0 +1,328 @@
+"""Perceptual image hashing + image near-duplicate pairs over binary
+payload columns -- the image half of what "dedup" means in a multimodal
+training corpus (re-encoded thumbnails, resized mirrors, same image with
+one changed pixel all hash within a few bits of each other).
+
+Hash family (public-domain folklore, the aHash / dHash family popularized
+by the pHash project and Krawetz's average-hash writeups):
+
+* **aHash (average hash)**: downsample to an 8x8 block grid, bit j = 1
+  where block j's mean luma exceeds the GLOBAL mean.
+* **gHash (gradient hash)**: bit j = 1 where block j's mean luma exceeds
+  its right neighbor's (wrapping at each row end) -- our fixed-grid
+  variant of dHash: classic dHash compares a 9x8 resample's horizontal
+  neighbors, which needs non-uniform resampling for widths not divisible
+  by 9; the wraparound variant keeps every block an exact integer sum.
+
+Everything is INTEGER-EXACT by construction so an external SQL engine can
+replicate hashes bit for bit: luma is held at scale 1000 (``r*299 +
+g*587 + b*114``, via :func:`nreadspark.ops.multimodal.png_luma_milli`),
+block membership is the floor mapping ``bx = x*8 // w`` (exact equal
+blocks when 8 | w), and every mean comparison is cross-multiplied
+(``S_j * n_total > T * C_j``) instead of divided.  The 64 bits pack into
+TWO non-negative int32-range BIGINTs ``(hi, lo)`` -- bits 32..63 and
+0..31 -- sidestepping 64-bit sign traps in both engines; hamming distance
+is ``bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)``.
+
+Scale shape: hashing is ONE ``mapInPandas`` crossing (payload bytes cross
+Arrow once, 16 bytes of hash come back); pair generation bands the 64
+bits into four 16-bit keys and self-joins the (ref, band, key) frame --
+by pigeonhole any pair within hamming 3 agrees on at least one of 4
+bands, so the band join is EXACT for ``max_hamming <= 3``, never
+quadratic in the corpus.  Identical-hash mega-clusters (the exact-dup
+case) still pair quadratically WITHIN a bucket, as any pair output must;
+feed the pairs into ``ops.dedup.connected_components`` +
+``dedup_survivors`` for the keep/drop decision, or cap with the minhash
+star-collapse pattern (``ops/dedup.py``) if cluster sizes are unbounded.
+
+The vendored pixel decode is the container-constraint tier (pure-stdlib
+PNG; PIL seam documented in ``ops.multimodal``); payloads past
+``max_decode_pixels`` or undecodable are tagged, never dropped.
+
+Reference parity note: NReadability has no image pipeline -- this module
+is part of the beyond-reference training-data surface (brief: multimodal
+columns as first-class); the decode-tier strategy mirrors
+``ops/multimodal.py``.
+"""
+
+from __future__ import annotations
+
+import zlib
+import struct
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .multimodal import png_luma_milli
+
+GRID = 8  # 8x8 blocks -> 64-bit hashes; fixed so band math stays exact
+
+HASH_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ahash_hi", LongType()),
+        StructField("ahash_lo", LongType()),
+        StructField("ghash_hi", LongType()),
+        StructField("ghash_lo", LongType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def _block_sums(w: int, h: int, lumas: list[int]):
+    """(sums, counts) over the GRID x GRID floor-mapped blocks, row-major
+    j = by*GRID + bx with bx = x*GRID // w -- exact integer arithmetic."""
+    sums = [0] * (GRID * GRID)
+    counts = [0] * (GRID * GRID)
+    for y in range(h):
+        by = y * GRID // h
+        row = by * GRID
+        base = y * w
+        for x in range(w):
+            j = row + x * GRID // w
+            sums[j] += lumas[base + x]
+            counts[j] += 1
+    return sums, counts
+
+
+def _pack(bits: list[int]) -> tuple[int, int]:
+    """64 bits (j ascending) -> (hi, lo): lo = bits 0..31, hi = 32..63.
+    Both land in [0, 2^32), so BIGINT sign never enters the picture."""
+    lo = sum(1 << j for j in range(32) if bits[j])
+    hi = sum(1 << (j - 32) for j in range(32, 64) if bits[j])
+    return hi, lo
+
+
+def ahash64(w: int, h: int, lumas: list[int]) -> tuple[int, int]:
+    """Average hash: bit j = block-j mean > global mean, cross-multiplied
+    (``S_j * n > T * C_j``) so the comparison is integer-exact."""
+    sums, counts = _block_sums(w, h, lumas)
+    total, n = sum(sums), w * h
+    bits = [1 if sums[j] * n > total * counts[j] else 0 for j in range(GRID * GRID)]
+    return _pack(bits)
+
+
+def ghash64(w: int, h: int, lumas: list[int]) -> tuple[int, int]:
+    """Gradient hash: bit j = block-j mean > right neighbor's mean
+    (wrapping at each row end), cross-multiplied."""
+    sums, counts = _block_sums(w, h, lumas)
+    bits = []
+    for j in range(GRID * GRID):
+        nj = (j // GRID) * GRID + ((j % GRID) + 1) % GRID
+        bits.append(1 if sums[j] * counts[nj] > sums[nj] * counts[j] else 0)
+    return _pack(bits)
+
+
+def image_hashes(
+    media_df: DataFrame,
+    ref_col: str = "media_ref",
+    payload_col: str = "payload",
+    max_decode_pixels: int | None = 1 << 16,
+) -> DataFrame:
+    """(media_ref, width, height, ahash_hi/lo, ghash_hi/lo, decoder):
+    perceptual hashes per payload, ONE Arrow crossing, zero shuffles.
+
+    Decode tiers per payload (mirrors ``extract_media_features``):
+    ``pixels:png`` for decodable PNGs within ``max_decode_pixels``
+    (IHDR dims are read O(1) first, so oversized payloads cost nothing
+    and take ``capped``); images smaller than the 8x8 grid take
+    ``too-small``; everything else ``undecodable``.  Non-hashed rows
+    keep NULL hash columns -- containment, never a task failure."""
+    from .multimodal import parse_image_header
+
+    def batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            out = {
+                "media_ref": pdf[ref_col],
+                "width": [],
+                "height": [],
+                "ahash_hi": [],
+                "ahash_lo": [],
+                "ghash_hi": [],
+                "ghash_lo": [],
+                "decoder": [],
+            }
+            for p in pdf[payload_col].tolist():
+                raw = bytes(p) if p is not None else b""
+                w = h = None
+                hashes = None
+                decoder = "undecodable"
+                parsed = parse_image_header(raw)
+                if parsed is not None and parsed[0] == "png":
+                    w, h = parsed[1], parsed[2]
+                    if (
+                        max_decode_pixels is not None
+                        and w * h > max_decode_pixels
+                    ):
+                        decoder = "capped"
+                    elif w < GRID or h < GRID:
+                        decoder = "too-small"
+                    else:
+                        try:
+                            dw, dh, lumas = png_luma_milli(raw)
+                            hashes = ahash64(dw, dh, lumas) + ghash64(
+                                dw, dh, lumas
+                            )
+                            w, h, decoder = dw, dh, "pixels:png"
+                        except ValueError:
+                            w = h = None
+                            decoder = "undecodable"
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash_hi"].append(hashes[0] if hashes else None)
+                out["ahash_lo"].append(hashes[1] if hashes else None)
+                out["ghash_hi"].append(hashes[2] if hashes else None)
+                out["ghash_lo"].append(hashes[3] if hashes else None)
+                out["decoder"].append(decoder)
+            yield pd.DataFrame(out)
+
+    return media_df.select(ref_col, payload_col).mapInPandas(batches, HASH_SCHEMA)
+
+
+def near_dup_image_pairs(
+    hash_df: DataFrame,
+    max_hamming: int = 3,
+    ref_col: str = "media_ref",
+    which: str = "ahash",
+) -> DataFrame:
+    """(ref_a, ref_b, hamming): unordered pairs within ``max_hamming``
+    bits on the chosen 64-bit hash.
+
+    EXACT for ``max_hamming <= 3``: the 64 bits split into four 16-bit
+    bands, and a pair differing in <= 3 bits must agree on >= 1 band
+    (pigeonhole), so the band self-join sees every qualifying pair; the
+    exact ``bit_count(xor)`` filter then removes band-collision noise.
+    Scale shape: ONE shuffle on (band, key); per-key fan-out is bounded
+    by how many images share 16 identical hash bits -- identical-image
+    mega-clusters are the one unbounded case, same as every pair
+    emitter in ``ops.dedup`` (route through connected components /
+    star-collapse downstream).  NULL-hash rows (undecodable payloads)
+    are excluded up front."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("max_hamming must be in [0, 3] for the 4-band guarantee")
+    hi, lo = f"{which}_hi", f"{which}_lo"
+    base = hash_df.select(ref_col, hi, lo).filter(
+        F.col(hi).isNotNull() & F.col(lo).isNotNull()
+    )
+    banded = base.select(
+        ref_col,
+        hi,
+        lo,
+        F.posexplode(
+            F.array(
+                F.col(lo).bitwiseAND(F.lit(0xFFFF)),
+                F.shiftrightunsigned(lo, 16).bitwiseAND(F.lit(0xFFFF)),
+                F.col(hi).bitwiseAND(F.lit(0xFFFF)),
+                F.shiftrightunsigned(hi, 16).bitwiseAND(F.lit(0xFFFF)),
+            )
+        ).alias("band", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{ref_col}") < F.col(f"b.{ref_col}")),
+        )
+        .select(
+            F.col(f"a.{ref_col}").alias("ref_a"),
+            F.col(f"b.{ref_col}").alias("ref_b"),
+            (
+                F.bit_count(F.col(f"a.{hi}").bitwiseXOR(F.col(f"b.{hi}")))
+                + F.bit_count(F.col(f"a.{lo}").bitwiseXOR(F.col(f"b.{lo}")))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic PNG corpus (tests + oracles)
+
+
+def encode_gray_png(w: int, h: int, pixels: bytes) -> bytes:
+    """Minimal VALID grayscale-8 PNG encoder (real CRCs, zlib IDAT,
+    filter-0 scanlines) -- lets tests and synthesizers produce payloads
+    the full vendored decode path round-trips."""
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    scanlines = b"".join(
+        b"\x00" + pixels[y * w : (y + 1) * w] for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_pixel(base: int, x: int, y: int) -> int:
+    """The closed-form pixel function shared with the SQL oracle."""
+    return (37 * base + 13 * x + 29 * y) % 256
+
+
+def synthesize_png_corpus(
+    docs_df: DataFrame,
+    size: int = 16,
+    n_bases: int = 97,
+    corrupt_mod: int = 101,
+) -> DataFrame:
+    """(doc_id, media_ref, payload): deterministic grayscale PNGs,
+    ``pixel(x, y) = (37*(doc_id % n_bases) + 13x + 29y) % 256`` -- closed
+    form in doc_id so a SQL oracle recomputes the exact hashes WITHOUT
+    decoding PNG bytes (the Spark side's encode->decode round trip is
+    thereby verified end to end against generative ground truth).
+    ``doc_id % n_bases`` collisions plant exact-duplicate clusters;
+    ``doc_id % corrupt_mod == 7`` rows are truncated to 16 bytes to
+    exercise the containment tier."""
+
+    def batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            refs, payloads = [], []
+            for doc_id in pdf["doc_id"].tolist():
+                base = int(doc_id) % n_bases
+                px = bytes(
+                    synth_pixel(base, x, y) for y in range(size) for x in range(size)
+                )
+                raw = encode_gray_png(size, size, px)
+                if int(doc_id) % corrupt_mod == 7:
+                    raw = raw[:16]
+                refs.append(f"img://{doc_id}")
+                payloads.append(raw)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_ref": refs, "payload": payloads}
+            )
+
+    schema = StructType(
+        [
+            docs_df.schema["doc_id"],
+            StructField("media_ref", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs_df.select("doc_id").mapInPandas(batches, schema)

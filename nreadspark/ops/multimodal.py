@@ -329,18 +329,14 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png_pixels(raw: bytes):
-    """Vendored pure-stdlib PNG PIXEL decoder: chunk walk, zlib inflate of
-    the IDAT stream, per-scanline unfilter (None/Sub/Up/Average/Paeth as
-    the PNG spec defines them), palette lookup -- the runnable twin of the
-    PIL tier, so the mean-pixel path is exercised even where pillow is not
-    installed.  Supports the common 8-bit-depth, non-interlaced formats
-    (gray / RGB / palette / gray+alpha / RGBA).
+def _png_unfilter(raw: bytes):
+    """Chunk walk + zlib inflate + per-scanline unfilter shared by
+    :func:`decode_png_pixels` (mean-luma feature tier) and
+    :func:`png_luma_milli` (perceptual-hash tier, ``ops.images``).
 
-    Returns ``(codec, width, height, mean_pixel)`` where mean_pixel is the
-    mean ITU-R 601 luma (the formula behind PIL's ``convert('L')``), alpha
-    ignored.  Raises ``ValueError`` for anything that is not a decodable
-    PNG (the caller's tier logic falls back to the header parse)."""
+    Returns ``(w, h, color_type, plte, out)`` where ``out`` is the raw
+    unfiltered sample bytes (``w*h*channels``).  Raises ``ValueError``
+    for anything that is not a decodable 8-bit non-interlaced PNG."""
     import zlib
 
     if len(raw) < 8 or raw[:8] != b"\x89PNG\r\n\x1a\n":
@@ -402,6 +398,22 @@ def decode_png_pixels(raw: bytes):
                 out[off + x] = (line[x] + _paeth(a, b, c)) & 0xFF
         else:
             raise ValueError(f"bad filter type {ftype}")
+    return w, h, color_type, plte, out
+
+
+def decode_png_pixels(raw: bytes):
+    """Vendored pure-stdlib PNG PIXEL decoder: chunk walk, zlib inflate of
+    the IDAT stream, per-scanline unfilter (None/Sub/Up/Average/Paeth as
+    the PNG spec defines them), palette lookup -- the runnable twin of the
+    PIL tier, so the mean-pixel path is exercised even where pillow is not
+    installed.  Supports the common 8-bit-depth, non-interlaced formats
+    (gray / RGB / palette / gray+alpha / RGBA).
+
+    Returns ``(codec, width, height, mean_pixel)`` where mean_pixel is the
+    mean ITU-R 601 luma (the formula behind PIL's ``convert('L')``), alpha
+    ignored.  Raises ``ValueError`` for anything that is not a decodable
+    PNG (the caller's tier logic falls back to the header parse)."""
+    w, h, color_type, plte, out = _png_unfilter(raw)
     # mean ITU-R 601 luma, alpha ignored (what PIL's convert('L') computes)
     if color_type == 0:
         total = sum(out)
@@ -426,6 +438,36 @@ def decode_png_pixels(raw: bytes):
             total += (out[i] * 299 + out[i + 1] * 587 + out[i + 2] * 114) / 1000
         n_px = w * h
     return ("png", w, h, total / n_px)
+
+
+def png_luma_milli(raw: bytes):
+    """Decode a PNG to an INTEGER per-pixel luma matrix: ``(w, h, lumas)``
+    with ``lumas`` a row-major list of ``r*299 + g*587 + b*114`` values
+    (gray samples count as ``v*1000``, alpha ignored) -- the ITU-R 601
+    luma of :func:`decode_png_pixels` held at scale 1000 WITHOUT the
+    float division, so every downstream consumer (perceptual hashes in
+    ``ops.images``) stays integer-exact and an external SQL oracle can
+    reproduce the arithmetic bit for bit.  Same format support and
+    ``ValueError`` contract as :func:`decode_png_pixels`."""
+    w, h, color_type, plte, out = _png_unfilter(raw)
+    if color_type == 0:
+        return w, h, [v * 1000 for v in out]
+    if color_type == 4:  # gray + alpha: luma channel only
+        return w, h, [v * 1000 for v in out[0::2]]
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        if max(out, default=0) * 3 + 3 > len(plte):
+            raise ValueError("palette index out of PLTE range")
+        rgb = bytearray()
+        for idx in out:
+            rgb += plte[idx * 3 : idx * 3 + 3]
+        out = rgb
+    step = 3 if color_type in (2, 3) else 4
+    return w, h, [
+        out[i] * 299 + out[i + 1] * 587 + out[i + 2] * 114
+        for i in range(0, len(out), step)
+    ]
 
 
 def decode_image_real(payload: bytes):
