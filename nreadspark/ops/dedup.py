@@ -1613,7 +1613,13 @@ def dedup_against_reference_bloom(
     )
     out_cols = [c for c in corpus.columns if c == "doc_id"] or [corpus.columns[0]]
     if expected_ref_count is None:
-        ref_fp = _persist(ref_fp)  # feeds the count, the bitset AND the join
+        # sized by an UNPERSISTED count: persisting ref_fp here would pin
+        # InMemoryRelation's default (huge) stats onto the join input and
+        # flip the exact join to a sort-merge even for broadcastable
+        # references (measured 13.5 s -> 43 s on the 1M soak).  The cost
+        # is one extra reference pass (fingerprints in the scan
+        # projection); snapshot-scale callers pass ``expected_ref_count``
+        # (any within-2x estimate works -- it only sizes the bitset).
         n = ref_fp.count()
     else:
         n = expected_ref_count
@@ -1624,19 +1630,52 @@ def dedup_against_reference_bloom(
     m = 1 << max(6, int(n * bits_per_key - 1).bit_length())
     mask = m - 1
 
-    def positions(col):
-        # two's-complement AND with a power-of-two mask lands in [0, m)
-        # for any xxhash64 sign
-        return F.array(
+    # Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) & mask from
+    # TWO seeded xxhash64 values (h2 forced odd so all probes differ on a
+    # power-of-two table) -- asymptotically as good as i independent
+    # hashes, and crucially it lets the corpus-side Python kernel derive
+    # positions from just (h1, h2), so the expensive md5(regexp_replace)
+    # fingerprint is evaluated ONCE per row.  The naive xxhash64(fp, i)
+    # formulation re-inlines the fingerprint expression into every probe
+    # when Catalyst extracts the Python UDF args (measured 8x recompute
+    # in the physical plan -- the multiply-referenced-expression trap
+    # BENCH/BASELINE.md documents for canonical_url / registrable_domain).
+    def h1h2(col):
+        # h1/h2 come from the md5 HEX ITSELF (first/second 15 nibbles =
+        # 60-bit values), not from further hashing: the md5 is already
+        # uniform, and deriving from the string means the corpus-side
+        # Python kernel can recompute the probes from the fingerprint
+        # alone -- the expensive md5(regexp_replace(text)) is then
+        # evaluated ONCE per corpus row (Catalyst re-inlines UDF argument
+        # expressions, so every extra column derived from __fp would
+        # re-run the fingerprint; measured 8x with per-probe xxhash64).
+        # Pre-masked: mod-2^k is a ring homomorphism from mod-2^64, so
+        # ((h1&mask) + i*(h2&mask)) & mask probes the same slots, and the
+        # masked form never overflows ANSI long arithmetic (<= 7 * m);
+        # |1 keeps h2 odd (invertible mod 2^k -> all probes distinct).
+        return (
+            F.conv(F.substring(col, 1, 15), 16, 10)
+            .cast("long")
+            .bitwiseAND(F.lit(mask))
+            .alias("__h1"),
+            F.conv(F.substring(col, 17, 15), 16, 10)
+            .cast("long")
+            .bitwiseOR(F.lit(1))
+            .bitwiseAND(F.lit(mask))
+            .alias("__h2"),
+        )
+
+    pos = F.explode(
+        F.array(
             *[
-                F.xxhash64(col, F.lit(i)).bitwiseAND(F.lit(mask))
+                (F.col("__h1") + F.lit(i) * F.col("__h2")).bitwiseAND(F.lit(mask))
                 for i in range(n_probes)
             ]
         )
-
-    pos = F.explode(positions(F.col("__fp"))).alias("__pos")
+    ).alias("__pos")
     words = (
-        ref_fp.select(pos)
+        ref_fp.select(*h1h2(F.col("__fp")))
+        .select(pos)
         # SQL form: the classic-API shiftleft only takes a LITERAL bit
         # count; SQL's accepts a column.  Bit 63 wraps into the sign bit
         # (simhash precedent) -- bit_or and the numpy gather don't care.
@@ -1654,19 +1693,34 @@ def dedup_against_reference_bloom(
     bc = corpus.sparkSession.sparkContext.broadcast(bitset)
 
     @F.pandas_udf(BooleanType())
-    def bloom_maybe(pos_arrays: pd.Series) -> pd.Series:
+    def bloom_maybe(fp: pd.Series) -> pd.Series:
+        import numpy as _np
+
         w = bc.value
-        if len(pos_arrays) == 0:
+        if len(fp) == 0:
             return pd.Series([], dtype=bool)
-        arr = np.vstack(pos_arrays.to_numpy())  # (rows, n_probes)
+        # vectorized nibble math over the md5 hex: the exact twin of the
+        # JVM conv(substring(fp, 1|17, 15), 16, 10) derivation
+        codes = _np.frombuffer(
+            fp.to_numpy(dtype="U32").tobytes(), dtype=_np.uint32
+        ).reshape(-1, 32)
+        nib = _np.where(codes >= 97, codes - 87, codes - 48).astype(_np.int64)
+        a = _np.zeros(len(fp), dtype=_np.int64)
+        b = _np.zeros(len(fp), dtype=_np.int64)
+        for j in range(15):  # 15 columns, each step vectorized across rows
+            a = (a << 4) | nib[:, j]
+            b = (b << 4) | nib[:, 16 + j]
+        a = (a & mask)[:, None]
+        b = ((b | 1) & mask)[:, None]
+        pos = (a + _np.arange(n_probes, dtype=_np.int64) * b) & mask
         # arithmetic >> preserves the masked bit for any word sign
-        hits = (w[arr >> 6] >> (arr & 63)) & 1
+        hits = (w[pos >> 6] >> (pos & 63)) & 1
         return pd.Series(hits.all(axis=1))
 
     tagged = corpus.select(
         *out_cols,
         _normalized_fingerprint(text_col).alias("__fp"),
-    ).withColumn("__maybe", bloom_maybe(positions(F.col("__fp"))))
+    ).withColumn("__maybe", bloom_maybe("__fp"))
     # definite-new branch: scan-only, zero shuffle
     definite = tagged.filter(~F.col("__maybe")).select(
         *out_cols, F.lit(False).alias("in_reference")
