@@ -4,7 +4,7 @@
 sf0.001.  ``queries()`` exposes one callable per implemented operator from
 SURVEY.md §2 plus the training-data ops (dedup / similarity / text analysis /
 multimodal / PII / domains / rendering); ``oracle_sql()`` carries a
-DuckDB-checkable ANSI-SQL twin for EVERY entry (82/82 -- non-SQL kernels
+DuckDB-checkable ANSI-SQL twin for EVERY entry (84/84 -- non-SQL kernels
 like the DOM extraction get closed-form oracles over deterministic
 constructions).  Ordering contract: the driver's CORRECTNESS file caps at
 the first 50 entries, so every SURVEY §2 operator's primary oracle sits
@@ -1711,6 +1711,76 @@ def _q_dedup_reference_bloom(spark, sf_dir):
     return dedup_against_reference_bloom(docs.select("doc_id", "text"), reference)
 
 
+def _q_url_surt(spark, sf_dir):
+    """SURT urlkeys (r6): the CDX index sort key.  Deterministically messy
+    URLs (scheme/host case, www on/off, default :80, trailing slash,
+    reordered + tracking query params, fragments) that must all collapse
+    to one closed-form key per doc_id%50 group -- the oracle is the
+    EXPECTED STRING, verifying the transform independently rather than
+    replicating its surgery."""
+    from nreadspark.cdx import surt_key_col
+
+    docs = _table(spark, sf_dir, "documents")
+    g = F.pmod("doc_id", F.lit(50)).cast("string")
+    scheme = F.when(F.pmod("doc_id", F.lit(2)) == 0, "HTTP").otherwise("http")
+    host = (
+        F.when(
+            F.pmod("doc_id", F.lit(4)) == 0,
+            F.concat(F.lit("WWW.EXAMPLE"), g, F.lit(".COM")),
+        )
+        .when(
+            F.pmod("doc_id", F.lit(4)) == 1,
+            F.concat(F.lit("example"), g, F.lit(".com")),
+        )
+        .otherwise(F.concat(F.lit("www.example"), g, F.lit(".com")))
+    )
+    port = F.when(F.pmod("doc_id", F.lit(3)) == 0, ":80").otherwise("")
+    path = F.concat(
+        F.lit("/Articles/"), g, F.when(F.pmod("doc_id", F.lit(4)) == 1, "/").otherwise("")
+    )
+    qbase = F.when(
+        F.pmod("doc_id", F.lit(2)) == 0, F.concat(F.lit("?id="), g, F.lit("&x=1"))
+    ).otherwise(F.concat(F.lit("?x=1&id="), g))
+    junk = F.when(
+        F.pmod("doc_id", F.lit(5)) == 0, "&utm_campaign=c&fbclid=abc"
+    ).otherwise("")
+    frag = F.when(F.pmod("doc_id", F.lit(6)) == 0, "#sec").otherwise("")
+    url = F.concat(scheme, F.lit("://"), host, port, path, qbase, junk, frag)
+    return surt_key_col(docs.select("doc_id", url.alias("url"))).select(
+        "doc_id", "urlkey"
+    )
+
+
+def _q_cdx_plan(spark, sf_dir):
+    """CDX fetch planning (r6): closed-form CDXJ index lines (urlkey/
+    timestamp/filename/offset/length/status all functions of doc_id, plus
+    planted mangled lines and 404s) -> parse -> prefix-select two sites ->
+    latest capture per urlkey.  The Spark side round-trips through the
+    LINE STRINGS (split + from_json); the oracle derives the expected plan
+    from the generative formula directly, so a parse bug cannot
+    self-confirm."""
+    from nreadspark.cdx import cdx_lines, plan_fetches
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    site = F.pmod("doc_id", F.lit(7)).cast("string")
+    page = F.pmod("doc_id", F.lit(40)).cast("string")
+    ts = F.lpad(F.col("doc_id").cast("string"), 14, "0")
+    status = F.when(F.pmod("doc_id", F.lit(11)) == 3, F.lit(404)).otherwise(F.lit(200))
+    line = F.concat(
+        F.lit("com,site"), site, F.lit(")/p"), page,
+        F.lit(" "), ts,
+        F.lit(' {"url": "http://site'), site, F.lit(".com/p"), page,
+        F.lit('", "filename": "w'), F.pmod("doc_id", F.lit(5)).cast("string"),
+        F.lit('.warc.gz", "offset": '), (F.col("doc_id") * 1000).cast("string"),
+        F.lit(', "length": '), (F.lit(500) + F.pmod("doc_id", F.lit(100))).cast("string"),
+        F.lit(', "status": '), status.cast("string"),
+        F.lit(', "mime": "text/html", "digest": "-"}'),
+    )
+    line = F.when(F.pmod("doc_id", F.lit(97)) == 13, F.lit("mangled")).otherwise(line)
+    cdx = cdx_lines(docs.select(line.alias("line")))
+    return plan_fetches(cdx, ["com,site0)", "com,site1)"])
+
+
 def _q_tpch_q1_like(spark, sf_dir):
     li = _table(spark, sf_dir, "lineitem")
     return (
@@ -1888,6 +1958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash": _q_multimodal_phash,
         "dedup_image_phash": _q_dedup_image_phash,
         "dedup_reference_bloom": _q_dedup_reference_bloom,
+        # CDX index tier (r6): SURT sort keys + index-driven fetch planning
+        "url_surt": _q_url_surt,
+        "cdx_plan": _q_cdx_plan,
         # relational breadth over the TPC-H-ish tables
         "tpch_q1_like": _q_tpch_q1_like,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
@@ -3577,6 +3650,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    (md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) IN (SELECT fp FROM ref)) AS in_reference
             FROM documents d
+        """,
+        # SURT urlkeys (r6): closed-form EXPECTED strings -- every messy
+        # variant of a doc_id%50 group must collapse to one key (www
+        # stripped, host reversed+comma-joined, path lowercased, default
+        # port off, params sorted, tracking params + fragment off)
+        "url_surt": """
+            SELECT doc_id,
+                   'com,example' || CAST(doc_id % 50 AS VARCHAR) || ')/articles/' ||
+                   CAST(doc_id % 50 AS VARCHAR) || '?id=' ||
+                   CAST(doc_id % 50 AS VARCHAR) || '&x=1' AS urlkey
+            FROM documents
+        """,
+        # CDX fetch plan (r6): the oracle derives the expected plan from the
+        # generative formula (site/page/ts/offset all closed-form in doc_id)
+        # -- latest capture per urlkey = max doc_id in its (site, page)
+        # class since the timestamp is the zero-padded doc_id
+        "cdx_plan": """
+            WITH captures AS (
+                SELECT doc_id,
+                       doc_id % 7 AS site, doc_id % 40 AS page
+                FROM documents
+                WHERE doc_id < 600
+                  AND doc_id % 97 <> 13       -- mangled lines
+                  AND doc_id % 11 <> 3        -- 404 captures
+                  AND doc_id % 7 IN (0, 1)    -- selected prefixes
+            ),
+            latest AS (
+                SELECT site, page, MAX(doc_id) AS doc_id
+                FROM captures GROUP BY site, page
+            )
+            SELECT 'com,site' || CAST(site AS VARCHAR) || ')/p' || CAST(page AS VARCHAR) AS urlkey,
+                   lpad(CAST(doc_id AS VARCHAR), 14, '0') AS timestamp,
+                   'http://site' || CAST(site AS VARCHAR) || '.com/p' || CAST(page AS VARCHAR) AS url,
+                   'w' || CAST(doc_id % 5 AS VARCHAR) || '.warc.gz' AS filename,
+                   doc_id * 1000 AS offset,
+                   500 + doc_id % 100 AS length
+            FROM latest
         """,
         "tpch_q1_like": """
             SELECT l_returnflag, l_linestatus,

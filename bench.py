@@ -188,6 +188,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "multimodal_phash",
         "dedup_image_phash",
         "dedup_reference_bloom",
+        "url_surt",
+        "cdx_plan",
         "e1_title_rules",
         "f5_f6_regex_rewrite",
         "tpch_q1_like",

@@ -1,0 +1,160 @@
+"""CDX(J) index tier: SURT key parity (Python twin vs Spark column),
+CDXJ parse containment, latest-capture fetch planning, and the
+index-driven ranged WARC read end to end on real files."""
+
+import json
+import os
+import zlib
+
+import pytest
+
+from nreadspark.cdx import build_cdxj_line, build_warc_with_index, surt_key
+
+SURT_CASES = {
+    "HTTP://www.Example.COM:80/Art/One?b=2&a=1#frag": "com,example)/art/one?a=1&b=2",
+    "https://sub.Example.com/": "com,example,sub)/",
+    "https://example.com/a//": "com,example)/a",
+    "http://example.com/?utm_source=x&id=3": "com,example)/?id=3",
+    "http://example.com:8080/x": "com,example:8080)/x",
+    "https://example.com:443/x": "com,example)/x",
+    "http://[2001:db8::1]:8080/x": "[2001:db8::1]:8080)/x",  # v6 literals don't reverse
+    "http://u:p@host.org/X": "org,host)/x",
+    "http://example.com/p#/route?q=1": "com,example)/p",  # '?' inside fragment
+    "not a url": "not a url",
+    "/relative/path": "/relative/path",
+}
+
+
+def test_surt_key_table():
+    for url, want in SURT_CASES.items():
+        assert surt_key(url) == want, url
+
+
+def test_build_warc_with_index_offsets_are_exact():
+    pages = [
+        (f"http://s.com/p{i}", f"<html>{i}</html>".encode(), "text/html")
+        for i in range(5)
+    ]
+    blob, lines = build_warc_with_index(pages, "f.warc.gz")
+    assert len(lines) == 5
+    for i, line in enumerate(lines):
+        key, ts, blob_json = line.split(" ", 2)
+        meta = json.loads(blob_json)
+        member = blob[meta["offset"] : meta["offset"] + meta["length"]]
+        rec = zlib.decompress(member, zlib.MAX_WBITS | 16)
+        assert f"<html>{i}</html>".encode() in rec
+        assert key == surt_key(meta["url"])
+
+
+@pytest.fixture(scope="module")
+def spark():
+    pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("cdx-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def test_surt_col_matches_python_twin(spark):
+    from pyspark.sql import Row
+    from nreadspark.cdx import surt_key_col
+
+    urls = list(SURT_CASES) + ["http://u:p@host.org:8443/X/Y?z=1&a"]
+    df = spark.createDataFrame([Row(url=u) for u in urls])
+    got = {r["url"]: r["urlkey"] for r in surt_key_col(df).collect()}
+    for u in urls:
+        assert got[u] == surt_key(u), u
+
+
+def test_cdx_lines_parse_and_containment(spark):
+    from pyspark.sql import Row
+    from nreadspark.cdx import cdx_lines
+
+    good = build_cdxj_line(
+        "com,ex)/p", "20260101000000", "http://ex.com/p", "w.warc.gz", 10, 20
+    )
+    df = spark.createDataFrame(
+        [Row(line=good), Row(line="brokenline"), Row(line="key ts {not json}")]
+    )
+    rows = {r["urlkey"]: r for r in cdx_lines(df).collect()}
+    ok = rows["com,ex)/p"]
+    assert not ok["cdx_error"]
+    assert (ok["filename"], ok["offset"], ok["length"], ok["status"]) == (
+        "w.warc.gz",
+        10,
+        20,
+        200,
+    )
+    assert rows["brokenline"]["cdx_error"]
+    assert rows["key"]["cdx_error"]
+
+
+def test_plan_and_ranged_read_end_to_end(spark, tmp_path):
+    from nreadspark.cdx import cdx_lines, plan_fetches, warc_records_from_ranges
+    from pyspark.sql import Row, functions as F
+
+    pages = [
+        (
+            f"http://site{i % 3}.com/p{i}",
+            f"<html><body>page {i} body</body></html>".encode(),
+            "text/html",
+        )
+        for i in range(20)
+    ]
+    blob1, lines1 = build_warc_with_index(pages[:10], "w1.warc.gz")
+    # w2 re-crawls p0 with a LATER timestamp: latest_only must pick w2
+    blob2, lines2 = build_warc_with_index(
+        [pages[0]] + pages[10:],
+        "w2.warc.gz",
+        timestamps=["20270101000000"]
+        + [f"2026{(i % 12) + 1:02d}02000000" for i in range(10)],
+    )
+    (tmp_path / "w1.warc.gz").write_bytes(blob1)
+    (tmp_path / "w2.warc.gz").write_bytes(blob2)
+    ldf = spark.createDataFrame(
+        [Row(line=l) for l in lines1 + lines2 + ["mangled"]]
+    )
+    cdx = cdx_lines(ldf)
+    assert cdx.filter("cdx_error").count() == 1
+    plan = plan_fetches(cdx, ["com,site0)"])
+    rows = plan.collect()
+    assert len(rows) == 7  # i % 3 == 0 for i in 0..19 -> 7 distinct urlkeys
+    p0 = next(r for r in rows if r["urlkey"].endswith("/p0"))
+    assert p0["filename"] == "w2.warc.gz" and p0["timestamp"] == "20270101000000"
+
+    out = warc_records_from_ranges(plan, base_dir=str(tmp_path)).collect()
+    assert len(out) == 7 and all(r["error"] is None for r in out)
+    body = {r["target_uri"]: bytes(r["payload"]).decode() for r in out}
+    assert body["http://site0.com/p0"] == "<html><body>page 0 body</body></html>"
+    assert all(r["http_status"] == 200 for r in out)
+
+    # containment: shifted offsets hit mid-member garbage, rows not tasks fail
+    bad = plan.withColumn("offset", F.col("offset") + 7)
+    badout = warc_records_from_ranges(bad, base_dir=str(tmp_path)).collect()
+    assert len(badout) == 7 and all(r["error"] is not None for r in badout)
+
+    # subdomain prefix semantics: "com,site0," selects subdomains only
+    assert plan_fetches(cdx, ["com,site0,"]).count() == 0
+
+
+def test_plan_fetches_status_filter_and_all_captures(spark):
+    from pyspark.sql import Row
+    from nreadspark.cdx import cdx_lines, plan_fetches
+
+    lines = [
+        build_cdxj_line("com,a)/p", "20260101000000", "http://a.com/p", "w", 0, 9, status=404),
+        build_cdxj_line("com,a)/p", "20260201000000", "http://a.com/p", "w", 9, 9),
+        build_cdxj_line("com,a)/p", "20260301000000", "http://a.com/p", "w", 18, 9),
+    ]
+    cdx = cdx_lines(spark.createDataFrame([Row(line=l) for l in lines]))
+    latest = plan_fetches(cdx, ["com,a)"]).collect()
+    assert len(latest) == 1 and latest[0]["timestamp"] == "20260301000000"
+    everything = plan_fetches(cdx, ["com,a)"], statuses=(), latest_only=False)
+    assert everything.count() == 3
