@@ -190,6 +190,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_reference_bloom",
         "url_surt",
         "cdx_plan",
+        "multimodal_afp",
+        "dedup_audio_afp",
         "e1_title_rules",
         "f5_f6_regex_rewrite",
         "tpch_q1_like",

@@ -195,38 +195,51 @@ def near_dup_image_pairs(
     max_hamming: int = 3,
     ref_col: str = "media_ref",
     which: str = "ahash",
+    n_bands: int = 4,
 ) -> DataFrame:
     """(ref_a, ref_b, hamming): unordered pairs within ``max_hamming``
-    bits on the chosen 64-bit hash.
+    bits on the chosen 64-bit hash (columns ``{which}_hi``/``{which}_lo``
+    -- any 64-bit perceptual hash packed as two int32-range halves works,
+    the audio fingerprint included).
 
-    EXACT for ``max_hamming <= 3``: the 64 bits split into four 16-bit
-    bands, and a pair differing in <= 3 bits must agree on >= 1 band
-    (pigeonhole), so the band self-join sees every qualifying pair; the
-    exact ``bit_count(xor)`` filter then removes band-collision noise.
-    Scale shape: ONE shuffle on (band, key); per-key fan-out is bounded
-    by how many images share 16 identical hash bits -- identical-image
-    mega-clusters are the one unbounded case, same as every pair
+    EXACT for ``max_hamming < n_bands``: the 64 bits split into
+    ``n_bands`` equal bands, and a pair differing in fewer bits than
+    there are bands must agree on >= 1 band (pigeonhole), so the band
+    self-join sees every qualifying pair; the exact ``bit_count(xor)``
+    filter then removes band-collision noise.  Wider radii cost recall^
+    -1 nothing but candidate volume: at ``n_bands=8`` the 8-bit band
+    keys collide 256x more often than 16-bit ones -- the standard
+    banding trade.  Scale shape: ONE shuffle on (band, key); per-key
+    fan-out is bounded by how many images share a band -- identical-
+    image mega-clusters are the one unbounded case, same as every pair
     emitter in ``ops.dedup`` (route through connected components /
     star-collapse downstream).  NULL-hash rows (undecodable payloads)
     are excluded up front."""
-    if not 0 <= max_hamming <= 3:
-        raise ValueError("max_hamming must be in [0, 3] for the 4-band guarantee")
+    if n_bands not in (2, 4, 8, 16):
+        raise ValueError("n_bands must divide 64 with bands within one half")
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(
+            f"max_hamming must be in [0, {n_bands - 1}] for the {n_bands}-band guarantee"
+        )
     hi, lo = f"{which}_hi", f"{which}_lo"
     base = hash_df.select(ref_col, hi, lo).filter(
         F.col(hi).isNotNull() & F.col(lo).isNotNull()
     )
+    width = 64 // n_bands  # bands never straddle the hi/lo split
+    band_mask = (1 << width) - 1
+    half = n_bands // 2
+    bands = [
+        F.shiftrightunsigned(lo, i * width).bitwiseAND(F.lit(band_mask))
+        for i in range(half)
+    ] + [
+        F.shiftrightunsigned(hi, i * width).bitwiseAND(F.lit(band_mask))
+        for i in range(half)
+    ]
     banded = base.select(
         ref_col,
         hi,
         lo,
-        F.posexplode(
-            F.array(
-                F.col(lo).bitwiseAND(F.lit(0xFFFF)),
-                F.shiftrightunsigned(lo, 16).bitwiseAND(F.lit(0xFFFF)),
-                F.col(hi).bitwiseAND(F.lit(0xFFFF)),
-                F.shiftrightunsigned(hi, 16).bitwiseAND(F.lit(0xFFFF)),
-            )
-        ).alias("band", "band_key"),
+        F.posexplode(F.array(*bands)).alias("band", "band_key"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (

@@ -1,0 +1,141 @@
+"""Audio fingerprint tier (ops/audio.py): PCM8 WAV parse round trip,
+integer-exact hash math vs brute force, Spark kernel parity + containment,
+and the shared banded-hamming pair join over fingerprint tables."""
+
+import pytest
+
+from nreadspark.ops.audio import (
+    N_WINDOWS,
+    ehash64,
+    encode_pcm8_wav,
+    ghash64,
+    synth_sample,
+    wav_pcm8_samples,
+)
+
+
+def _samples(base: int, n: int = 2048) -> bytes:
+    return bytes(synth_sample(base, t) for t in range(n))
+
+
+def test_wav_round_trip_and_header_parity():
+    from nreadspark.ops.multimodal import parse_wav_header
+
+    raw = encode_pcm8_wav(_samples(5))
+    rate, data = wav_pcm8_samples(raw)
+    assert (rate, data) == (1000, _samples(5))
+    # the fingerprint parser and the feature-tier header parser agree
+    assert parse_wav_header(raw) == ("wav", 1, 1000, 8, 2048)
+
+
+def test_wav_parse_rejections():
+    with pytest.raises(ValueError):
+        wav_pcm8_samples(b"RIFF1234WAV")  # truncated
+    with pytest.raises(ValueError):
+        wav_pcm8_samples(b"\x89PNG\r\n\x1a\n" + bytes(16))
+    # stereo/16-bit formats are refused, not mis-fingerprinted
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 1000, 2000, 2, 8)
+    stereo = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + bytes(4)
+    )
+    with pytest.raises(ValueError):
+        wav_pcm8_samples(stereo)
+
+
+def test_hash_bits_match_brute_force():
+    """ehash/ghash equal an independent recomputation, including a
+    non-divisible sample count (floor-mapped windows)."""
+    for n in (2048, 1000, 777):
+        data = _samples(3, n)
+        sums = [0] * N_WINDOWS
+        counts = [0] * N_WINDOWS
+        for t, s in enumerate(data):
+            j = t * N_WINDOWS // n
+            sums[j] += abs(s - 128)
+            counts[j] += 1
+        total = sum(sums)
+        ebits = [1 if sums[j] * n > total * counts[j] else 0 for j in range(N_WINDOWS)]
+        gbits = [
+            1 if sums[j] * counts[(j + 1) % N_WINDOWS] > sums[(j + 1) % N_WINDOWS] * counts[j] else 0
+            for j in range(N_WINDOWS)
+        ]
+
+        def unpack(hi, lo):
+            return [(lo >> j) & 1 for j in range(32)] + [(hi >> j) & 1 for j in range(32)]
+
+        assert unpack(*ehash64(data)) == ebits, n
+        assert unpack(*ghash64(data)) == gbits, n
+
+
+def test_identical_samples_identical_hash():
+    assert ehash64(_samples(7)) == ehash64(_samples(7))
+    assert ghash64(_samples(7)) == ghash64(_samples(7))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("audio-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def test_audio_fingerprints_kernel_and_containment(spark):
+    from pyspark.sql import Row
+    from nreadspark.ops.audio import audio_fingerprints
+
+    rows = [
+        Row(media_ref="aud://0", payload=encode_pcm8_wav(_samples(1))),
+        Row(media_ref="aud://1", payload=encode_pcm8_wav(_samples(2))),
+        Row(media_ref="aud://2", payload=encode_pcm8_wav(_samples(1))),  # dup of 0
+        Row(media_ref="aud://corrupt", payload=b"RIFFxxxx"),
+        Row(media_ref="aud://short", payload=encode_pcm8_wav(bytes(range(32)))),
+        Row(media_ref="aud://long", payload=encode_pcm8_wav(bytes(200) * 30)),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["media_ref"]: r
+        for r in audio_fingerprints(df, max_decode_samples=4096).collect()
+    }
+    assert got["aud://corrupt"]["decoder"] == "undecodable"
+    assert got["aud://corrupt"]["ehash_hi"] is None
+    assert got["aud://short"]["decoder"] == "too-short"
+    assert got["aud://long"]["decoder"] == "capped"
+    assert got["aud://long"]["n_samples"] == 6000  # parsed pre-cap
+    for ref, base in (("aud://0", 1), ("aud://1", 2), ("aud://2", 1)):
+        r = got[ref]
+        assert r["decoder"] == "pcm8" and r["sample_rate"] == 1000
+        assert (r["ehash_hi"], r["ehash_lo"]) == ehash64(_samples(base))
+        assert (r["ghash_hi"], r["ghash_lo"]) == ghash64(_samples(base))
+    assert (got["aud://0"]["ehash_hi"], got["aud://0"]["ehash_lo"]) == (
+        got["aud://2"]["ehash_hi"],
+        got["aud://2"]["ehash_lo"],
+    )
+
+
+def test_pair_join_consumes_audio_fingerprints(spark):
+    """The image tier's banded pair join speaks any hi/lo hash table --
+    planted duplicate audio surfaces at hamming 0."""
+    from nreadspark.ops.audio import audio_fingerprints, synthesize_wav_corpus
+    from nreadspark.ops.images import near_dup_image_pairs
+
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    fdf = audio_fingerprints(synthesize_wav_corpus(docs, n_bases=10, corrupt_mod=29))
+    pairs = {
+        (r["ref_a"], r["ref_b"]): r["hamming"]
+        for r in near_dup_image_pairs(fdf, max_hamming=0, which="ehash").collect()
+    }
+    assert pairs[("aud://13", "aud://3")] == 0  # same base 3 (string-ordered)
+    assert not any("aud://7" in p for pair in pairs for p in pair)  # corrupt

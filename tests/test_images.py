@@ -179,6 +179,29 @@ def test_near_dup_pairs_band_guarantee(spark):
     assert not any("e" in p for p in pairs)
     with pytest.raises(ValueError):
         near_dup_image_pairs(df, max_hamming=4)
+    with pytest.raises(ValueError):
+        near_dup_image_pairs(df, max_hamming=3, n_bands=3)
+
+
+def test_near_dup_pairs_wider_radius_with_more_bands(spark):
+    """n_bands=8 -> exact for hamming <= 7: a pair with 7 differing bits
+    spread across 7 DIFFERENT 8-bit bands (only band 7 agrees) is found."""
+    from pyspark.sql import Row
+    from nreadspark.ops.images import near_dup_image_pairs
+
+    base_hi, base_lo = 0x0A0B0C0D, 0x01020304
+    # flip bit 0 of each of the 8-bit bands 0..6 (bands 0..3 in lo, 4..6 in hi)
+    flip_lo = (1 << 0) | (1 << 8) | (1 << 16) | (1 << 24)
+    flip_hi = (1 << 0) | (1 << 8) | (1 << 16)
+    rows = [
+        Row(media_ref="a", ahash_hi=base_hi, ahash_lo=base_lo),
+        Row(media_ref="b", ahash_hi=base_hi ^ flip_hi, ahash_lo=base_lo ^ flip_lo),
+    ]
+    df = spark.createDataFrame(rows)
+    got = near_dup_image_pairs(df, max_hamming=7, n_bands=8).collect()
+    assert len(got) == 1 and got[0]["hamming"] == 7
+    # at 4x16-bit bands every band differs -> valid radii can't reach 7
+    assert near_dup_image_pairs(df, max_hamming=3, n_bands=4).count() == 0
 
 
 def test_synthesized_corpus_plants_dup_clusters(spark):
