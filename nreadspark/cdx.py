@@ -303,6 +303,8 @@ _RANGE_SCHEMA = StructType(
         StructField("payload", BinaryType()),
         StructField("http_status", IntegerType()),
         StructField("http_headers", ArrayType(StringType())),
+        StructField("content_type", StringType()),
+        StructField("content_encoding", StringType()),
         StructField("error", StringType()),
     ]
 )
@@ -362,11 +364,14 @@ def warc_records_from_ranges(
                             raise ValueError(err)
                         wtype = (hdrs.get("warc-type") or "").lower()
                         status, http_hdrs, payload = None, [], block
+                        ctype = cenc = None
                         if wtype == "response":
                             status, hdr_map, payload = parse_http_response(block)
                             http_hdrs = sorted(
                                 f"{k}: {v}" for k, v in hdr_map.items()
                             )
+                            ctype = hdr_map.get("content-type")
+                            cenc = hdr_map.get("content-encoding")
                         yield dict(
                             base,
                             warc_type=wtype,
@@ -374,6 +379,8 @@ def warc_records_from_ranges(
                             payload=payload,
                             http_status=status,
                             http_headers=list(http_hdrs),
+                            content_type=ctype,
+                            content_encoding=cenc,
                             error=None,
                         )
                     except Exception as exc:  # per-range containment
@@ -384,6 +391,8 @@ def warc_records_from_ranges(
                             payload=None,
                             http_status=None,
                             http_headers=None,
+                            content_type=None,
+                            content_encoding=None,
                             error=f"{type(exc).__name__}: {exc}"[:200],
                         )
 
@@ -398,6 +407,8 @@ def warc_records_from_ranges(
                 pa.field("payload", pa.binary()),
                 pa.field("http_status", pa.int32()),
                 pa.field("http_headers", pa.list_(pa.string())),
+                pa.field("content_type", pa.string()),
+                pa.field("content_encoding", pa.string()),
                 pa.field("error", pa.string()),
             ]
         )
@@ -413,6 +424,42 @@ def warc_records_from_ranges(
             fh.close()
 
     return plans.mapInArrow(batches, _RANGE_SCHEMA)
+
+
+def extract_cdx_ranges(
+    plans_df: DataFrame,
+    base_dir: str | None = None,
+    max_doc_bytes: int | None = None,
+) -> DataFrame:
+    """Fetch plan -> extracted span table: the full index-driven path
+    (:func:`plan_fetches` output in, readability spans out).  Keeps
+    HTTP-200 response records and feeds payload bytes + HTTP charset/
+    encoding + target URI into the bytes-extraction tier, exactly the
+    ``extract_warc`` composition.  ``doc_id`` is
+    ``<filename>#<offset>`` -- stable and collision-free (one member per
+    offset), resumable by re-planning minus already-committed ids."""
+    from .pipeline import extract_from_html_bytes
+
+    recs = warc_records_from_ranges(plans_df, base_dir=base_dir)
+    pages = recs.filter(
+        F.col("error").isNull()
+        & (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+    ).select(
+        F.concat_ws("#", "filename", F.col("offset").cast("string")).alias("doc_id"),
+        F.coalesce("target_uri", "url").alias("url"),
+        F.col("payload").alias("content"),
+        "content_type",
+        "content_encoding",
+    )
+    return extract_from_html_bytes(
+        pages,
+        bytes_col="content",
+        url_col="url",
+        content_type_col="content_type",
+        content_encoding_col="content_encoding",
+        max_doc_bytes=max_doc_bytes,
+    )
 
 
 # ---------------------------------------------------------------------------

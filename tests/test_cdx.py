@@ -100,10 +100,15 @@ def test_plan_and_ranged_read_end_to_end(spark, tmp_path):
     from nreadspark.cdx import cdx_lines, plan_fetches, warc_records_from_ranges
     from pyspark.sql import Row, functions as F
 
+    para = (
+        "This is a long enough paragraph of article text, with commas, "
+        "so the readability kernel scores it as real content rather than "
+        "boilerplate chrome around the page. " * 3
+    )
     pages = [
         (
             f"http://site{i % 3}.com/p{i}",
-            f"<html><body>page {i} body</body></html>".encode(),
+            f"<html><body><p>page {i} body. {para}</p></body></html>".encode(),
             "text/html",
         )
         for i in range(20)
@@ -132,7 +137,7 @@ def test_plan_and_ranged_read_end_to_end(spark, tmp_path):
     out = warc_records_from_ranges(plan, base_dir=str(tmp_path)).collect()
     assert len(out) == 7 and all(r["error"] is None for r in out)
     body = {r["target_uri"]: bytes(r["payload"]).decode() for r in out}
-    assert body["http://site0.com/p0"] == "<html><body>page 0 body</body></html>"
+    assert body["http://site0.com/p0"].startswith("<html><body><p>page 0 body.")
     assert all(r["http_status"] == 200 for r in out)
 
     # containment: shifted offsets hit mid-member garbage, rows not tasks fail
@@ -142,6 +147,16 @@ def test_plan_and_ranged_read_end_to_end(spark, tmp_path):
 
     # subdomain prefix semantics: "com,site0," selects subdomains only
     assert plan_fetches(cdx, ["com,site0,"]).count() == 0
+
+    # the full index-driven path: plan -> ranged read -> extracted spans
+    from nreadspark.cdx import extract_cdx_ranges
+
+    spans = extract_cdx_ranges(plan, base_dir=str(tmp_path))
+    srows = spans.collect()
+    assert len(srows) == 7
+    assert all(r["doc_id"].startswith(("w1.warc.gz#", "w2.warc.gz#")) for r in srows)
+    texts = {r["doc_id"]: "".join(s["text"] or "" for s in r["spans"]) for r in srows}
+    assert any("page 0 body" in t for t in texts.values())
 
 
 def test_plan_fetches_status_filter_and_all_captures(spark):
