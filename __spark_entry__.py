@@ -4,7 +4,7 @@
 sf0.001.  ``queries()`` exposes one callable per implemented operator from
 SURVEY.md §2 plus the training-data ops (dedup / similarity / text analysis /
 multimodal / PII / domains / rendering); ``oracle_sql()`` carries a
-DuckDB-checkable ANSI-SQL twin for EVERY entry (86/86 -- non-SQL kernels
+DuckDB-checkable ANSI-SQL twin for EVERY entry (88/88 -- non-SQL kernels
 like the DOM extraction get closed-form oracles over deterministic
 constructions).  Ordering contract: the driver's CORRECTNESS file caps at
 the first 50 entries, so every SURVEY §2 operator's primary oracle sits
@@ -1748,6 +1748,70 @@ def _q_dedup_audio_afp(spark, sf_dir):
     )
 
 
+def _q_wet_text(spark, sf_dir):
+    """WET sidecar reading (r6): each document becomes a 2-record WET blob
+    (warcinfo + conversion carrying the text as UTF-8); doc_id % 50 == 9
+    rows get one invalid 0xFF byte appended INSIDE the record to prove the
+    lenient-decode path (U+FFFD + utf8_valid=false) -- ANSI decode would
+    kill the task on exactly those rows.  Oracle: the document text
+    itself, with chr(65533) appended on probe rows."""
+    import pyarrow as pa
+
+    from nreadspark.warc import build_warc_record, wet_text
+
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+
+    def to_wet(it):
+        for batch in it:
+            names = batch.schema.names
+            ids = batch.column(names.index("doc_id")).to_pylist()
+            texts = batch.column(names.index("text")).to_pylist()
+            blobs = []
+            for i, t in zip(ids, texts):
+                body = (t or "").encode("utf-8")
+                if int(i) % 50 == 9:
+                    body += b"\xff"  # invalid-UTF-8 probe
+                blobs.append(
+                    build_warc_record(
+                        "warcinfo",
+                        b"software: nreadspark-synthetic\r\n",
+                        content_type="application/warc-fields",
+                    )
+                    + build_warc_record(
+                        "conversion",
+                        body,
+                        target_uri=f"http://ex.com/doc/{i}",
+                        content_type="text/plain",
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(blobs, pa.binary())],
+                names=["doc_id", "warc"],
+            )
+
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", StringType()), StructField("warc", BinaryType())]
+    )
+    blobs = docs.mapInArrow(to_wet, schema)
+    return wet_text(blobs)
+
+
+def _q_cdx_frontier(spark, sf_dir):
+    """Politeness-scheduled fetch frontier (r6): the cdx_plan output plus
+    a per-domain slot assignment (quota 2 per slot) -- the window the
+    oracle replicates exactly."""
+    from nreadspark.cdx import schedule_frontier
+
+    plan = _q_cdx_plan(spark, sf_dir)
+    return schedule_frontier(plan, per_domain_per_slot=2)
+
+
 def _q_url_surt(spark, sf_dir):
     """SURT urlkeys (r6): the CDX index sort key.  Deterministically messy
     URLs (scheme/host case, www on/off, default :80, trailing slash,
@@ -2002,6 +2066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CDX index tier (r6): SURT sort keys + index-driven fetch planning
         "url_surt": _q_url_surt,
         "cdx_plan": _q_cdx_plan,
+        "cdx_frontier": _q_cdx_frontier,
+        "wet_text": _q_wet_text,
         # relational breadth over the TPC-H-ish tables
         "tpch_q1_like": _q_tpch_q1_like,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
@@ -3801,6 +3867,45 @@ def oracle_sql() -> dict[str, str]:
                    doc_id * 1000 AS offset,
                    500 + doc_id % 100 AS length
             FROM latest
+        """,
+        # WET sidecar (r6): the text round-trips through real WARC
+        # conversion records; probe rows carry one invalid byte -> U+FFFD
+        "wet_text": """
+            SELECT CAST(doc_id AS VARCHAR) || '#1' AS doc_id,
+                   'http://ex.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   text || CASE WHEN doc_id % 50 = 9 THEN chr(65533) ELSE '' END AS text,
+                   (doc_id % 50 <> 9) AS utf8_valid
+            FROM documents WHERE doc_id < 400
+        """,
+        # politeness frontier (r6): the cdx_plan oracle plus the exact
+        # window the scheduler runs (quota 2 per domain per slot)
+        "cdx_frontier": """
+            WITH captures AS (
+                SELECT doc_id,
+                       doc_id % 7 AS site, doc_id % 40 AS page
+                FROM documents
+                WHERE doc_id < 600
+                  AND doc_id % 97 <> 13
+                  AND doc_id % 11 <> 3
+                  AND doc_id % 7 IN (0, 1)
+            ),
+            latest AS (
+                SELECT site, page, MAX(doc_id) AS doc_id
+                FROM captures GROUP BY site, page
+            ),
+            plan AS (
+                SELECT 'com,site' || CAST(site AS VARCHAR) || ')/p' || CAST(page AS VARCHAR) AS urlkey,
+                       lpad(CAST(doc_id AS VARCHAR), 14, '0') AS timestamp,
+                       'http://site' || CAST(site AS VARCHAR) || '.com/p' || CAST(page AS VARCHAR) AS url,
+                       'w' || CAST(doc_id % 5 AS VARCHAR) || '.warc.gz' AS filename,
+                       doc_id * 1000 AS offset,
+                       500 + doc_id % 100 AS length,
+                       'com,site' || CAST(site AS VARCHAR) AS domain
+                FROM latest
+            )
+            SELECT urlkey, "timestamp", url, filename, "offset", "length", domain,
+                   CAST((row_number() OVER (PARTITION BY domain ORDER BY urlkey, "timestamp", "offset") - 1) // 2 AS INT) AS slot
+            FROM plan
         """,
         "tpch_q1_like": """
             SELECT l_returnflag, l_linestatus,

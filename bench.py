@@ -190,6 +190,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_reference_bloom",
         "url_surt",
         "cdx_plan",
+        "cdx_frontier",
+        "wet_text",
         "multimodal_afp",
         "dedup_audio_afp",
         "e1_title_rules",

@@ -426,6 +426,38 @@ def warc_records_from_ranges(
     return plans.mapInArrow(batches, _RANGE_SCHEMA)
 
 
+def schedule_frontier(
+    plans_df: DataFrame, per_domain_per_slot: int = 1
+) -> DataFrame:
+    """Assign each planned fetch a politeness SLOT: within a slot, a
+    domain never sees more than ``per_domain_per_slot`` requests, so a
+    crawler draining slot 0, then slot 1, ... respects per-host rate
+    limits no matter how many executors fetch in parallel (the slot is
+    the unit you map to a crawl-delay tick).
+
+    The SURT urlkey already leads with the reversed host --
+    ``com,example)/path`` -- so the domain is ``split_part(urlkey, ')',
+    1)``: zero re-parsing.  Shape: ONE window shuffle on the domain
+    (same as ``cap_per_domain``); slot order is deterministic
+    (urlkey, timestamp, offset).  Mega-domains serialize into many slots
+    BY DESIGN -- that's the politeness constraint doing its job, not
+    skew; everything else lands in slot 0."""
+    from pyspark.sql.window import Window
+
+    if per_domain_per_slot < 1:
+        raise ValueError("per_domain_per_slot must be >= 1")
+    domain = F.split_part(F.col("urlkey"), F.lit(")"), F.lit(1))
+    w = Window.partitionBy("__domain").orderBy("urlkey", "timestamp", "offset")
+    return (
+        plans_df.withColumn("__domain", domain)
+        .withColumn(
+            "slot",
+            ((F.row_number().over(w) - 1) / per_domain_per_slot).cast("int"),
+        )
+        .withColumnRenamed("__domain", "domain")
+    )
+
+
 def extract_cdx_ranges(
     plans_df: DataFrame,
     base_dir: str | None = None,

@@ -575,6 +575,68 @@ def extract_warc(
     )
 
 
+def build_wet(pages: list[tuple[str, str]]) -> bytes:
+    """A WET blob (Common Crawl's extracted-text sidecar): one warcinfo
+    record, then one ``conversion`` record per page carrying the UTF-8
+    plain text.  ``pages`` is ``[(url, text), ...]``."""
+    records = [
+        build_warc_record(
+            "warcinfo",
+            b"software: nreadspark-synthetic\r\nformat: WARC/1.0 (WET)\r\n",
+            content_type="application/warc-fields",
+        )
+    ]
+    for url, text in pages:
+        records.append(
+            build_warc_record(
+                "conversion",
+                text.encode("utf-8"),
+                target_uri=url,
+                content_type="text/plain",
+            )
+        )
+    return b"".join(records)
+
+
+def wet_text(df, warc_col: str = "warc", doc_id_col: str = "doc_id"):
+    """WET blobs -> (doc_id, url, text, utf8_valid): Common Crawl ships a
+    pre-extracted plain-text sidecar per crawl segment as ``conversion``
+    records; pipelines that trust the crawler's extraction read WET and
+    skip the HTML tier entirely.  The records table already routes
+    conversion blocks whole, so this is a FILTER + lenient decode in one
+    codegen projection on top of the same parse pass: the spec says
+    UTF-8, the wild disagrees, so invalid sequences become U+FFFD with
+    ``utf8_valid=false`` (ANSI ``decode`` would kill the task instead).
+    ``doc_id`` is ``<blob id>#<record idx>``."""
+    return _wet_from_records(warc_records(df, warc_col, doc_id_col))
+
+
+def wet_text_from_paths(paths_df, path_col: str = "path"):
+    """WET files -> (doc_id, url, text, utf8_valid): the file-path twin
+    (streamed per-member decompression, bounded task memory).  ``doc_id``
+    is ``<file path>#<record idx>``."""
+    return _wet_from_records(warc_records_from_paths(paths_df, path_col))
+
+
+def _wet_from_records(recs):
+    from pyspark.sql import functions as F
+
+    return (
+        recs.filter(
+            F.col("error").isNull() & (F.col("warc_type") == "conversion")
+        )
+        .withColumn("__raw", F.col("content").cast("string"))
+        .select(
+            F.concat_ws(
+                "#", "doc_id", F.col("record_idx").cast("string")
+            ).alias("doc_id"),
+            "url",
+            F.expr("make_valid_utf8(__raw)").alias("text"),
+            F.expr("is_valid_utf8(__raw)").alias("utf8_valid"),
+        )
+    )
+
+
 def extract_warc_paths(paths_df, path_col: str = "path", max_doc_bytes: int | None = None):
     """WARC files -> extracted span table: the production ingestion shape.
     Streams every file through :func:`warc_records_from_paths` (bounded

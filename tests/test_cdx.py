@@ -159,6 +159,57 @@ def test_plan_and_ranged_read_end_to_end(spark, tmp_path):
     assert any("page 0 body" in t for t in texts.values())
 
 
+def test_schedule_frontier_politeness_slots(spark):
+    """Per-domain quota: within any slot a domain never exceeds the
+    quota; slot order is deterministic; other domains stay in slot 0."""
+    from pyspark.sql import Row
+    from nreadspark.cdx import schedule_frontier
+
+    rows = [
+        Row(urlkey=f"com,big)/p{i}", timestamp=f"2026010100000{i}", url=f"http://big.com/p{i}",
+            filename="w", offset=i * 10, length=9)
+        for i in range(5)
+    ] + [
+        Row(urlkey="com,small)/x", timestamp="20260101000000", url="http://small.com/x",
+            filename="w", offset=100, length=9)
+    ]
+    df = spark.createDataFrame(rows)
+    got = schedule_frontier(df, per_domain_per_slot=2).collect()
+    by_domain_slot = {}
+    for r in got:
+        by_domain_slot.setdefault((r["domain"], r["slot"]), []).append(r["urlkey"])
+    for (_, _), keys in by_domain_slot.items():
+        assert len(keys) <= 2
+    assert ("com,big", 2) in by_domain_slot  # 5 fetches at quota 2 -> 3 slots
+    assert by_domain_slot[("com,small", 0)] == ["com,small)/x"]
+    with pytest.raises(ValueError):
+        schedule_frontier(df, per_domain_per_slot=0)
+
+
+def test_wet_text_round_trip_and_lenient_decode(spark):
+    """WET conversion records round-trip their text; an invalid byte
+    becomes U+FFFD with utf8_valid=false instead of a task failure."""
+    from pyspark.sql import Row
+    from nreadspark.warc import build_warc_record, build_wet, wet_text
+
+    good = build_wet([("http://a.com/1", "hello café"), ("http://a.com/2", "two")])
+    bad = build_warc_record(
+        "warcinfo", b"software: x\r\n", content_type="application/warc-fields"
+    ) + build_warc_record(
+        "conversion", "brok".encode() + b"\xff" + "en".encode(),
+        target_uri="http://a.com/3", content_type="text/plain",
+    )
+    df = spark.createDataFrame(
+        [Row(doc_id="g", warc=good), Row(doc_id="b", warc=bad)]
+    )
+    got = {r["doc_id"]: r for r in wet_text(df).collect()}
+    assert got["g#1"]["text"] == "hello café" and got["g#1"]["utf8_valid"]
+    assert got["g#2"]["text"] == "two"
+    assert got["b#1"]["text"] == "brok�en"
+    assert not got["b#1"]["utf8_valid"]
+    assert got["b#1"]["url"] == "http://a.com/3"
+
+
 def test_plan_fetches_status_filter_and_all_captures(spark):
     from pyspark.sql import Row
     from nreadspark.cdx import cdx_lines, plan_fetches
