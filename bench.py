@@ -192,6 +192,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "cdx_plan",
         "cdx_frontier",
         "wet_text",
+        "sitemap_entries",
+        "crawl_refresh",
         "multimodal_afp",
         "dedup_audio_afp",
         "e1_title_rules",

@@ -1,0 +1,129 @@
+"""Sitemap parsing + crawl-refresh planning (nreadspark/sitemap.py):
+urlset/sitemapindex explode, lastmod normalization, and the
+inventory-vs-capture fetch reasoning."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("sitemap-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def test_sitemap_entries_urlset_and_index(spark):
+    from pyspark.sql import Row
+    from nreadspark.sitemap import build_sitemap_xml, sitemap_entries
+
+    xml = build_sitemap_xml(
+        [
+            ("http://a.com/new", "2026-08-01"),
+            ("http://a.com/nolastmod", None),
+        ]
+    )
+    idx = (
+        '<?xml version="1.0"?><sitemapindex>'
+        "<sitemap><loc>http://a.com/s1.xml</loc>"
+        "<lastmod>2026-08-17T09:30:00Z</lastmod></sitemap>"
+        "<sitemap><loc> http://a.com/s2.xml </loc></sitemap>"  # ws-padded loc
+        "</sitemapindex>"
+    )
+    broken = "<urlset><url><lastmod>2026-01-01</lastmod></url></urlset>"  # no loc
+    df = spark.createDataFrame(
+        [
+            Row(sitemap_url="http://a.com/s.xml", xml=xml),
+            Row(sitemap_url="http://a.com/i.xml", xml=idx),
+            Row(sitemap_url="http://a.com/b.xml", xml=broken),
+        ]
+    )
+    rows = sitemap_entries(df).collect()
+    by = {(r["kind"], r["loc"]): r for r in rows}
+    assert by[("url", "http://a.com/new")]["lastmod"] == "2026-08-01"
+    assert by[("url", "http://a.com/nolastmod")]["lastmod"] is None
+    assert by[("sitemap", "http://a.com/s1.xml")]["lastmod"] == "2026-08-17T09:30:00Z"
+    assert ("sitemap", "http://a.com/s2.xml") in by  # loc whitespace trimmed
+    assert by[("url", None)]["lastmod"] == "2026-01-01"  # contained, not dropped
+
+
+def test_lastmod_normalization(spark):
+    from pyspark.sql import Row, functions as F
+    from nreadspark.sitemap import lastmod_ts_col
+
+    df = spark.createDataFrame(
+        [
+            Row(lm="2026-08-17"),
+            Row(lm="2026-08-17T09:30:05Z"),
+            Row(lm="2026-08-17T09:30:05+02:00"),  # tz digits truncated by 14-cap
+            Row(lm=None),
+            Row(lm="garbage"),
+        ]
+    )
+    got = [r["ts"] for r in df.select(lastmod_ts_col("lm").alias("ts")).collect()]
+    assert got == [
+        "20260817000000",
+        "20260817093005",
+        "20260817093005",
+        None,
+        None,
+    ]
+
+
+def test_plan_refresh_reasons(spark):
+    from pyspark.sql import Row, functions as F
+    from nreadspark.sitemap import build_sitemap_xml, plan_refresh, sitemap_entries
+
+    xml = build_sitemap_xml(
+        [
+            ("http://a.com/fresh", "2026-01-01"),  # captured later -> skip
+            ("http://a.com/stale", "2026-08-01"),  # captured earlier -> modified
+            ("http://a.com/never", "2026-05-01"),  # no capture -> new
+            ("http://a.com/mystery", None),  # captured, no lastmod -> unknown
+        ]
+    )
+    ents = sitemap_entries(
+        spark.createDataFrame([Row(sitemap_url="s", xml=xml)])
+    )
+    caps = spark.createDataFrame(
+        [
+            Row(urlkey="com,a)/fresh", timestamp="20260601000000"),
+            Row(urlkey="com,a)/stale", timestamp="20260601000000"),
+            Row(urlkey="com,a)/mystery", timestamp="20260101000000"),
+        ]
+    )
+    got = {r["urlkey"]: r["reason"] for r in plan_refresh(ents, caps).collect()}
+    assert got == {
+        "com,a)/stale": "modified",
+        "com,a)/never": "new",
+        "com,a)/mystery": "unknown",
+    }
+    strict = plan_refresh(ents, caps, fetch_unmodified_unknown=False)
+    assert {r["urlkey"] for r in strict.collect()} == {"com,a)/stale", "com,a)/never"}
+
+
+def test_plan_refresh_keeps_newest_duplicate_claim(spark):
+    """A URL listed in two sitemaps keeps its newest lastmod claim."""
+    from pyspark.sql import Row
+    from nreadspark.sitemap import build_sitemap_xml, plan_refresh, sitemap_entries
+
+    ents = sitemap_entries(
+        spark.createDataFrame(
+            [
+                Row(sitemap_url="s1", xml=build_sitemap_xml([("http://a.com/p", "2026-02-01")])),
+                Row(sitemap_url="s2", xml=build_sitemap_xml([("http://a.com/p", "2026-07-01")])),
+            ]
+        )
+    )
+    caps = spark.createDataFrame([Row(urlkey="com,a)/p", timestamp="20260401000000")])
+    got = plan_refresh(ents, caps).collect()
+    assert len(got) == 1 and got[0]["reason"] == "modified"
+    assert got[0]["lastmod_ts"] == "20260701000000"
