@@ -4,7 +4,7 @@
 sf0.001.  ``queries()`` exposes one callable per implemented operator from
 SURVEY.md §2 plus the training-data ops (dedup / similarity / text analysis /
 multimodal / PII / domains / rendering); ``oracle_sql()`` carries a
-DuckDB-checkable ANSI-SQL twin for EVERY entry (90/90 -- non-SQL kernels
+DuckDB-checkable ANSI-SQL twin for EVERY entry (91/91 -- non-SQL kernels
 like the DOM extraction get closed-form oracles over deterministic
 constructions).  Ordering contract: the driver's CORRECTNESS file caps at
 the first 50 entries, so every SURVEY §2 operator's primary oracle sits
@@ -1879,6 +1879,56 @@ def _q_crawl_refresh(spark, sf_dir):
     return plan_refresh(ents, caps)
 
 
+def _q_crawl_plan(spark, sf_dir):
+    """The composed crawl-planning path (r6): sitemap inventory ->
+    refresh decision vs CDX captures -> robots.txt permission gate
+    (longest-match-wins; 'Disallow: /p1' + 'Allow: /p12' exercises the
+    rescue) -> per-domain politeness slots.  Every stage is an
+    oracle-checked op; this query proves they COMPOSE (the
+    mixed_pipeline pattern applied to the planning tier)."""
+    from nreadspark.cdx import schedule_frontier
+    from nreadspark.ops.robots import parse_robots_rules, tag_robots_permissions
+    from nreadspark.sitemap import plan_refresh, sitemap_entries
+
+    ents = sitemap_entries(_sitemap_src(spark, sf_dir))
+    docs = _table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 500) & (F.pmod("doc_id", F.lit(3)) != 1)
+    )
+    cap_month = F.lpad(
+        (F.pmod(F.col("doc_id") + 6, F.lit(12)) + 1).cast("string"), 2, "0"
+    )
+    caps = docs.select(
+        F.concat(
+            F.lit("com,site"), F.pmod("doc_id", F.lit(20)).cast("string"),
+            F.lit(")/p"), F.col("doc_id").cast("string"),
+        ).alias("urlkey"),
+        F.concat(F.lit("2026"), cap_month, F.lit("01000000")).alias("timestamp"),
+    )
+    plan = plan_refresh(ents, caps)
+    # robots: every site disallows /p1* but re-allows /p12* (longest match)
+    sites = spark.range(20).select(
+        F.concat(F.lit("com,site"), F.col("id").cast("string")).alias("domain"),
+        F.lit("User-agent: *\nDisallow: /p1\nAllow: /p12\n").alias("robots_txt"),
+    )
+    rules = parse_robots_rules(sites)
+    plan = plan.withColumn(
+        "domain", F.split_part(F.col("urlkey"), F.lit(")"), F.lit(1))
+    ).withColumn("path", F.substring_index(F.col("urlkey"), ")", -1))
+    gated = (
+        tag_robots_permissions(plan, rules, "domain", "path")
+        .filter(F.col("allowed"))
+        .drop("allowed", "domain", "path")  # schedule_frontier re-derives domain
+    )
+    # un-fetched rows have no capture offset; slot ordering needs the
+    # columns -- urlkey is unique here so the order stays deterministic
+    frontier = schedule_frontier(
+        gated.withColumn("timestamp", F.coalesce("lastmod_ts", F.lit("")))
+        .withColumn("offset", F.lit(0).cast("bigint")),
+        per_domain_per_slot=2,
+    )
+    return frontier.select("urlkey", "loc", "reason", "domain", "slot")
+
+
 def _q_url_surt(spark, sf_dir):
     """SURT urlkeys (r6): the CDX index sort key.  Deterministically messy
     URLs (scheme/host case, www on/off, default :80, trailing slash,
@@ -2137,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_text": _q_wet_text,
         "sitemap_entries": _q_sitemap_entries,
         "crawl_refresh": _q_crawl_refresh,
+        "crawl_plan": _q_crawl_plan,
         # relational breadth over the TPC-H-ish tables
         "tpch_q1_like": _q_tpch_q1_like,
         "join_revenue_by_segment": _q_join_revenue_by_segment,
@@ -4007,6 +4058,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE captured_ts IS NULL
                OR (lastmod_ts IS NOT NULL AND lastmod_ts > captured_ts)
                OR lastmod_ts IS NULL
+        """,
+        # composed crawl plan (r6): refresh reasons x robots longest-match
+        # x politeness slots, all closed-form
+        "crawl_plan": """
+            WITH e AS (
+                SELECT doc_id,
+                       'com,site' || CAST(doc_id % 20 AS VARCHAR) || ')/p' || CAST(doc_id AS VARCHAR) AS urlkey,
+                       'http://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR) AS loc,
+                       'com,site' || CAST(doc_id % 20 AS VARCHAR) AS domain,
+                       CASE WHEN doc_id % 7 = 3 THEN NULL
+                            ELSE '2026' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '01000000' END AS lastmod_ts,
+                       CASE WHEN doc_id % 3 = 1 THEN NULL
+                            ELSE '2026' || lpad(CAST((doc_id + 6) % 12 + 1 AS VARCHAR), 2, '0') || '01000000' END AS captured_ts
+                FROM documents WHERE doc_id < 500
+            ),
+            refreshed AS (
+                SELECT *,
+                       CASE WHEN captured_ts IS NULL THEN 'new'
+                            WHEN lastmod_ts IS NOT NULL AND lastmod_ts > captured_ts THEN 'modified'
+                            WHEN lastmod_ts IS NULL THEN 'unknown' END AS reason
+                FROM e
+                WHERE captured_ts IS NULL
+                   OR (lastmod_ts IS NOT NULL AND lastmod_ts > captured_ts)
+                   OR lastmod_ts IS NULL
+            ),
+            gated AS (
+                -- Disallow: /p1 + Allow: /p12 (longest match wins):
+                -- blocked iff the id starts with '1' but not with '12'
+                SELECT * FROM refreshed
+                WHERE NOT (CAST(doc_id AS VARCHAR) LIKE '1%'
+                           AND CAST(doc_id AS VARCHAR) NOT LIKE '12%')
+            )
+            SELECT urlkey, loc, reason, domain,
+                   CAST((row_number() OVER (PARTITION BY domain ORDER BY urlkey) - 1) // 2 AS INT) AS slot
+            FROM gated
         """,
         "tpch_q1_like": """
             SELECT l_returnflag, l_linestatus,

@@ -194,6 +194,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "wet_text",
         "sitemap_entries",
         "crawl_refresh",
+        "crawl_plan",
         "multimodal_afp",
         "dedup_audio_afp",
         "e1_title_rules",
