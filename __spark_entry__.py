@@ -4,7 +4,7 @@
 sf0.001.  ``queries()`` exposes one callable per implemented operator from
 SURVEY.md §2 plus the training-data ops (dedup / similarity / text analysis /
 multimodal / PII / domains / rendering); ``oracle_sql()`` carries a
-DuckDB-checkable ANSI-SQL twin for EVERY entry (91/91 -- non-SQL kernels
+DuckDB-checkable ANSI-SQL twin for EVERY entry (92/92 -- non-SQL kernels
 like the DOM extraction get closed-form oracles over deterministic
 constructions).  Ordering contract: the driver's CORRECTNESS file caps at
 the first 50 entries, so every SURVEY §2 operator's primary oracle sits
@@ -1696,6 +1696,29 @@ def _q_dedup_image_phash(spark, sf_dir):
     )
 
 
+def _q_dedup_image_survivors(spark, sf_dir):
+    """Multimodal dedup terminal stage (r6): image hash pairs ->
+    connected components -> canonical survivors, over string media refs
+    (the components machinery is id-type-agnostic).  Undecodable
+    payloads never pair, so they survive untouched -- the containment
+    contract carries through the whole chain.  Oracle: recursive-CTE
+    transitive closure over the same closed-form pairs."""
+    from nreadspark.ops.dedup import keep_canonical
+    from nreadspark.ops.images import (
+        image_hashes,
+        near_dup_image_pairs,
+        synthesize_png_corpus,
+    )
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    hdf = image_hashes(synthesize_png_corpus(docs.select("doc_id")))
+    pairs = near_dup_image_pairs(hdf, max_hamming=3)
+    return keep_canonical(
+        hdf.select("media_ref"), pairs,
+        id_col="media_ref", src_col="ref_a", dst_col="ref_b",
+    )
+
+
 def _q_dedup_reference_bloom(spark, sf_dir):
     """Bloom-prefiltered cross-snapshot dedup (r6): same exact semantics
     as dedup_reference (the oracle is the plain exact-membership SQL --
@@ -2175,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Bloom-prefiltered membership twin
         "multimodal_phash": _q_multimodal_phash,
         "dedup_image_phash": _q_dedup_image_phash,
+        "dedup_image_survivors": _q_dedup_image_survivors,
         "dedup_reference_bloom": _q_dedup_reference_bloom,
         # audio fingerprint tier (r6): WAV PCM8 energy-window hashes +
         # near-dup pairs through the shared banded-hamming join
@@ -3865,6 +3889,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
             FROM refs a JOIN refs b ON a.ref < b.ref
             WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        """,
+        # image dedup terminal stage (r6): transitive closure over the same
+        # closed-form pairs; survivors = each component's minimum ref plus
+        # every unpaired ref (undecodable payloads included)
+        "dedup_image_survivors": """
+            WITH RECURSIVE px AS (
+                SELECT d.doc_id, x.x AS x, y.y AS y,
+                       ((37*(d.doc_id % 97) + 13*x.x + 29*y.y) % 256) * 1000 AS luma
+                FROM (SELECT doc_id FROM documents
+                      WHERE doc_id < 500 AND doc_id % 101 <> 7) d,
+                     generate_series(0, 15) AS x(x),
+                     generate_series(0, 15) AS y(y)
+            ),
+            blocks AS (
+                SELECT doc_id, (y//2)*8 + (x//2) AS j,
+                       SUM(luma) AS s, COUNT(*) AS c
+                FROM px GROUP BY 1, 2
+            ),
+            tot AS (SELECT doc_id, SUM(s) AS t, SUM(c) AS n FROM blocks GROUP BY doc_id),
+            hashes AS (
+                SELECT b.doc_id,
+                       SUM(CASE WHEN b.j >= 32 AND b.s * tot.n > tot.t * b.c
+                                THEN (1::BIGINT << (b.j-32)) ELSE 0 END) AS hi,
+                       SUM(CASE WHEN b.j < 32 AND b.s * tot.n > tot.t * b.c
+                                THEN (1::BIGINT << b.j) ELSE 0 END) AS lo
+                FROM blocks b JOIN tot ON tot.doc_id = b.doc_id
+                GROUP BY b.doc_id
+            ),
+            refs AS (
+                SELECT 'img://' || CAST(doc_id AS VARCHAR) AS ref, hi, lo FROM hashes
+            ),
+            pairs AS (
+                SELECT a.ref AS ra, b.ref AS rb
+                FROM refs a JOIN refs b ON a.ref < b.ref
+                WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+            ),
+            nodes AS (
+                SELECT 'img://' || CAST(doc_id AS VARCHAR) AS id
+                FROM documents WHERE doc_id < 500
+            ),
+            bidir AS (
+                SELECT ra AS src, rb AS dst FROM pairs
+                UNION SELECT rb, ra FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT b.dst, reach.r FROM reach JOIN bidir b ON b.src = reach.id
+            )
+            SELECT id AS media_ref FROM reach
+            GROUP BY id HAVING id = min(r)
         """,
         # Bloom-prefiltered membership (r6): exact semantics, so the oracle
         # is the plain exact-membership SQL -- false positives only route

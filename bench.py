@@ -187,6 +187,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "lm_familiarity",
         "multimodal_phash",
         "dedup_image_phash",
+        "dedup_image_survivors",
         "dedup_reference_bloom",
         "url_surt",
         "cdx_plan",
