@@ -37,6 +37,24 @@ def main() -> None:
         "per-file resumable lineage) instead of reading an interleaved table",
     )
     parser.add_argument(
+        "--cdx-glob",
+        default=None,
+        help="index-driven ingestion: parse CDXJ index shards matching this "
+        "glob, plan fetches for --cdx-prefix selections, and read exactly "
+        "those (offset, length) WARC members (per-file resumable lineage)",
+    )
+    parser.add_argument(
+        "--cdx-prefix",
+        action="append",
+        default=[],
+        help="SURT urlkey prefix to select (repeatable; e.g. 'com,example)')",
+    )
+    parser.add_argument(
+        "--warc-base-dir",
+        default=None,
+        help="prefix for relative WARC filenames in the CDX index",
+    )
+    parser.add_argument(
         "--synthetic",
         type=int,
         default=0,
@@ -54,13 +72,31 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    from nreadspark.lineage import run_extraction, run_warc_ingestion
+    from nreadspark.lineage import (
+        run_cdx_ingestion,
+        run_extraction,
+        run_warc_ingestion,
+    )
     from nreadspark.pipeline import configure_session_defaults
 
     builder = SparkSession.builder.appName("nreadspark-extract")
     if args.master:
         builder = builder.master(args.master)
     spark = configure_session_defaults(builder).getOrCreate()
+
+    if args.cdx_glob:
+        summary = run_cdx_ingestion(
+            spark,
+            args.cdx_glob,
+            args.cdx_prefix,
+            args.output,
+            warc_base_dir=args.warc_base_dir,
+            n_buckets=args.buckets,
+            resume=not args.no_resume,
+            max_doc_bytes=args.max_doc_bytes,
+        )
+        print(json.dumps(summary))
+        return
 
     if args.warc_glob:
         summary = run_warc_ingestion(
@@ -87,7 +123,7 @@ def main() -> None:
         input_df = load_documents(spark, args.input)
         fingerprint = None  # derived from the source-file listing
     else:
-        parser.error("one of --input, --warc-glob or --synthetic is required")
+        parser.error("one of --input, --warc-glob, --cdx-glob or --synthetic is required")
         return
 
     summary = run_extraction(

@@ -582,6 +582,103 @@ def run_warc_ingestion(
     }
 
 
+def run_cdx_ingestion(
+    spark,
+    cdx_pattern: str,
+    urlkey_prefixes: list[str],
+    output_path: str,
+    warc_base_dir: str | None = None,
+    n_buckets: int = 64,
+    resume: bool = True,
+    max_doc_bytes: int | None = None,
+) -> dict:
+    """Run (or resume) INDEX-DRIVEN ingestion: CDXJ index shards ->
+    prefix-selected fetch plan -> ranged WARC member reads -> bucketed
+    span table.  The selective twin of :func:`run_warc_ingestion` for
+    when only a slice of the crawl is wanted -- the index is scanned
+    (table-sized), and only the planned members' bytes are ever read.
+
+    Resume unit: the WARC FILE (``pmod(xxhash64(filename), n_buckets)``,
+    the same unit as full-file ingestion) -- a resumed run re-plans from
+    the index (cheap) and re-reads exactly the ranges of missing
+    buckets.  The input fingerprint covers the sorted index listing AND
+    the selection (prefixes, base dir), so changing either recomputes
+    instead of trusting stale buckets."""
+    from .cdx import cdx_lines, extract_cdx_ranges, plan_fetches
+    from .warc import warc_path_table
+
+    started = time.perf_counter()
+    idx_paths = warc_path_table(spark, cdx_pattern).select("path")
+    listing = sorted(r["path"] for r in idx_paths.collect())  # index shard names
+    if not listing:
+        raise ValueError(f"no CDX index files match {cdx_pattern!r}")
+    if not urlkey_prefixes:
+        raise ValueError("urlkey_prefixes must be non-empty (select something)")
+    import hashlib
+
+    fingerprint = "cdx:%d:%s:%s:%s" % (
+        len(listing),
+        hashlib.md5("\n".join(listing).encode()).hexdigest(),
+        hashlib.md5("\n".join(sorted(urlkey_prefixes)).encode()).hexdigest(),
+        warc_base_dir or "",
+    )
+    done = resolve_bucket_layout(
+        spark, output_path, n_buckets, resume,
+        params={"max_doc_bytes": max_doc_bytes, "input": fingerprint,
+                "unit": "warc_file_ranges"},
+    )
+    lines = spark.read.text(listing).withColumnRenamed("value", "line")
+    plan = plan_fetches(cdx_lines(lines), urlkey_prefixes)
+    plan = plan.withColumn(
+        "bucket", F.pmod(F.xxhash64("filename"), F.lit(n_buckets)).cast("int")
+    )
+    todo = plan.filter(~F.col("bucket").isin(list(done))) if done else plan
+    # spread plans across cores; warc_records_from_ranges sorts within
+    # partitions so each file still opens once per partition
+    todo = todo.drop("bucket").repartition(
+        max(n_buckets, spark.sparkContext.defaultParallelism), "filename"
+    )
+    extracted = extract_cdx_ranges(
+        todo, base_dir=warc_base_dir, max_doc_bytes=max_doc_bytes
+    )
+    # bucket from the doc_id's filename prefix ('<filename>#<offset>')
+    extracted = extracted.withColumn(
+        "bucket",
+        F.pmod(
+            F.xxhash64(F.regexp_replace("doc_id", r"#[0-9]+$", "")),
+            F.lit(n_buckets),
+        ).cast("int"),
+    )
+    from pyspark import StorageLevel
+
+    extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        (
+            extracted.write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(output_path)
+        )
+        stats = _bucket_stats(extracted)
+    finally:
+        extracted.unpersist()
+    for row in stats:
+        payload = row.asDict()
+        payload["committed_at"] = time.time()
+        _write_manifest(output_path, int(row["bucket"]), payload, spark=spark)
+    processed = _commit_zero_doc_manifests(
+        spark, output_path, n_buckets, done, stats
+    )
+    return {
+        "n_buckets": n_buckets,
+        "n_index_files": len(listing),
+        "buckets_skipped": len(done),
+        "buckets_computed": len(processed),
+        "docs_computed": int(sum(r["docs"] for r in stats)),
+        "wall_ms": (time.perf_counter() - started) * 1000.0,
+    }
+
+
 def _bucket_stats(extracted: DataFrame):
     return (
         extracted.groupBy("bucket")

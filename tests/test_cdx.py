@@ -210,6 +210,78 @@ def test_wet_text_round_trip_and_lenient_decode(spark):
     assert got["b#1"]["url"] == "http://a.com/3"
 
 
+def test_run_cdx_ingestion_with_per_file_resume(spark, tmp_path):
+    """The index-driven job tier: CDXJ shards -> prefix plan -> ranged
+    reads -> bucketed output + manifests; resume recomputes exactly the
+    missing buckets' files; a different SELECTION recomputes everything
+    (the fingerprint covers prefixes, not just the index listing)."""
+    import json as _json
+    import os
+
+    from nreadspark.lineage import run_cdx_ingestion
+
+    para = (
+        "A long enough paragraph of article text, with commas, so the "
+        "readability kernel keeps it as content. " * 3
+    )
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    all_lines = []
+    for f in range(6):
+        pages = [
+            (
+                f"http://site{f}.com/p{i}",
+                f"<html><body><p>file {f} page {i}. {para}</p></body></html>".encode(),
+                "text/html",
+            )
+            for i in range(5)
+        ]
+        blob, lines = build_warc_with_index(pages, f"seg-{f}.warc.gz")
+        (crawl / f"seg-{f}.warc.gz").write_bytes(blob)
+        all_lines.extend(lines)
+    idx = tmp_path / "index"
+    idx.mkdir()
+    (idx / "cdx-00000").write_text("\n".join(all_lines[:15]) + "\n")
+    (idx / "cdx-00001").write_text("\n".join(all_lines[15:]) + "\n")
+    out = str(tmp_path / "out")
+    prefixes = [f"com,site{f})" for f in range(6)]
+
+    s1 = run_cdx_ingestion(
+        spark, str(idx), prefixes, out, warc_base_dir=str(crawl), n_buckets=4
+    )
+    assert s1["n_index_files"] == 2 and s1["buckets_skipped"] == 0
+    assert s1["docs_computed"] == 30
+    result = spark.read.parquet(out)
+    assert result.count() == 30
+    assert result.filter("content_extracted").count() == 30
+
+    s2 = run_cdx_ingestion(
+        spark, str(idx), prefixes, out, warc_base_dir=str(crawl), n_buckets=4
+    )
+    assert s2["buckets_computed"] == 0 and s2["buckets_skipped"] == 4
+
+    manifests = sorted(
+        p for p in os.listdir(os.path.join(out, "_lineage")) if p.startswith("bucket=")
+    )
+    victim = os.path.join(out, "_lineage", manifests[0])
+    victim_docs = _json.load(open(victim))["docs"]
+    os.remove(victim)
+    s3 = run_cdx_ingestion(
+        spark, str(idx), prefixes, out, warc_base_dir=str(crawl), n_buckets=4
+    )
+    assert s3["buckets_computed"] == 1
+    assert s3["docs_computed"] == victim_docs
+    assert spark.read.parquet(out).count() == 30
+
+    # a narrower SELECTION is a different input: full recompute
+    s4 = run_cdx_ingestion(
+        spark, str(idx), ["com,site0)"], out, warc_base_dir=str(crawl), n_buckets=4
+    )
+    assert s4["buckets_skipped"] == 0
+    assert s4["docs_computed"] == 5
+    assert spark.read.parquet(out).count() == 5
+
+
 def test_plan_fetches_status_filter_and_all_captures(spark):
     from pyspark.sql import Row
     from nreadspark.cdx import cdx_lines, plan_fetches
