@@ -1838,16 +1838,26 @@ def _q_cdx_frontier(spark, sf_dir):
 def _sitemap_src(spark, sf_dir):
     """Shared synth: 20 sitemap XML files (one per doc_id%20 group), each
     listing its docs as <url> entries; doc_id%7==3 entries omit
-    <lastmod>.  All closed-form in doc_id."""
+    <lastmod>.  doc_id%11==5 locs carry a spec-escaped multi-param query
+    ('?a=1&amp;b=2' -> decoded '?a=1&b=2') and doc_id%11==8 locs carry
+    numeric character references ('/x&#45;y&#x7e;z' -> '/x-y~z') -- the
+    entity-decode path (sitemaps.org REQUIRES '&' escaped in <loc>) is
+    therefore under oracle test, including the urlkey join downstream.
+    All closed-form in doc_id."""
     docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     g = F.pmod("doc_id", F.lit(20)).cast("string")
     month = F.lpad((F.pmod("doc_id", F.lit(12)) + 1).cast("string"), 2, "0")
     lastmod = F.when(
         F.pmod("doc_id", F.lit(7)) == 3, F.lit(None).cast("string")
     ).otherwise(F.concat(F.lit("2026-"), month, F.lit("-01")))
+    xml_suffix = (
+        F.when(F.pmod("doc_id", F.lit(11)) == 5, F.lit("?a=1&amp;b=2"))
+        .when(F.pmod("doc_id", F.lit(11)) == 8, F.lit("/x&#45;y&#x7e;z"))
+        .otherwise(F.lit(""))
+    )
     entry = F.concat(
         F.lit("<url><loc>http://site"), g, F.lit(".com/p"),
-        F.col("doc_id").cast("string"), F.lit("</loc>"),
+        F.col("doc_id").cast("string"), xml_suffix, F.lit("</loc>"),
         F.when(lastmod.isNull(), F.lit("")).otherwise(
             F.concat(F.lit("<lastmod>"), lastmod, F.lit("</lastmod>"))
         ),
@@ -1864,6 +1874,16 @@ def _sitemap_src(spark, sf_dir):
             "sitemap_url"
         ),
         F.concat(F.lit("<urlset>"), "body", F.lit("</urlset>")).alias("xml"),
+    )
+
+
+def _decoded_url_suffix():
+    """The DECODED twin of ``_sitemap_src``'s escaped xml_suffix -- what
+    the capture index (which indexes real URLs, never XML text) holds."""
+    return (
+        F.when(F.pmod("doc_id", F.lit(11)) == 5, F.lit("?a=1&b=2"))
+        .when(F.pmod("doc_id", F.lit(11)) == 8, F.lit("/x-y~z"))
+        .otherwise(F.lit(""))
     )
 
 
@@ -1895,7 +1915,7 @@ def _q_crawl_refresh(spark, sf_dir):
     caps = docs.select(
         F.concat(
             F.lit("com,site"), F.pmod("doc_id", F.lit(20)).cast("string"),
-            F.lit(")/p"), F.col("doc_id").cast("string"),
+            F.lit(")/p"), F.col("doc_id").cast("string"), _decoded_url_suffix(),
         ).alias("urlkey"),
         F.concat(F.lit("2026"), cap_month, F.lit("01000000")).alias("timestamp"),
     )
@@ -1923,7 +1943,7 @@ def _q_crawl_plan(spark, sf_dir):
     caps = docs.select(
         F.concat(
             F.lit("com,site"), F.pmod("doc_id", F.lit(20)).cast("string"),
-            F.lit(")/p"), F.col("doc_id").cast("string"),
+            F.lit(")/p"), F.col("doc_id").cast("string"), _decoded_url_suffix(),
         ).alias("urlkey"),
         F.concat(F.lit("2026"), cap_month, F.lit("01000000")).alias("timestamp"),
     )
@@ -4107,7 +4127,9 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_entries": """
             SELECT 'http://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/sitemap.xml' AS sitemap_url,
                    'url' AS kind,
-                   'http://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR) AS loc,
+                   'http://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 11 = 5 THEN '?a=1&b=2'
+                               WHEN doc_id % 11 = 8 THEN '/x-y~z' ELSE '' END AS loc,
                    CASE WHEN doc_id % 7 = 3 THEN NULL
                         ELSE '2026-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-01' END AS lastmod
             FROM documents WHERE doc_id < 500
@@ -4115,15 +4137,21 @@ def oracle_sql() -> dict[str, str]:
         # crawl-refresh plan (r6): inventory-vs-capture reasoning, both
         # sides closed-form
         "crawl_refresh": """
-            WITH e AS (
+            WITH sfx AS (
                 SELECT doc_id,
-                       'com,site' || CAST(doc_id % 20 AS VARCHAR) || ')/p' || CAST(doc_id AS VARCHAR) AS urlkey,
-                       'http://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR) AS loc,
+                       CASE WHEN doc_id % 11 = 5 THEN '?a=1&b=2'
+                            WHEN doc_id % 11 = 8 THEN '/x-y~z' ELSE '' END AS sf
+                FROM documents WHERE doc_id < 500
+            ),
+            e AS (
+                SELECT doc_id,
+                       'com,site' || CAST(doc_id % 20 AS VARCHAR) || ')/p' || CAST(doc_id AS VARCHAR) || sf AS urlkey,
+                       'http://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR) || sf AS loc,
                        CASE WHEN doc_id % 7 = 3 THEN NULL
                             ELSE '2026' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '01000000' END AS lastmod_ts,
                        CASE WHEN doc_id % 3 = 1 THEN NULL
                             ELSE '2026' || lpad(CAST((doc_id + 6) % 12 + 1 AS VARCHAR), 2, '0') || '01000000' END AS captured_ts
-                FROM documents WHERE doc_id < 500
+                FROM sfx
             )
             SELECT urlkey, loc, lastmod_ts, captured_ts,
                    CASE WHEN captured_ts IS NULL THEN 'new'
@@ -4137,16 +4165,22 @@ def oracle_sql() -> dict[str, str]:
         # composed crawl plan (r6): refresh reasons x robots longest-match
         # x politeness slots, all closed-form
         "crawl_plan": """
-            WITH e AS (
+            WITH sfx AS (
                 SELECT doc_id,
-                       'com,site' || CAST(doc_id % 20 AS VARCHAR) || ')/p' || CAST(doc_id AS VARCHAR) AS urlkey,
-                       'http://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR) AS loc,
+                       CASE WHEN doc_id % 11 = 5 THEN '?a=1&b=2'
+                            WHEN doc_id % 11 = 8 THEN '/x-y~z' ELSE '' END AS sf
+                FROM documents WHERE doc_id < 500
+            ),
+            e AS (
+                SELECT doc_id,
+                       'com,site' || CAST(doc_id % 20 AS VARCHAR) || ')/p' || CAST(doc_id AS VARCHAR) || sf AS urlkey,
+                       'http://site' || CAST(doc_id % 20 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR) || sf AS loc,
                        'com,site' || CAST(doc_id % 20 AS VARCHAR) AS domain,
                        CASE WHEN doc_id % 7 = 3 THEN NULL
                             ELSE '2026' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '01000000' END AS lastmod_ts,
                        CASE WHEN doc_id % 3 = 1 THEN NULL
                             ELSE '2026' || lpad(CAST((doc_id + 6) % 12 + 1 AS VARCHAR), 2, '0') || '01000000' END AS captured_ts
-                FROM documents WHERE doc_id < 500
+                FROM sfx
             ),
             refreshed AS (
                 SELECT *,

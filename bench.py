@@ -341,7 +341,30 @@ def main() -> None:
         report = run_scaling()
         print(json.dumps(report, indent=2))
         return
-    print(json.dumps(run_single()))
+    full = run_single()
+    # The driver records only the TAIL of stdout; round 6's 74-entry queries
+    # dict outgrew that window and the record was lost (BENCH_r06.json
+    # "parsed": null).  Emit a COMPACT final line -- headline metric plus the
+    # top-10 slowest queries -- and write the complete per-query dict to
+    # BENCH/last_run.json for the judge.
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "last_run.json"), "w") as fh:
+        json.dump(full, fh, indent=2, sort_keys=True)
+    top10 = dict(
+        sorted(full["queries"].items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "sf": full["sf"],
+        "cpus": full["cpus"],
+        "n_queries": len(full["queries"]),
+        "extract_docs_per_sec": full["extract_docs_per_sec"],
+        "queries": top10,
+        "full_record": "BENCH/last_run.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

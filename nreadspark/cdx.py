@@ -254,8 +254,9 @@ def cdx_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
 def plan_fetches(
     cdx_df: DataFrame,
     urlkey_prefixes: list[str],
-    statuses: tuple[int, ...] = (200,),
+    statuses: tuple[int, ...] | None = (200,),
     latest_only: bool = True,
+    include_null_status: bool = False,
 ) -> DataFrame:
     """Select captures by SURT prefix and emit the fetch plan:
     (urlkey, timestamp, url, filename, offset, length).
@@ -266,10 +267,20 @@ def plan_fetches(
     exists for, and they push down to the index scan.  ``latest_only``
     keeps the newest capture per urlkey (max timestamp, offset as the
     deterministic tiebreak) via ONE max_by aggregation over the selected
-    slice -- the full index never shuffles."""
+    slice -- the full index never shuffles.
+
+    Status semantics: some CDXJ emitters omit ``status`` on well-formed
+    records; ``isin`` evaluates to NULL there and the filter would drop
+    them SILENTLY.  Default stays strict (missing status excluded --
+    conservative for a fetch plan that expects HTTP 200 payloads), but
+    ``include_null_status=True`` keeps those rows, and ``statuses=None``
+    (or ``()``) disables status filtering entirely."""
     sel = cdx_df.filter(~F.col("cdx_error"))
     if statuses:
-        sel = sel.filter(F.col("status").isin(*statuses))
+        cond = F.col("status").isin(*statuses)
+        if include_null_status:
+            cond = cond | F.col("status").isNull()
+        sel = sel.filter(cond)
     prefix_match = None
     for p in urlkey_prefixes:
         cond = F.col("urlkey").startswith(p)
@@ -412,16 +423,23 @@ def warc_records_from_ranges(
                 pa.field("error", pa.string()),
             ]
         )
+        # try/finally, not a trailing close: if Spark abandons the iterator
+        # early (limit/take, task kill, downstream error) the generator gets
+        # GeneratorExit instead of running to completion, and the open file
+        # handle would otherwise leak until GC -- pinning the WARC file on
+        # some filesystems.
         buf = []
-        for r in rows():
-            buf.append(r)
-            if len(buf) >= 256:
+        try:
+            for r in rows():
+                buf.append(r)
+                if len(buf) >= 256:
+                    yield pa.RecordBatch.from_pylist(buf, schema=arrow_schema)
+                    buf = []
+            if buf:
                 yield pa.RecordBatch.from_pylist(buf, schema=arrow_schema)
-                buf = []
-        if buf:
-            yield pa.RecordBatch.from_pylist(buf, schema=arrow_schema)
-        if fh is not None:
-            fh.close()
+        finally:
+            if fh is not None:
+                fh.close()
 
     return plans.mapInArrow(batches, _RANGE_SCHEMA)
 

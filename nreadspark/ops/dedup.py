@@ -1608,6 +1608,15 @@ def dedup_against_reference_bloom(
         reference.select(
             _normalized_fingerprint(ref_text_col or text_col).alias("__fp")
         )
+        # NULL reference texts fingerprint to NULL; the exact twin tolerates
+        # them via join semantics (NULL never equi-joins), but here a NULL
+        # __fp would flow through h1h2/explode into a (__word=NULL,
+        # __bits=NULL) group and crash the driver-side bitset gather
+        # (bitset[None] = None).  Drop BEFORE the count so the bitset is
+        # sized on real keys only.  Corpus-side NULLs stay safe on either
+        # branch: a NULL probe set can only send the row to the exact join,
+        # where NULL __fp matches nothing -> in_reference=False.
+        .filter(F.col("__fp").isNotNull())
         .distinct()
         .withColumn("__in_ref", F.lit(True))
     )

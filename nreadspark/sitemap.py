@@ -24,6 +24,8 @@ Sibling of ``nreadspark/cdx.py`` (capture side) and ``ops/robots.py``
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # one <url>/<sitemap> block per array element; (?s) so blocks span lines
@@ -31,6 +33,96 @@ _URL_BLOCK = r"(?s)<url>(.*?)</url>"
 _SITEMAP_BLOCK = r"(?s)<sitemap>(.*?)</sitemap>"
 _LOC = r"(?s)<loc>\s*(.*?)\s*</loc>"
 _LASTMOD = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
+
+# every decodable reference in ONE alternation, matched in ONE pass --
+# single-pass decode means '&amp;lt;' correctly yields the literal '&lt;'
+# (a chained replace that decoded '&amp;' first would double-decode it).
+# Numeric bounds: 0x10FFFF is 6 hex / 7 decimal digits; longer digit runs
+# (or out-of-range values) keep their literal text, like browsers do.
+_ENTITY_RE = r"&(#(?:x[0-9a-fA-F]+|[0-9]+)|amp|lt|gt|quot|apos);"
+
+
+def xml_unescape_col(col: Column) -> Column:
+    """Decode the five predefined XML entities plus numeric character
+    references (decimal + hex) -- JVM-only, single pass, zero Python.
+
+    sitemaps.org REQUIRES '&' inside ``<loc>`` to be escaped as
+    ``&amp;``, so any URL with a multi-param query arrives as
+    ``...?a=1&amp;b=2``; without decoding, the SURT urlkey built from it
+    could never match the CDX urlkey built from the real capture URL and
+    :func:`plan_refresh` would misclassify those URLs as 'new' forever
+    (perpetual refetch).
+
+    Shape: split the string on the entity pattern (Java split drops the
+    capture group, keeping the between-text segments),
+    ``regexp_extract_all`` the matched tokens, ``transform`` each token
+    to its character, ``zip_with`` the two arrays back together.
+    Numeric references decode via ``decode(unhex(...), 'UTF-16BE')`` --
+    BMP codepoints directly, astral planes through the surrogate pair
+    (Spark's ``chr`` is ASCII-only; UTF-32 is not a supported decode
+    charset in this build).  Invalid codepoints (0, lone surrogates,
+    > 0x10FFFF) keep their literal ``&#...;`` text.  The guarded CASE
+    keeps ANSI ``decode`` from ever seeing malformed bytes."""
+    parts = F.split(col, _ENTITY_RE, -1)
+    toks = F.regexp_extract_all(col, F.lit(_ENTITY_RE), F.lit(1))
+
+    def decode_tok(tok: Column) -> Column:
+        code = (
+            F.when(
+                tok.rlike(r"^#x[0-9a-fA-F]{1,6}$"),
+                F.conv(F.substring(tok, 3, 6), 16, 10).cast("long"),
+            )
+            .when(tok.rlike(r"^#[0-9]{1,7}$"), F.substring(tok, 2, 7).cast("long"))
+            .otherwise(F.lit(None).cast("long"))
+        )
+        valid_bmp = (
+            (code >= 1)
+            & (code <= 0xFFFF)
+            & ~((code >= 0xD800) & (code <= 0xDFFF))
+        )
+        valid_astral = (code >= 0x10000) & (code <= 0x10FFFF)
+        hi = F.lit(0xD800) + F.shiftright(code - F.lit(0x10000), 10)
+        lo = F.lit(0xDC00) + (code - F.lit(0x10000)).bitwiseAND(F.lit(0x3FF))
+        return (
+            F.when(tok == "amp", F.lit("&"))
+            .when(tok == "lt", F.lit("<"))
+            .when(tok == "gt", F.lit(">"))
+            .when(tok == "quot", F.lit('"'))
+            .when(tok == "apos", F.lit("'"))
+            .when(
+                valid_bmp,
+                F.decode(F.unhex(F.lpad(F.hex(code), 4, "0")), "UTF-16BE"),
+            )
+            .when(
+                valid_astral,
+                F.decode(
+                    F.unhex(
+                        F.concat(
+                            F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0")
+                        )
+                    ),
+                    "UTF-16BE",
+                ),
+            )
+            .otherwise(F.concat(F.lit("&"), tok, F.lit(";")))
+        )
+
+    tail = F.zip_with(
+        F.transform(toks, decode_tok),
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+        lambda ch, p: F.concat(ch, p),
+    )
+    decoded = F.concat(F.element_at(parts, 1), F.array_join(tail, ""))
+    # NOTE: construction of this tree costs ~0.2 s of driver-side py4j
+    # round-trips; per-NAME reuse is memoized in _xml_unescape_cached
+    # (Column objects are immutable unresolved expressions, safely
+    # shareable across DataFrames and sessions in one JVM).
+    # fast-path guard: a string with no '&' cannot contain a reference, and
+    # in real sitemaps that is the overwhelming majority of locs -- the
+    # big decode tree (split + extract_all + per-token CASE) measures ~2 ms
+    # per ROW evaluated, vs ~nothing for contains().  NULL falls through to
+    # the decode branch, which propagates NULL correctly.
+    return F.when(~col.contains("&"), col).otherwise(decoded)
 
 
 def sitemap_entries(
@@ -40,28 +132,55 @@ def sitemap_entries(
     ``kind='url'`` for page entries (``<urlset>``), ``kind='sitemap'``
     for child sitemaps (``<sitemapindex>`` -- feed those back through the
     fetch tier for one level of recursion per pass).  One
-    ``regexp_extract_all`` per block type + posexplode, zero Python,
+    ``regexp_extract_all`` per block type, ONE explode, zero Python,
     zero shuffle; a block without ``<loc>`` keeps a NULL loc for the
-    caller to drop or count."""
+    caller to drop or count.
+
+    Plan shape: both block types ride one explode (arrays concatenated
+    with the kind tag attached), and the entity decode + nullif are
+    STAGED behind projection boundaries, so the large
+    :func:`xml_unescape_col` tree appears exactly twice (loc, lastmod)
+    in the plan -- the earlier union-of-blocks/nullif-inline form held 8
+    copies and spent ~1 s of DRIVER time per build in the analyzer."""
     xml = F.col(xml_col)
+    both = F.concat(
+        F.transform(
+            F.regexp_extract_all(xml, F.lit(_URL_BLOCK), F.lit(1)),
+            lambda b: F.struct(F.lit("url").alias("kind"), b.alias("block")),
+        ),
+        F.transform(
+            F.regexp_extract_all(xml, F.lit(_SITEMAP_BLOCK), F.lit(1)),
+            lambda b: F.struct(F.lit("sitemap").alias("kind"), b.alias("block")),
+        ),
+    )
+    exploded = df.select(F.col(id_col), F.explode(both).alias("__e"))
+    raw = exploded.select(
+        id_col,
+        F.col("__e.kind").alias("kind"),
+        F.regexp_extract("__e.block", _LOC, 1).alias("__loc0"),
+        F.regexp_extract("__e.block", _LASTMOD, 1).alias("__lm0"),
+    )
+    # entity-decode BEFORE nullif: the spec escapes '&' inside <loc>, and
+    # an undecoded loc would SURT to a key that never matches the capture
+    # index (perpetual-refetch bug).  nullif(x, '') references x twice, so
+    # it lives in its own projection over the already-decoded column.
+    dec = raw.select(
+        id_col,
+        "kind",
+        _xml_unescape_cached("__loc0").alias("__loc1"),
+        _xml_unescape_cached("__lm0").alias("__lm1"),
+    )
+    return dec.select(
+        id_col,
+        "kind",
+        F.nullif(F.col("__loc1"), F.lit("")).alias("loc"),
+        F.nullif(F.col("__lm1"), F.lit("")).alias("lastmod"),
+    )
 
-    def blocks(pattern: str, kind: str) -> DataFrame:
-        exploded = df.select(
-            F.col(id_col),
-            F.explode(F.regexp_extract_all(xml, F.lit(pattern), F.lit(1))).alias(
-                "__block"
-            ),
-        )
-        return exploded.select(
-            id_col,
-            F.lit(kind).alias("kind"),
-            F.nullif(F.regexp_extract("__block", _LOC, 1), F.lit("")).alias("loc"),
-            F.nullif(F.regexp_extract("__block", _LASTMOD, 1), F.lit("")).alias(
-                "lastmod"
-            ),
-        )
 
-    return blocks(_URL_BLOCK, "url").unionByName(blocks(_SITEMAP_BLOCK, "sitemap"))
+@functools.lru_cache(maxsize=32)
+def _xml_unescape_cached(colname: str) -> Column:
+    return xml_unescape_col(F.col(colname))
 
 
 def lastmod_ts_col(lastmod) -> Column:
@@ -125,13 +244,21 @@ def plan_refresh(
     return out.filter(F.col("reason").isin(*keep))
 
 
+def xml_escape(s: str) -> str:
+    """The writer-side twin of :func:`xml_unescape_col` (spec-required
+    escaping for ``<loc>`` content): '&' FIRST so the other replacements
+    never double-escape."""
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
 def build_sitemap_xml(entries: list[tuple[str, str | None]]) -> str:
     """Deterministic ``<urlset>`` document for tests/oracles:
-    ``[(loc, lastmod|None), ...]``."""
+    ``[(loc, lastmod|None), ...]``.  loc values are spec-escaped, so a
+    parse round-trip returns the input verbatim."""
     rows = []
     for loc, lastmod in entries:
         lm = f"<lastmod>{lastmod}</lastmod>" if lastmod else ""
-        rows.append(f"<url><loc>{loc}</loc>{lm}</url>")
+        rows.append(f"<url><loc>{xml_escape(loc)}</loc>{lm}</url>")
     return (
         '<?xml version="1.0" encoding="UTF-8"?>\n'
         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'

@@ -296,3 +296,25 @@ def test_plan_fetches_status_filter_and_all_captures(spark):
     assert len(latest) == 1 and latest[0]["timestamp"] == "20260301000000"
     everything = plan_fetches(cdx, ["com,a)"], statuses=(), latest_only=False)
     assert everything.count() == 3
+
+
+def test_plan_fetches_null_status_opt_in(spark):
+    """Some CDXJ emitters omit 'status' on well-formed records; the
+    default stays strict, include_null_status=True keeps those rows."""
+    import json
+    from pyspark.sql import Row
+    from nreadspark.cdx import cdx_lines, plan_fetches
+
+    no_status = "com,a)/q 20260101000000 " + json.dumps(
+        {"url": "http://a.com/q", "filename": "w", "offset": 0, "length": 9}
+    )
+    lines = [
+        build_cdxj_line("com,a)/p", "20260101000000", "http://a.com/p", "w", 0, 9),
+        no_status,
+    ]
+    cdx = cdx_lines(spark.createDataFrame([Row(line=l) for l in lines]))
+    assert cdx.filter("cdx_error").count() == 0  # well-formed, just no status
+    strict = plan_fetches(cdx, ["com,a)"])
+    assert {r["urlkey"] for r in strict.collect()} == {"com,a)/p"}
+    lenient = plan_fetches(cdx, ["com,a)"], include_null_status=True)
+    assert {r["urlkey"] for r in lenient.collect()} == {"com,a)/p", "com,a)/q"}

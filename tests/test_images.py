@@ -257,3 +257,44 @@ def test_bloom_dedup_matches_exact(spark):
         corpus, reference.filter(F.lit(False))
     ).collect()
     assert len(empty) == 400 and not any(r["in_reference"] for r in empty)
+
+
+def test_bloom_dedup_tolerates_null_texts(spark):
+    """NULL texts on either side must not break the exact-twin contract:
+    a NULL reference fingerprint used to flow into the bitset gather as
+    (__word=NULL, __bits=NULL) and crash the driver (bitset[None]=None);
+    corpus-side NULLs must come back in_reference=False, same as the
+    exact join's NULL semantics."""
+    from pyspark.sql import functions as F
+    from nreadspark.ops.dedup import (
+        dedup_against_reference,
+        dedup_against_reference_bloom,
+    )
+
+    corpus = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 7, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("body "), (F.col("id") % 20).cast("string")))
+        .alias("text"),
+    )
+    reference = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 1, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("body "), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    exact = {
+        r["doc_id"]: r["in_reference"]
+        for r in dedup_against_reference(corpus, reference).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["in_reference"]
+        for r in dedup_against_reference_bloom(corpus, reference).collect()
+    }
+    assert bloom == exact
+    assert not bloom[7] and not bloom[17]  # NULL corpus texts -> False
+    # all-NULL reference degrades to the empty-reference short-circuit
+    all_null = dedup_against_reference_bloom(
+        corpus, reference.select("doc_id", F.lit(None).cast("string").alias("text"))
+    ).collect()
+    assert len(all_null) == 50 and not any(r["in_reference"] for r in all_null)

@@ -127,3 +127,48 @@ def test_plan_refresh_keeps_newest_duplicate_claim(spark):
     got = plan_refresh(ents, caps).collect()
     assert len(got) == 1 and got[0]["reason"] == "modified"
     assert got[0]["lastmod_ts"] == "20260701000000"
+
+
+def test_xml_entity_decode_in_loc_and_lastmod(spark):
+    """sitemaps.org REQUIRES '&'->'&amp;' inside <loc>; the parser must
+    decode the five predefined entities AND numeric character references
+    (decimal + hex, BMP + astral), single-pass ('&amp;lt;' -> literal
+    '&lt;'), with invalid codepoints kept literal."""
+    from pyspark.sql import Row
+    from nreadspark.sitemap import sitemap_entries
+
+    cases = {
+        "http://a.com/q?a=1&amp;b=2": "http://a.com/q?a=1&b=2",
+        "http://a.com/&lt;x&gt;&quot;&apos;": "http://a.com/<x>\"'",
+        "http://a.com/&#47;&#x2F;end": "http://a.com///end",
+        "http://a.com/&amp;lt;": "http://a.com/&lt;",  # no double decode
+        "http://a.com/&#128169;": "http://a.com/\U0001f4a9",  # astral
+        "http://a.com/&#0;&#xD800;&#1114112;&#99999999;": (
+            "http://a.com/&#0;&#xD800;&#1114112;&#99999999;"  # invalid kept
+        ),
+        "http://a.com/&amp": "http://a.com/&amp",  # unterminated: literal
+        "http://a.com/plain": "http://a.com/plain",
+    }
+    xml = "<urlset>" + "".join(
+        f"<url><loc>{esc}</loc><lastmod>2026&#45;08&#45;01</lastmod></url>"
+        for esc in cases
+    ) + "</urlset>"
+    rows = sitemap_entries(
+        spark.createDataFrame([Row(sitemap_url="s", xml=xml)])
+    ).collect()
+    got = {r["loc"]: r["lastmod"] for r in rows}
+    assert set(got) == set(cases.values())
+    assert all(lm == "2026-08-01" for lm in got.values())  # lastmod decoded too
+
+
+def test_build_sitemap_xml_round_trips_escaped_locs(spark):
+    from pyspark.sql import Row
+    from nreadspark.sitemap import build_sitemap_xml, sitemap_entries
+
+    locs = ["http://a.com/q?a=1&b=2&c=<3>", "http://a.com/plain"]
+    xml = build_sitemap_xml([(l, "2026-08-01") for l in locs])
+    assert "&amp;" in xml and "&lt;" in xml and "?a=1&b" not in xml
+    rows = sitemap_entries(
+        spark.createDataFrame([Row(sitemap_url="s", xml=xml)])
+    ).collect()
+    assert sorted(r["loc"] for r in rows) == sorted(locs)
