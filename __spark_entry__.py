@@ -1711,7 +1711,15 @@ def _q_dedup_image_survivors(spark, sf_dir):
     )
 
     docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    hdf = image_hashes(synthesize_png_corpus(docs.select("doc_id")))
+    # eager localCheckpoint: hdf feeds BOTH the pair join and the node set;
+    # without it the node-set branch re-runs the synth + PNG decode (two
+    # mapInPandas crossings -- measured as ~half this query's cost, the
+    # most expensive in the battery).  connected_components checkpoints
+    # the PAIRS, not this frame.  In production the hash table is a
+    # materialized parquet artifact and this is a plain read.
+    hdf = image_hashes(synthesize_png_corpus(docs.select("doc_id"))).localCheckpoint(
+        eager=True
+    )
     pairs = near_dup_image_pairs(hdf, max_hamming=3)
     return keep_canonical(
         hdf.select("media_ref"), pairs,
@@ -1744,6 +1752,28 @@ def _q_multimodal_afp(spark, sf_dir):
 
     docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     media = synthesize_wav_corpus(docs.select("doc_id"))
+    return audio_fingerprints(media).select(
+        "media_ref",
+        "n_samples",
+        "sample_rate",
+        "ehash_hi",
+        "ehash_lo",
+        "ghash_hi",
+        "ghash_lo",
+        "decoder",
+    )
+
+
+def _q_multimodal_afp16(spark, sf_dir):
+    """16-bit PCM audio fingerprints (r7): the dominant real-world WAV
+    layout (VERDICT r6 #3).  Same generative formula upscaled to the
+    signed 16-bit range (v*257 - 32768); the oracle recomputes the
+    energy-window hashes from abs(v*257 - 32768) alone -- the
+    struct-unpack decode path is verified against ground truth."""
+    from nreadspark.ops.audio import audio_fingerprints, synthesize_wav_corpus
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = synthesize_wav_corpus(docs.select("doc_id"), bits=16)
     return audio_fingerprints(media).select(
         "media_ref",
         "n_samples",
@@ -2223,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # audio fingerprint tier (r6): WAV PCM8 energy-window hashes +
         # near-dup pairs through the shared banded-hamming join
         "multimodal_afp": _q_multimodal_afp,
+        "multimodal_afp16": _q_multimodal_afp16,
         "dedup_audio_afp": _q_dedup_audio_afp,
         # CDX index tier (r6): SURT sort keys + index-driven fetch planning
         "url_surt": _q_url_surt,
@@ -4012,6 +4043,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 1000 END AS INT) AS sample_rate,
                    h.ehash_hi, h.ehash_lo, h.ghash_hi, h.ghash_lo,
                    CASE WHEN h.doc_id IS NULL THEN 'undecodable' ELSE 'pcm8' END AS decoder
+            FROM d LEFT JOIN hashes h ON h.doc_id = d.doc_id
+        """,
+        # 16-bit PCM fingerprints (r7): identical window math over
+        # abs(v*257 - 32768) energies (signed 16-bit midpoint is 0)
+        "multimodal_afp16": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            s AS (
+                SELECT g.doc_id, t.t AS t,
+                       abs((((37*(g.doc_id % 97) + 13*t.t + (t.t*t.t) % 251) % 256) * 257) - 32768) AS energy
+                FROM (SELECT doc_id FROM d WHERE doc_id % 101 <> 7) g,
+                     generate_series(0, 2047) AS t(t)
+            ),
+            w AS (
+                SELECT doc_id, (t*64)//2048 AS j, SUM(energy) AS s, COUNT(*) AS c
+                FROM s GROUP BY 1, 2
+            ),
+            tot AS (SELECT doc_id, SUM(s) AS t, SUM(c) AS n FROM w GROUP BY doc_id),
+            nb AS (
+                SELECT w.doc_id, w.j, w.s, w.c, w2.s AS ns, w2.c AS nc
+                FROM w JOIN w w2 ON w2.doc_id = w.doc_id AND w2.j = (w.j+1)%64
+            ),
+            hashes AS (
+                SELECT nb.doc_id,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.s * tot.n > tot.t * nb.c
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ehash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.s * tot.n > tot.t * nb.c
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ehash_lo,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.s * nb.nc > nb.ns * nb.c
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ghash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.s * nb.nc > nb.ns * nb.c
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ghash_lo
+                FROM nb JOIN tot ON tot.doc_id = nb.doc_id
+                GROUP BY nb.doc_id
+            )
+            SELECT 'aud://' || CAST(d.doc_id AS VARCHAR) AS media_ref,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 2048 END AS BIGINT) AS n_samples,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 1000 END AS INT) AS sample_rate,
+                   h.ehash_hi, h.ehash_lo, h.ghash_hi, h.ghash_lo,
+                   CASE WHEN h.doc_id IS NULL THEN 'undecodable' ELSE 'pcm16' END AS decoder
             FROM d LEFT JOIN hashes h ON h.doc_id = d.doc_id
         """,
         # audio near-dup pairs (r6): quadratic oracle join over the same

@@ -197,6 +197,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "crawl_refresh",
         "crawl_plan",
         "multimodal_afp",
+        "multimodal_afp16",
         "dedup_audio_afp",
         "e1_title_rules",
         "f5_f6_regex_rewrite",

@@ -65,11 +65,13 @@ AFP_SCHEMA = StructType(
 )
 
 
-def wav_pcm8_samples(raw: bytes):
-    """(sample_rate, samples: bytes) from a RIFF/WAVE payload holding
-    8-bit mono PCM.  Word-aligned chunk walk (same conventions as
+def wav_pcm_samples(raw: bytes):
+    """(sample_rate, bits, data: bytes) from a RIFF/WAVE payload holding
+    8- or 16-bit mono PCM -- the two layouts that cover nearly all real
+    PCM WAV files.  Word-aligned chunk walk (same conventions as
     ``ops.multimodal.parse_wav_header``); ``ValueError`` for anything
-    that is not complete PCM8 mono -- the caller's containment tier."""
+    else (stereo, float, ADPCM, MP3-in-WAV, truncated chunks) -- the
+    caller's containment tier."""
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     i = 12
@@ -92,42 +94,70 @@ def wav_pcm8_samples(raw: bytes):
         raise ValueError("short fmt chunk")
     audio_fmt, channels, rate = struct.unpack("<HHI", fmt[:8])
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_fmt != 1 or channels != 1 or bits != 8:
+    if audio_fmt != 1 or channels != 1 or bits not in (8, 16):
         raise ValueError(f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})")
+    if bits == 16 and len(data) % 2:
+        raise ValueError("odd data length for 16-bit PCM")
+    return rate, bits, data
+
+
+def wav_pcm8_samples(raw: bytes):
+    """(sample_rate, samples: bytes) -- the original 8-bit-only entry
+    point, kept for callers that specifically want PCM8 semantics."""
+    rate, bits, data = wav_pcm_samples(raw)
+    if bits != 8:
+        raise ValueError(f"unsupported WAV (bits={bits})")
     return rate, data
 
 
-def _window_sums(samples) -> tuple[list[int], list[int]]:
-    """(sums, counts) of per-sample energy |s - 128| over the N_WINDOWS
+def pcm_energies(data: bytes, bits: int = 8) -> list[int]:
+    """Per-sample ENERGY: |s - midpoint|.  8-bit PCM is unsigned with
+    midpoint 128; 16-bit PCM is little-endian SIGNED with midpoint 0 --
+    the same physical quantity, so both depths feed the identical
+    64-window integer hash math (a clip re-encoded 8->16 bit lands
+    within a few bits, which is the whole point of the fingerprint)."""
+    if bits == 8:
+        return [s - 128 if s >= 128 else 128 - s for s in data]
+    vals = struct.unpack("<%dh" % (len(data) // 2), data)
+    return [v if v >= 0 else -v for v in vals]
+
+
+def _window_sums(energies) -> tuple[list[int], list[int]]:
+    """(sums, counts) of per-sample energy over the N_WINDOWS
     floor-mapped time windows -- the 1-D twin of the image block sums."""
-    n = len(samples)
+    n = len(energies)
     sums = [0] * N_WINDOWS
     counts = [0] * N_WINDOWS
-    for t, s in enumerate(samples):
+    for t, e in enumerate(energies):
         j = t * N_WINDOWS // n
-        sums[j] += s - 128 if s >= 128 else 128 - s
+        sums[j] += e
         counts[j] += 1
     return sums, counts
 
 
-def ehash64(samples) -> tuple[int, int]:
+def ehash64(samples, bits: int = 8) -> tuple[int, int]:
     """Energy hash: bit j = window-j mean energy > global mean energy,
-    cross-multiplied (``S_j * n > T * C_j``) -- integer-exact."""
-    sums, counts = _window_sums(samples)
-    total, n = sum(sums), len(samples)
-    bits = [1 if sums[j] * n > total * counts[j] else 0 for j in range(N_WINDOWS)]
-    return _pack(bits)
+    cross-multiplied (``S_j * n > T * C_j``) -- integer-exact.
+    ``samples`` is the raw PCM byte stream at the given depth.
+    Overflow headroom: max energy 32768 x 2^20-sample cap x 2^20 rows
+    of cross-multiply ~ 2^55 < int64."""
+    sums, counts = _window_sums(pcm_energies(bytes(samples), bits))
+    total, n = sum(sums), sum(counts)
+    bits_out = [
+        1 if sums[j] * n > total * counts[j] else 0 for j in range(N_WINDOWS)
+    ]
+    return _pack(bits_out)
 
 
-def ghash64(samples) -> tuple[int, int]:
+def ghash64(samples, bits: int = 8) -> tuple[int, int]:
     """Gradient hash: bit j = window-j mean energy > next window's
     (wrapping), cross-multiplied."""
-    sums, counts = _window_sums(samples)
-    bits = []
+    sums, counts = _window_sums(pcm_energies(bytes(samples), bits))
+    bits_out = []
     for j in range(N_WINDOWS):
         nj = (j + 1) % N_WINDOWS
-        bits.append(1 if sums[j] * counts[nj] > sums[nj] * counts[j] else 0)
-    return _pack(bits)
+        bits_out.append(1 if sums[j] * counts[nj] > sums[nj] * counts[j] else 0)
+    return _pack(bits_out)
 
 
 def audio_fingerprints(
@@ -138,8 +168,8 @@ def audio_fingerprints(
 ) -> DataFrame:
     """(media_ref, n_samples, sample_rate, ehash_hi/lo, ghash_hi/lo,
     decoder): fingerprints per WAV payload, ONE Arrow crossing, zero
-    shuffles.  Tags: ``pcm8`` on success, ``too-short`` under 64
-    samples, ``capped`` past ``max_decode_samples`` (~1M samples = 17
+    shuffles.  Tags: ``pcm8``/``pcm16`` on success, ``too-short`` under
+    64 samples, ``capped`` past ``max_decode_samples`` (~1M samples = 17
     minutes of phone-quality mono; production swaps in a native
     decoder), ``undecodable`` otherwise -- NULL hashes, never failures."""
 
@@ -163,15 +193,15 @@ def audio_fingerprints(
                 hashes = None
                 decoder = "undecodable"
                 try:
-                    rate, data = wav_pcm8_samples(raw)
-                    n = len(data)
+                    rate, bits, data = wav_pcm_samples(raw)
+                    n = len(data) // (bits // 8)
                     if n < N_WINDOWS:
                         decoder = "too-short"
                     elif max_decode_samples is not None and n > max_decode_samples:
                         decoder = "capped"
                     else:
-                        hashes = ehash64(data) + ghash64(data)
-                        decoder = "pcm8"
+                        hashes = ehash64(data, bits) + ghash64(data, bits)
+                        decoder = f"pcm{bits}"
                 except ValueError:
                     n = rate = None
                 out["n_samples"].append(n)
@@ -192,9 +222,20 @@ def audio_fingerprints(
 
 def encode_pcm8_wav(samples: bytes, rate: int = 1000) -> bytes:
     """Minimal VALID RIFF/WAVE encoder: PCM 8-bit mono."""
-    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate, 1, 8)
-    data_len = len(samples)
-    riff_len = 4 + (8 + len(fmt)) + (8 + data_len)
+    return _encode_pcm_wav(bytes(samples), rate, 8)
+
+
+def encode_pcm16_wav(samples, rate: int = 1000) -> bytes:
+    """Minimal VALID RIFF/WAVE encoder: PCM 16-bit mono (little-endian
+    signed ``samples``, the dominant real-world WAV layout)."""
+    data = struct.pack("<%dh" % len(samples), *samples)
+    return _encode_pcm_wav(data, rate, 16)
+
+
+def _encode_pcm_wav(data: bytes, rate: int, bits: int) -> bytes:
+    block = bits // 8
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * block, block, bits)
+    riff_len = 4 + (8 + len(fmt)) + (8 + len(data))
     return (
         b"RIFF"
         + struct.pack("<I", riff_len)
@@ -203,8 +244,8 @@ def encode_pcm8_wav(samples: bytes, rate: int = 1000) -> bytes:
         + struct.pack("<I", len(fmt))
         + fmt
         + b"data"
-        + struct.pack("<I", data_len)
-        + samples
+        + struct.pack("<I", len(data))
+        + data
     )
 
 
@@ -218,13 +259,19 @@ def synthesize_wav_corpus(
     n_samples: int = 2048,
     n_bases: int = 97,
     corrupt_mod: int = 101,
+    bits: int = 8,
 ) -> DataFrame:
-    """(doc_id, media_ref, payload): deterministic PCM8 WAVs,
+    """(doc_id, media_ref, payload): deterministic PCM WAVs,
     ``sample(t) = (37*(doc_id % n_bases) + 13t + t² mod 251) mod 256`` --
     closed form in doc_id so a SQL oracle recomputes the exact
-    fingerprints without parsing WAV bytes.  ``doc_id % n_bases``
+    fingerprints without parsing WAV bytes.  ``bits=16`` stretches each
+    8-bit value to the signed range (``v*257 - 32768``, the classic
+    8->16 bit-replication upscale) so the 16-bit oracle is the same
+    formula with ``abs(v*257 - 32768)`` energies.  ``doc_id % n_bases``
     collisions plant exact-duplicate clusters; ``doc_id % corrupt_mod ==
     7`` rows are truncated to exercise containment."""
+    if bits not in (8, 16):
+        raise ValueError("bits must be 8 or 16")
 
     def batches(iterator):
         import pandas as pd
@@ -233,8 +280,11 @@ def synthesize_wav_corpus(
             refs, payloads = [], []
             for doc_id in pdf["doc_id"].tolist():
                 base = int(doc_id) % n_bases
-                samples = bytes(synth_sample(base, t) for t in range(n_samples))
-                raw = encode_pcm8_wav(samples)
+                vals = [synth_sample(base, t) for t in range(n_samples)]
+                if bits == 8:
+                    raw = encode_pcm8_wav(bytes(vals))
+                else:
+                    raw = encode_pcm16_wav([v * 257 - 32768 for v in vals])
                 if int(doc_id) % corrupt_mod == 7:
                     raw = raw[:10]
                 refs.append(f"aud://{doc_id}")

@@ -139,3 +139,75 @@ def test_pair_join_consumes_audio_fingerprints(spark):
     }
     assert pairs[("aud://13", "aud://3")] == 0  # same base 3 (string-ordered)
     assert not any("aud://7" in p for pair in pairs for p in pair)  # corrupt
+
+
+def test_pcm16_decode_and_fingerprint():
+    """16-bit PCM (the dominant real WAV layout): struct-unpacked signed
+    samples, energy |s| (midpoint 0), same 64-window math; containment
+    still rejects stereo/odd-length/24-bit."""
+    import struct
+
+    from nreadspark.ops.audio import (
+        ehash64,
+        encode_pcm16_wav,
+        ghash64,
+        pcm_energies,
+        wav_pcm_samples,
+        wav_pcm8_samples,
+    )
+
+    vals = [((37 * 3 + 13 * t + (t * t) % 251) % 256) * 257 - 32768 for t in range(256)]
+    raw = encode_pcm16_wav(vals, rate=8000)
+    rate, bits, data = wav_pcm_samples(raw)
+    assert (rate, bits) == (8000, 16)
+    assert list(struct.unpack("<256h", data)) == vals
+    assert pcm_energies(data, 16) == [abs(v) for v in vals]
+    # bit-by-bit recompute of the energy hash from the energies
+    energies = [abs(v) for v in vals]
+    sums = [0] * 64
+    counts = [0] * 64
+    for t, e in enumerate(energies):
+        sums[t * 64 // 256] += e
+        counts[t * 64 // 256] += 1
+    total = sum(sums)
+    expect = [1 if sums[j] * 256 > total * counts[j] else 0 for j in range(64)]
+    hi, lo = ehash64(data, 16)
+    got = [(lo >> j) & 1 for j in range(32)] + [(hi >> j) & 1 for j in range(32)]
+    assert got == expect
+    assert ghash64(data, 16) != (0, 0)
+    # the pcm8-only entry point refuses 16-bit payloads
+    with pytest.raises(ValueError):
+        wav_pcm8_samples(raw)
+    # odd data length for 16-bit is rejected
+    bad = bytearray(raw)
+    bad[-12:-8] = (int.from_bytes(bad[-12:-8], "little") - 1).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        wav_pcm_samples(bytes(bad[:-1]))
+    # 24-bit stays rejected
+    fmt24 = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    wav24 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt24) + 8 + 6) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt24)) + fmt24
+        + b"data" + struct.pack("<I", 6) + bytes(6)
+    )
+    with pytest.raises(ValueError):
+        wav_pcm_samples(wav24)
+
+
+def test_audio_fingerprints_pcm16_tags_and_dup_clusters(spark):
+    """audio_fingerprints over a 16-bit synthetic corpus: decoder='pcm16',
+    same-base doc_ids collide exactly, corrupt rows contained."""
+    from nreadspark.ops.audio import audio_fingerprints, synthesize_wav_corpus
+
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    fdf = audio_fingerprints(
+        synthesize_wav_corpus(docs, n_bases=10, corrupt_mod=29, bits=16)
+    )
+    got = {r["media_ref"]: r for r in fdf.collect()}
+    assert got["aud://7"]["decoder"] == "undecodable"  # 7 % 29 == 7
+    ok = [r for r in got.values() if r["decoder"] == "pcm16"]
+    assert len(ok) == 29
+    assert (got["aud://3"]["ehash_hi"], got["aud://3"]["ehash_lo"]) == (
+        got["aud://13"]["ehash_hi"],
+        got["aud://13"]["ehash_lo"],
+    )
