@@ -43,7 +43,11 @@ LANG_MARKERS = {
     # form would have added four more full-text regex passes)
     "ko": ["이", "그", "을", "는", "하다"],
     "ar": ["في", "من", "على", "أن", "هذا"],
-    "hi": ["है", "और", "की", "में", "यह"],
+    # r7: 'यह' -> 'से' (both top-frequency function words): the suffix of
+    # 'यह' equals the prefix of 'है', so adjacent-match overlap would make
+    # independent per-marker substring counts diverge from the alternation
+    # scan -- _split_scan_safe rejects exactly that shape
+    "hi": ["है", "और", "की", "में", "से"],
     "th": ["ที่", "ใน", "ของ", "และ", "การ"],
 }
 
@@ -234,7 +238,65 @@ def combined_lang_pattern() -> str:
     return "|".join(a for _, a in alts)
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _split_scan_safe() -> bool:
+    """True when the regex-free scoring path (:func:`lang_id`'s default)
+    equals the independent per-language regex scans the generated oracle
+    runs.  Checked conditions:
+
+    * every Latin-script marker is a pure ASCII word token
+      (``[0-9A-Za-z_]+``), distinct within its language, so ``\\b m \\b``
+      matches are EXACTLY the maximal-word-token equalities -- and after
+      rewriting non-word runs to two spaces, exactly the occurrences of
+      the literal ``' m '`` (Java ``\\w``/``\\b`` are ASCII-only without
+      UNICODE_CHARACTER_CLASS);
+    * every non-Latin marker is ASCII-free, so condensing ASCII runs to
+      a single space can neither destroy a match (no marker contains
+      ASCII) nor create one (markers contain no space, and the space
+      blocks adjacency across a removed run);
+    * within each non-Latin language no marker is a SUBSTRING of
+      another (covers duplicates + prefixes) and no nonempty suffix of
+      one marker equals a prefix of another -- then distinct markers'
+      matches can never overlap, every matchable position belongs to
+      exactly one marker, and independent per-marker non-overlapping
+      substring counts (what ``replace``-based counting computes) equal
+      the per-language leftmost alternation's total count.
+
+    Cross-LANGUAGE collisions need no check: the contract (and the
+    oracle) is independent per-language scans, so a marker shared by two
+    languages legitimately scores both.  If a future marker set breaks a
+    condition, :func:`lang_id` falls back to the combined-alternation
+    scan -- correctness never depends on this optimization."""
+    import re as _re
+
+    for lang in _LATIN_LANGS:
+        ms = LANG_MARKERS.get(lang, ())
+        if len(set(ms)) != len(ms):
+            return False
+        for m in ms:
+            if not _re.fullmatch(r"[0-9A-Za-z_]+", m):
+                return False
+    for lang, ms in LANG_MARKERS.items():
+        if lang in _LATIN_LANGS:
+            continue
+        for m in ms:
+            if not m or any(ord(c) < 0x80 for c in m):
+                return False
+        for i, a in enumerate(ms):
+            for j, b in enumerate(ms):
+                if i == j:
+                    continue
+                if a in b:
+                    return False
+                if any(
+                    a[-k:] == b[:k] for k in range(1, min(len(a), len(b)))
+                ):
+                    return False
+    return True
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", carry_cols: tuple = ()
+) -> DataFrame:
     """Lexicon-marker language identification over bare ``(doc_id, text)``:
     count marker hits per language (word-boundary regex for Latin-script
     languages, substring counts for non-Latin -- see :data:`_LATIN_LANGS`),
@@ -243,29 +305,102 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Production signature: needs only the text column -- evaluation against
     a labeled corpus is the separate :func:`lang_id_eval` join.  Pure JVM,
-    no shuffle, and the full text is scanned ONCE: a single combined
-    ``regexp_extract_all`` (validated equivalent by
-    :func:`_single_pass_safe`; per-language scans as fallback) pulls every
-    marker hit, and the per-language scores are array filters over that
-    small match array -- O(text) once + O(hits x langs), instead of
-    O(text x langs) full-text regex passes.  The generated DuckDB oracle
-    deliberately keeps the per-language form, so the equivalence is
-    re-proven on every driver run."""
+    no shuffle, and -- on the default path -- NO scoring regex at all
+    (the r6 lesson: a combined ~70-alternative alternation is a single
+    *pass* but still O(text x branches) inside the Java matcher, and the
+    cost grows with every added language):
+
+    * Latin-script scores: rewrite non-word runs to TWO spaces and pad
+      both ends (one trivial single-char-class scan) -- every maximal
+      word token is then flanked by its own space on each side, so
+      ``\\b m \\b`` matches become exactly the occurrences of the
+      literal ``' m '``, counted with ``replace`` arithmetic
+      ``(len - len(replace(s, ' m ', ''))) / (len(m)+2)``.  The double
+      space is what keeps adjacent marker tokens from sharing a
+      delimiter (each match consumes one space per side).  No token
+      array, no higher-order function (HOF lambdas evaluate interpreted
+      per element -- measured as the dominant cost of the split+filter
+      variant).
+    * Non-Latin scores: condense ASCII runs to a single space (one
+      simple char-class ``regexp_replace`` -- for Latin-script documents,
+      i.e. most of a web corpus, the remainder is near-empty), then
+      count each marker with the same LITERAL ``replace`` arithmetic
+      over the remainder only.
+
+    Both are O(text) literal scans per marker inside whole-stage
+    codegen, independent of marker-set regex complexity.
+
+    Equivalence to the per-language regex scans the generated DuckDB
+    oracle runs is validated by :func:`_split_scan_safe` (combined-
+    alternation scan via :func:`_single_pass_safe`, then per-language
+    scans, as fallbacks), so it is re-proven on every driver run.
+
+    ``carry_cols`` ride through the scoring projections unchanged --
+    :func:`lang_id_eval` uses this to attach the label column without a
+    join (scoring is per-row; a join here was pure shuffle waste)."""
+    carry = list(carry_cols)
     langs = sorted(LANG_MARKERS.keys())
-    # greatest(size, 0): NULL text makes regexp_extract_all NULL and
-    # F.size(NULL) is -1 (legacy sizeOfNull) -- without the clamp a
-    # null-text row would predict the first language with best_score -1
-    # instead of 'und' (and diverge from the SQL twin, whose CASE arms all
-    # go NULL).  The generated oracle applies the same COALESCE(..., 0).
-    if _single_pass_safe():
+    latin = sorted(l for l in langs if l in _LATIN_LANGS)
+    # greatest(size, 0): NULL text makes the arrays NULL and F.size(NULL)
+    # is -1 (legacy sizeOfNull) -- without the clamp a null-text row would
+    # predict the first language with best_score -1 instead of 'und' (and
+    # diverge from the SQL twin, whose CASE arms all go NULL).  The
+    # generated oracle applies the same COALESCE(..., 0).
+    if _split_scan_safe():
+        # the two prepared strings + their lengths, staged in child
+        # projections so the 70 replace counts slice column refs instead
+        # of re-running the regexp_replace per use (multiply-referenced-
+        # expression rule)
+        staged = df.select(
+            "doc_id",
+            *carry,
+            F.concat(
+                F.lit("  "),
+                F.regexp_replace(F.col(text_col), r"[^0-9A-Za-z_]+", "  "),
+                F.lit("  "),
+            ).alias("__lt"),
+            F.regexp_replace(F.col(text_col), r"[\x00-\x7f]+", " ").alias("__na"),
+        ).withColumn("__lt_len", F.length("__lt")).withColumn(
+            "__na_len", F.length("__na")
+        )
+
+        def replace_score(lang):
+            if lang in _LATIN_LANGS:
+                src, slen = "__lt", "__lt_len"
+                needles = [f" {m} " for m in LANG_MARKERS[lang]]
+            else:
+                src, slen = "__na", "__na_len"
+                needles = list(LANG_MARKERS[lang])
+            counts = [
+                (
+                    (
+                        F.col(slen)
+                        - F.length(F.replace(F.col(src), F.lit(n), F.lit("")))
+                    )
+                    / F.lit(len(n))
+                ).cast("long")
+                for n in needles
+            ]
+            total = counts[0]
+            for c in counts[1:]:
+                total = total + c
+            return total
+
+        scored = staged.select(
+            "doc_id",
+            *carry,
+            *[
+                F.coalesce(replace_score(lang), F.lit(0)).alias(f"score_{lang}")
+                for lang in langs
+            ],
+        )
+    elif _single_pass_safe():  # pragma: no cover - shipped set is split-safe
         hits = F.regexp_extract_all(
             F.col(text_col), F.lit(combined_lang_pattern()), 0
         )
-        # materialize the match array in a child projection so the
-        # higher-order filters slice a column ref instead of inlining the
-        # full-text regex per language (the r5 _exploded_grams lesson)
-        scored = df.select("doc_id", hits.alias("__hits")).select(
+        scored = df.select("doc_id", *carry, hits.alias("__hits")).select(
             "doc_id",
+            *carry,
             *[
                 F.greatest(
                     F.size(F.filter(F.col("__hits"), lambda h: h.isin(*LANG_MARKERS[lang]))),
@@ -282,7 +417,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias(f"score_{lang}")
             for lang in langs
         ]
-        scored = df.select("doc_id", *score_cols)
+        scored = df.select("doc_id", *carry, *score_cols)
     # argmax with tie-break on language code order
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     predicted = F.when(best == 0, F.lit("und")).otherwise(
@@ -292,6 +427,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return scored.select(
         "doc_id",
+        *carry,
         predicted.alias("predicted_lang"),
         best.cast("bigint").alias("best_score"),
     )
@@ -304,10 +440,11 @@ def lang_id_eval(
     to a labeled corpus's ``actual_col``.  Output:
     ``(doc_id, actual_lang, predicted_lang, best_score)`` -- the shape the
     driver oracle checks and accuracy reports aggregate over."""
-    preds = lang_id(df, text_col)
-    return df.select("doc_id", F.col(actual_col).alias("actual_lang")).join(
-        preds, "doc_id"
-    ).select("doc_id", "actual_lang", "predicted_lang", "best_score")
+    return lang_id(
+        df.select("doc_id", F.col(actual_col).alias("actual_lang"), text_col),
+        text_col,
+        carry_cols=("actual_lang",),
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

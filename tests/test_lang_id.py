@@ -262,3 +262,67 @@ def test_single_pass_validator_rejects_unsafe_sets(monkeypatch):
     meta = {**base, "en": base["en"][:-1] + ["a.b"]}  # regex metachar
     monkeypatch.setattr(T, "LANG_MARKERS", meta)
     assert not T._single_pass_safe()
+
+
+def test_split_scan_path_equals_per_language_regex(spark):
+    """The regex-free scoring path (token-split Latin + literal-replace
+    non-Latin) must equal independent per-language regexp scans -- the
+    exact semantics the generated DuckDB oracle runs -- on adversarial
+    inputs: markers inside longer words, punctuation/digit adjacency,
+    mixed scripts in one document, empty and NULL text."""
+    from pyspark.sql import Row, functions as F
+    from nreadspark.ops.textstats import (
+        LANG_MARKERS,
+        _split_scan_safe,
+        lang_id,
+        lang_pattern,
+    )
+
+    assert _split_scan_safe()  # the shipped marker set must stay on it
+    texts = [
+        "the theatre of android bandand the-of.and,fast_slow fast9 _the the",
+        "el los losuna pero, como-el una.pero elche",
+        "und der derdie nicht9 ist_die die der und und",
+        "и не чточто этокак какэто не иис",
+        "的是了在我 的的的 是了 在我的x是",
+        "のはをですしたのしたです。はを のです",
+        "mixed: the und el и 的 の です fast ist niet zijn",
+        "ที่ในของและการ และ ที่ การx",
+        "في من على أن هذا في-من",
+        "no markers here at all: zzz qqq 123",
+        "",
+        None,
+        "the" * 50 + " the and " + "的" * 30,
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r["doc_id"]: (r["predicted_lang"], r["best_score"])
+        for r in lang_id(df).collect()
+    }
+    # reference: independent per-language regex scans (the oracle form)
+    langs = sorted(LANG_MARKERS.keys())
+    ref_scored = df.select(
+        "doc_id",
+        *[
+            F.greatest(
+                F.size(
+                    F.regexp_extract_all(F.col("text"), F.lit(lang_pattern(l)), 0)
+                ),
+                F.lit(0),
+            ).alias(f"score_{l}")
+            for l in langs
+        ],
+    )
+    for r in ref_scored.collect():
+        best = max(r[f"score_{l}"] for l in langs)
+        pred = "und" if best == 0 else next(
+            l for l in langs if r[f"score_{l}"] == best
+        )
+        assert got[r["doc_id"]] == (pred, best), (
+            r["doc_id"],
+            texts[r["doc_id"]],
+            got[r["doc_id"]],
+            (pred, best),
+        )
