@@ -1677,6 +1677,32 @@ def _q_multimodal_phash(spark, sf_dir):
     )
 
 
+def _q_multimodal_phash_jpeg(spark, sf_dir):
+    """Baseline-JPEG perceptual hashes (r7, VERDICT r6 #2): the Spark
+    side ENCODES real baseline JPEGs (Annex K Huffman tables, 4:2:0
+    color on odd ids) whose 8x8 blocks are constant, DECODES them
+    through the vendored T.81 decoder (ops/jpeg.py), and hashes; the
+    oracle recomputes the hashes from the 64 closed-form block values
+    alone (DC-only blocks decode EXACTLY under any compliant IDCT, so
+    the contract is decoder-independent).  %101==7 rows are truncated
+    (undecodable); %89==11 rows are a progressive SOF2 stub exercising
+    the header:jpeg counted-not-dropped tier."""
+    from nreadspark.ops.images import image_hashes, synthesize_jpeg_corpus
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = synthesize_jpeg_corpus(docs.select("doc_id"))
+    return image_hashes(media).select(
+        "media_ref",
+        "width",
+        "height",
+        "ahash_hi",
+        "ahash_lo",
+        "ghash_hi",
+        "ghash_lo",
+        "decoder",
+    )
+
+
 def _q_dedup_image_phash(spark, sf_dir):
     """Image near-duplicate pairs (r6) within hamming<=3 on the average
     hash: banded 4x16-bit self-join (pigeonhole-exact at <=3 bits) +
@@ -2248,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Bloom-prefiltered membership twin
         "multimodal_phash": _q_multimodal_phash,
         "dedup_image_phash": _q_dedup_image_phash,
+        "multimodal_phash_jpeg": _q_multimodal_phash_jpeg,
         "dedup_image_survivors": _q_dedup_image_survivors,
         "dedup_reference_bloom": _q_dedup_reference_bloom,
         # audio fingerprint tier (r6): WAV PCM8 energy-window hashes +
@@ -3904,6 +3931,56 @@ def oracle_sql() -> dict[str, str]:
                    h.ahash_hi, h.ahash_lo, h.ghash_hi, h.ghash_lo,
                    CASE WHEN h.doc_id IS NULL THEN 'undecodable'
                         ELSE 'pixels:png' END AS decoder
+            FROM d LEFT JOIN hashes h ON h.doc_id = d.doc_id
+        """,
+        # baseline-JPEG hashes (r7): 64x64 images of CONSTANT 8x8 blocks,
+        # block(bx,by) = (37*base + 13bx + 29by) % 256 -- DC-only blocks
+        # decode exactly under ANY compliant IDCT, so the oracle works
+        # from the 64 block values and the cross-multiplied comparisons
+        # collapse (every block has 64 px): ahash bit = v*64 > sum(v),
+        # ghash bit = v > right neighbor.  %89==11 -> progressive stub
+        # (header:jpeg, dims kept, NULL hashes); %101==7 -> truncated.
+        "multimodal_phash_jpeg": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            b AS (
+                SELECT g.doc_id, by.by*8 + bx.bx AS j,
+                       (37*(g.doc_id % 97) + 13*bx.bx + 29*by.by) % 256 AS v
+                FROM (SELECT doc_id FROM d
+                      WHERE doc_id % 89 <> 11 AND doc_id % 101 <> 7) g,
+                     generate_series(0, 7) AS bx(bx),
+                     generate_series(0, 7) AS by(by)
+            ),
+            tot AS (SELECT doc_id, SUM(v) AS t FROM b GROUP BY doc_id),
+            nb AS (
+                SELECT b.doc_id, b.j, b.v, b2.v AS nv
+                FROM b JOIN b b2
+                  ON b2.doc_id = b.doc_id
+                 AND b2.j = (b.j//8)*8 + ((b.j%8)+1)%8
+            ),
+            hashes AS (
+                SELECT nb.doc_id,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.v * 64 > tot.t
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ahash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.v * 64 > tot.t
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ahash_lo,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.v > nb.nv
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ghash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.v > nb.nv
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ghash_lo
+                FROM nb JOIN tot ON tot.doc_id = nb.doc_id
+                GROUP BY nb.doc_id
+            )
+            SELECT 'jpg://' || CAST(d.doc_id AS VARCHAR) AS media_ref,
+                   CAST(CASE WHEN d.doc_id % 89 = 11 THEN 64
+                             WHEN d.doc_id % 101 = 7 THEN NULL
+                             ELSE 64 END AS INT) AS width,
+                   CAST(CASE WHEN d.doc_id % 89 = 11 THEN 64
+                             WHEN d.doc_id % 101 = 7 THEN NULL
+                             ELSE 64 END AS INT) AS height,
+                   h.ahash_hi, h.ahash_lo, h.ghash_hi, h.ghash_lo,
+                   CASE WHEN d.doc_id % 89 = 11 THEN 'header:jpeg'
+                        WHEN d.doc_id % 101 = 7 THEN 'undecodable'
+                        ELSE 'pixels:jpeg' END AS decoder
             FROM d LEFT JOIN hashes h ON h.doc_id = d.doc_id
         """,
         # image near-dup pairs (r6): the oracle does the quadratic join the

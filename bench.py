@@ -186,6 +186,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "robots_rules",
         "lm_familiarity",
         "multimodal_phash",
+        "multimodal_phash_jpeg",
         "dedup_image_phash",
         "dedup_image_survivors",
         "dedup_reference_bloom",

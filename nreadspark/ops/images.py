@@ -127,20 +127,30 @@ def image_hashes(
     ref_col: str = "media_ref",
     payload_col: str = "payload",
     max_decode_pixels: int | None = 1 << 16,
+    use_native: bool = False,
 ) -> DataFrame:
     """(media_ref, width, height, ahash_hi/lo, ghash_hi/lo, decoder):
     perceptual hashes per payload, ONE Arrow crossing, zero shuffles.
 
     Decode tiers per payload (mirrors ``extract_media_features``):
-    ``pixels:png`` for decodable PNGs within ``max_decode_pixels``
-    (IHDR dims are read O(1) first, so oversized payloads cost nothing
-    and take ``capped``); images smaller than the 8x8 grid take
-    ``too-small``; everything else ``undecodable``.  Non-hashed rows
-    keep NULL hash columns -- containment, never a task failure."""
+    ``native:<codec>`` when ``use_native`` and PIL imports (the
+    production path -- C decoders, every format PIL knows);
+    ``pixels:png`` / ``pixels:jpeg`` via the vendored pure-Python
+    decoders (PNG unfilter; baseline-JPEG Huffman+IDCT in
+    ``ops.jpeg``); dimensions are read O(1) from the header FIRST, so
+    oversized payloads cost nothing and take ``capped``, images smaller
+    than the 8x8 grid take ``too-small``.  A payload whose codec is
+    recognized but whose pixels are not decodable by the active tiers
+    (GIF, progressive JPEG, ...) keeps its parsed dimensions with
+    ``header:<codec>`` -- counted and cap-able rather than lumped
+    ``undecodable``.  Non-hashed rows keep NULL hash columns --
+    containment, never a task failure."""
     from .multimodal import parse_image_header
 
     def batches(iterator):
         import pandas as pd
+
+        native_luma = _native_luma_milli if use_native else None
 
         for pdf in iterator:
             out = {
@@ -159,8 +169,8 @@ def image_hashes(
                 hashes = None
                 decoder = "undecodable"
                 parsed = parse_image_header(raw)
-                if parsed is not None and parsed[0] == "png":
-                    w, h = parsed[1], parsed[2]
+                if parsed is not None:
+                    codec, w, h = parsed
                     if (
                         max_decode_pixels is not None
                         and w * h > max_decode_pixels
@@ -169,15 +179,37 @@ def image_hashes(
                     elif w < GRID or h < GRID:
                         decoder = "too-small"
                     else:
-                        try:
-                            dw, dh, lumas = png_luma_milli(raw)
+                        dw = dh = lumas = None
+                        tier = None
+                        if native_luma is not None:
+                            try:
+                                dw, dh, lumas = native_luma(raw)
+                                tier = f"native:{codec}"
+                            except (ValueError, NotImplementedError):
+                                dw = None
+                        if dw is None and codec == "png":
+                            try:
+                                dw, dh, lumas = png_luma_milli(raw)
+                                tier = "pixels:png"
+                            except ValueError:
+                                dw = None
+                        if dw is None and codec == "jpeg":
+                            from .jpeg import decode_jpeg_luma_milli
+
+                            try:
+                                dw, dh, lumas = decode_jpeg_luma_milli(raw)
+                                tier = "pixels:jpeg"
+                            except ValueError:
+                                dw = None
+                        if dw is not None:
                             hashes = ahash64(dw, dh, lumas) + ghash64(
                                 dw, dh, lumas
                             )
-                            w, h, decoder = dw, dh, "pixels:png"
-                        except ValueError:
-                            w = h = None
-                            decoder = "undecodable"
+                            w, h, decoder = dw, dh, tier
+                        else:
+                            # recognized container, undecodable pixels:
+                            # keep the parsed dims for counting/capping
+                            decoder = f"header:{codec}"
                 out["width"].append(w)
                 out["height"].append(h)
                 out["ahash_hi"].append(hashes[0] if hashes else None)
@@ -188,6 +220,32 @@ def image_hashes(
             yield pd.DataFrame(out)
 
     return media_df.select(ref_col, payload_col).mapInPandas(batches, HASH_SCHEMA)
+
+
+def _native_luma_milli(raw: bytes):
+    """PIL-backed twin of the vendored luma decoders: ``(w, h, lumas)``
+    at scale 1000 from PIL's ``L`` conversion (``decode_image_real``
+    seam made hash-compatible).  On grayscale sources and DC-only JPEGs
+    PIL's integer L plane equals the vendored decode exactly, which is
+    what the availability-gated parity test pins; RGB sources differ
+    only by PIL's L rounding (``(299R+587G+114B+500)//1000`` vs our
+    exact scale-1000 sum) -- within 1 unit at scale 1, i.e. within the
+    hash family's designed tolerance.  Raises ``NotImplementedError``
+    when PIL is absent (the caller falls through to the vendored
+    tiers)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env has no PIL
+        raise NotImplementedError("pillow not installed") from exc
+    img = Image.open(io.BytesIO(raw))  # pragma: no cover - env has no PIL
+    gray = img.convert("L")  # pragma: no cover
+    return (  # pragma: no cover
+        gray.width,
+        gray.height,
+        [v * 1000 for v in gray.tobytes()],
+    )
 
 
 def near_dup_image_pairs(
@@ -326,6 +384,78 @@ def synthesize_png_corpus(
                 if int(doc_id) % corrupt_mod == 7:
                     raw = raw[:16]
                 refs.append(f"img://{doc_id}")
+                payloads.append(raw)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_ref": refs, "payload": payloads}
+            )
+
+    schema = StructType(
+        [
+            docs_df.schema["doc_id"],
+            StructField("media_ref", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs_df.select("doc_id").mapInPandas(batches, schema)
+
+
+# a minimal SOF2 (progressive) JPEG prefix: parse_image_header reads real
+# 64x64 dims from it, but the baseline decoder must refuse -- the probe
+# for the 'header:jpeg' counted-not-dropped tier
+_PROGRESSIVE_STUB = (
+    b"\xff\xd8"
+    + b"\xff\xc2" + (2 + 15).to_bytes(2, "big")
+    + bytes([8]) + (64).to_bytes(2, "big") + (64).to_bytes(2, "big")
+    + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    + b"\xff\xd9"
+)
+
+
+def synthesize_jpeg_corpus(
+    docs_df: DataFrame,
+    n_bases: int = 97,
+    corrupt_mod: int = 101,
+    progressive_mod: int = 89,
+) -> DataFrame:
+    """(doc_id, media_ref, payload): deterministic 64x64 baseline JPEGs
+    whose 8x8 blocks are CONSTANT with ``block(bx, by) = (37*(doc_id %
+    n_bases) + 13*bx + 29*by) % 256`` -- DC-only, so ANY compliant
+    decoder (ours, libjpeg, PIL) reproduces the block values EXACTLY and
+    a SQL oracle recomputes the hashes from the 64 block values without
+    parsing JPEG bytes.  Each hash-grid block of a 64x64 image is
+    exactly one JPEG block, so the oracle reduces to ``bit j = v_j * 64
+    > sum(v)`` (counts cancel).
+
+    Odd doc_ids encode the SAME luma inside a 3-component YCbCr 4:2:0
+    frame with flat chroma (exercising interleave/subsample/chroma-skip
+    and planting cross-layout duplicate pairs: gray and color twins hash
+    identically); ``doc_id % corrupt_mod == 7`` rows are truncated
+    (``undecodable``); ``doc_id % progressive_mod == 11`` rows are an
+    SOF2 stub with parseable dims (the ``header:jpeg`` tier)."""
+    from .jpeg import encode_blocky_jpeg
+
+    def batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            refs, payloads = [], []
+            for doc_id in pdf["doc_id"].tolist():
+                d = int(doc_id)
+                base = d % n_bases
+                vals = [
+                    synth_pixel(base, bx, by)
+                    for by in range(GRID)
+                    for bx in range(GRID)
+                ]
+                if d % progressive_mod == 11:
+                    raw = _PROGRESSIVE_STUB
+                else:
+                    raw = encode_blocky_jpeg(
+                        GRID, GRID, vals, color_420=bool(d % 2)
+                    )
+                    if d % corrupt_mod == 7:
+                        raw = raw[:16]
+                refs.append(f"jpg://{d}")
                 payloads.append(raw)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "media_ref": refs, "payload": payloads}

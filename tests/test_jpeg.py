@@ -1,0 +1,148 @@
+"""Vendored baseline JPEG decoder (nreadspark/ops/jpeg.py): DC-only
+exactness, general round trips, subsampling/restart/containment, the
+image_hashes jpeg + header tiers, and vendored-vs-native parity (gated
+on PIL availability)."""
+
+import random
+
+import pytest
+
+from nreadspark.ops.jpeg import (
+    decode_jpeg_luma_milli,
+    encode_blocky_jpeg,
+    encode_gray_jpeg,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("jpeg-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def _blocky_vals(base):
+    from nreadspark.ops.images import synth_pixel
+
+    return [synth_pixel(base, bx, by) for by in range(8) for bx in range(8)]
+
+
+def test_dc_only_blocks_decode_exactly_gray_and_420():
+    """Constant 8x8 blocks are DC-only: ANY compliant IDCT reproduces
+    them bit-for-bit -- the decoder-independent exactness contract the
+    oracle relies on.  The 4:2:0 color twin must yield the same luma."""
+    vals = _blocky_vals(5)
+    raw = encode_blocky_jpeg(8, 8, vals)
+    w, h, lumas = decode_jpeg_luma_milli(raw)
+    assert (w, h) == (64, 64)
+    assert all(
+        lumas[y * 64 + x] == vals[(y // 8) * 8 + (x // 8)] * 1000
+        for y in range(64)
+        for x in range(64)
+    )
+    w2, h2, lumas2 = decode_jpeg_luma_milli(encode_blocky_jpeg(8, 8, vals, color_420=True))
+    assert (w2, h2) == (64, 64) and lumas2 == lumas
+
+
+def test_general_roundtrip_within_quant_tolerance():
+    """Full forward-DCT encode -> decode on random and smooth images:
+    AC/run-length/ZRL/EOB paths, restart markers, odd dimensions.
+    Error bound: quantization step q contributes <= ~q+1 per pixel."""
+    random.seed(7)
+    px = bytes(random.randrange(256) for _ in range(80 * 56))
+    for q, ri, tol in [(1, 0, 2), (1, 3, 2), (2, 5, 3), (4, 0, 6)]:
+        raw = encode_gray_jpeg(80, 56, px, quant=q, restart_interval=ri)
+        w, h, l = decode_jpeg_luma_milli(raw)
+        assert (w, h) == (80, 56)
+        assert max(abs(l[i] // 1000 - px[i]) for i in range(80 * 56)) <= tol, (q, ri)
+    smooth = bytes((x + y) % 256 for y in range(56) for x in range(80))
+    _, _, l = decode_jpeg_luma_milli(encode_gray_jpeg(80, 56, smooth))
+    assert max(abs(l[i] // 1000 - smooth[i]) for i in range(80 * 56)) == 0
+    w, h, l = decode_jpeg_luma_milli(encode_gray_jpeg(13, 9, bytes(range(117))))
+    assert (w, h, len(l)) == (13, 9, 117)
+
+
+def test_containment_rejections():
+    vals = _blocky_vals(1)
+    raw = encode_blocky_jpeg(8, 8, vals)
+    with pytest.raises(ValueError):
+        decode_jpeg_luma_milli(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        decode_jpeg_luma_milli(raw[:40])  # truncated mid-segment
+    with pytest.raises(ValueError):
+        decode_jpeg_luma_milli(raw, max_pixels=100)  # 64x64 > cap
+    from nreadspark.ops.images import _PROGRESSIVE_STUB
+    from nreadspark.ops.multimodal import parse_image_header
+
+    assert parse_image_header(_PROGRESSIVE_STUB) == ("jpeg", 64, 64)
+    with pytest.raises(ValueError):
+        decode_jpeg_luma_milli(_PROGRESSIVE_STUB)
+
+
+def test_image_hashes_jpeg_and_header_tiers(spark):
+    """image_hashes over the JPEG corpus: pixels:jpeg hashes equal the
+    PNG-path hashes for the same luma (cross-codec dedup works);
+    progressive rows keep dims under header:jpeg; gray/color twins
+    collide exactly."""
+    from pyspark.sql import Row
+    from nreadspark.ops.images import (
+        ahash64,
+        encode_gray_png,
+        image_hashes,
+        synth_pixel,
+        synthesize_jpeg_corpus,
+        _PROGRESSIVE_STUB,
+    )
+
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    hdf = image_hashes(synthesize_jpeg_corpus(docs, n_bases=10, corrupt_mod=29))
+    got = {r["media_ref"]: r for r in hdf.collect()}
+    assert got["jpg://7"]["decoder"] == "undecodable"  # 7 % 29 == 7
+    assert got["jpg://11"]["decoder"] == "header:jpeg"  # 11 % 89 == 11
+    assert (got["jpg://11"]["width"], got["jpg://11"]["height"]) == (64, 64)
+    assert got["jpg://11"]["ahash_hi"] is None
+    assert got["jpg://0"]["decoder"] == "pixels:jpeg"  # gray layout
+    assert got["jpg://1"]["decoder"] == "pixels:jpeg"  # 4:2:0 layout
+    # gray (id 3) and color (id 13) twins: same base -> identical hashes
+    assert (got["jpg://3"]["ahash_hi"], got["jpg://3"]["ahash_lo"]) == (
+        got["jpg://13"]["ahash_hi"],
+        got["jpg://13"]["ahash_lo"],
+    )
+    # cross-codec agreement: a 64x64 PNG with the same blocky pixels
+    # hashes identically to the JPEG (block-constant => same block sums)
+    vals = _blocky_vals(3)
+    px = bytes(vals[(y // 8) * 8 + (x // 8)] for y in range(64) for x in range(64))
+    png_hash = ahash64(64, 64, [v * 1000 for v in px])
+    assert (got["jpg://3"]["ahash_hi"], got["jpg://3"]["ahash_lo"]) == png_hash
+    # a complete-header GIF takes header:gif with dims, not undecodable
+    gif = b"GIF89a" + (20).to_bytes(2, "little") + (30).to_bytes(2, "little") + bytes(8)
+    g = image_hashes(
+        spark.createDataFrame([Row(media_ref="g", payload=gif)])
+    ).collect()[0]
+    assert g["decoder"] == "header:gif" and (g["width"], g["height"]) == (20, 30)
+
+
+def test_native_parity_when_pil_available():
+    """Vendored-vs-native hash parity, gated on PIL: exact on grayscale
+    PNGs (PIL's L plane is the gray sample) and on DC-only JPEGs (flat
+    blocks decode exactly under libjpeg too)."""
+    pytest.importorskip("PIL")
+    from nreadspark.ops.images import _native_luma_milli, encode_gray_png
+    from nreadspark.ops.multimodal import png_luma_milli
+
+    px = bytes((37 * 3 + 13 * x + 29 * y) % 256 for y in range(16) for x in range(16))
+    png = encode_gray_png(16, 16, px)
+    assert _native_luma_milli(png) == png_luma_milli(png)
+
+    vals = _blocky_vals(4)
+    jpg = encode_blocky_jpeg(8, 8, vals)
+    assert _native_luma_milli(jpg) == decode_jpeg_luma_milli(jpg)
