@@ -15,6 +15,9 @@ reference, the Spark column and the DuckDB oracle agree byte-for-byte.
 
 from __future__ import annotations
 
+import functools
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..urlutil import TRACKING_PARAMS
@@ -182,11 +185,72 @@ def keep_canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
 # a SMALL well-known subset (full fidelity needs the Mozilla Public Suffix
 # List -- thousands of entries; load one and pass it as extra_suffixes for
 # production): these cover the high-traffic ccTLD second-level registries.
+# retained as the emergency fallback if the vendored PSL file is missing;
+# the live rule source is load_psl() below
 MULTI_PART_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
     "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
     "co.kr", "com.tw", "com.sg", "co.za", "com.ar", "co.nz",
 )
+
+
+@functools.lru_cache(maxsize=4)
+def load_psl(include_private: bool = True):
+    """Parse the vendored Public Suffix List snapshot
+    (``nreadspark/resources/public_suffix_list.dat`` -- a dated curated
+    subset in the upstream file format; ``scripts/update_psl.py``
+    replaces it with the full upstream list verbatim when network
+    access exists).
+
+    Returns ``(exact_by_len, wildcard_parents_by_len, exc_by_len)``:
+
+    * ``exact_by_len[k]`` -- frozenset of k-label public-suffix strings
+      (single-label rules are dropped: they equal the algorithm's
+      default rule);
+    * ``wildcard_parents_by_len[k]`` -- frozenset of the k-label PARENTS
+      of ``*.parent`` rules (the wildcard matches exactly one extra
+      label, so the suffix it denotes has k+1 labels);
+    * ``exc_by_len[k]`` -- frozenset of k-label ``!exception`` rules;
+      per the PSL algorithm an exception's own labels ARE the
+      registrable domain.
+
+    ``include_private=False`` stops at the ICANN section (use when
+    platform subdomains like ``user.github.io`` should merge into their
+    operator's domain instead of counting as distinct registrants)."""
+    import collections
+
+    path = os.path.join(os.path.dirname(__file__), "..", "resources", "public_suffix_list.dat")
+    exact = collections.defaultdict(set)
+    wildcards = collections.defaultdict(set)
+    exceptions = collections.defaultdict(set)
+    try:
+        with open(path, encoding="utf-8") as fh:
+            in_private = False
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("//"):
+                    if "BEGIN PRIVATE DOMAINS" in line:
+                        in_private = True
+                    continue
+                if in_private and not include_private:
+                    continue
+                rule = line.split()[0].lower()
+                if rule.startswith("!"):
+                    labels = rule[1:].split(".")
+                    exceptions[len(labels)].add(rule[1:])
+                elif rule.startswith("*."):
+                    parent = rule[2:]
+                    wildcards[len(parent.split("."))].add(parent)
+                elif "." in rule:  # 1-label rules == the default rule
+                    exact[len(rule.split("."))].add(rule)
+    except OSError:  # pragma: no cover - snapshot always ships
+        for s in MULTI_PART_SUFFIXES:
+            exact[2].add(s)
+    return (
+        {k: frozenset(v) for k, v in exact.items()},
+        {k: frozenset(v) for k, v in wildcards.items()},
+        {k: frozenset(v) for k, v in exceptions.items()},
+    )
 
 
 def host_col(url) -> Column:
@@ -200,22 +264,61 @@ def host_col(url) -> Column:
     return F.when(url.rlike(_ABSOLUTE_PATTERN), host)
 
 
-def _domain_from_parts(host: Column, labels: Column, extra_suffixes=()) -> Column:
-    """eTLD+1 decision given already-computed host + label-array columns."""
+def _domain_from_parts(
+    host: Column, labels: Column, extra_suffixes=(), include_private: bool = True
+) -> Column:
+    """eTLD+1 decision given already-computed host + label-array columns,
+    implementing the PSL prevailing-rule algorithm over the vendored
+    snapshot (:func:`load_psl`): among matching rules the longest wins,
+    ``*.parent`` wildcards match exactly one extra label, and
+    ``!exception`` rules beat everything (the exception's own labels ARE
+    the registrable domain -- e.g. ``!city.kawasaki.jp`` under
+    ``*.kawasaki.jp``).  ``extra_suffixes`` adds per-call exact rules of
+    any label count.
+
+    Documented divergence from a strict PSL library: a host that IS a
+    public suffix (``co.uk`` itself, ``anything.ck`` under ``*.ck``) has
+    no registrable domain per spec; this column passes the host through
+    instead of yielding NULL -- grouping by NULL would merge every such
+    host into one bucket, the opposite of what blocklist/cap/PageRank
+    tiers need.  IP literals (v4 dotted quads, bracketed v6) and
+    single-label hosts also pass through whole."""
+    exact, wildcards, exceptions = load_psl(include_private)
+    exact = {k: set(v) for k, v in exact.items()}
+    for s in extra_suffixes:
+        exact.setdefault(len(s.split(".")), set()).add(s.lower())
+
     n = F.size(labels)
-    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    last3 = F.concat_ws(
-        ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
-    )
-    suffixes = tuple(MULTI_PART_SUFFIXES) + tuple(extra_suffixes)
+
+    def lastk(k: int) -> Column:
+        return F.concat_ws(
+            ".", *[F.element_at(labels, -i) for i in range(k, 0, -1)]
+        )
+
+    # (priority, condition, result): exceptions outrank all, then rules
+    # by suffix length descending; ties between an exact k-suffix and a
+    # wildcard with (k-1)-label parent resolve to the same registrable
+    # length, so ordering within a length is immaterial
+    branches: list[tuple[int, Column, Column]] = []
+    for k, rules in exceptions.items():
+        branches.append(((k + 100), (n >= k) & lastk(k).isin(*sorted(rules)), lastk(k)))
+    for k, rules in exact.items():
+        if rules:
+            branches.append((k, (n >= k + 1) & lastk(k).isin(*sorted(rules)), lastk(k + 1)))
+    for k, parents in wildcards.items():
+        # *.parent denotes a (k+1)-label suffix -> registrable has k+2
+        branches.append((k + 1, (n >= k + 2) & lastk(k).isin(*sorted(parents)), lastk(k + 2)))
+    branches.sort(key=lambda b: -b[0])
+
+    decision: Column = F.when(n <= 2, host).otherwise(lastk(2))  # default rule
+    for _, cond, result in reversed(branches):
+        decision = F.when(cond, result).otherwise(decision)
+
     is_ip = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$") | host.startswith("[")
     # outer guard: concat_ws SKIPS null args, so without it a NULL host
     # (non-absolute URL) would yield '' instead of staying NULL
     return F.when(
-        host.isNotNull(),
-        F.when(is_ip | (n <= 2), host).otherwise(
-            F.when((n >= 3) & last2.isin(*suffixes), last3).otherwise(last2)
-        ),
+        host.isNotNull(), F.when(is_ip, host).otherwise(decision)
     )
 
 

@@ -315,3 +315,61 @@ def test_robots_meta_directives(spark):
     # hygiene scan is pure codegen: no shuffle, no Python
     plan = robots_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+PSL_CASES = [
+    # multi-label ICANN rules from the vendored snapshot
+    ("http://www.example.co.uk/x", "example.co.uk"),
+    ("http://a.b.example.gov.uk/", "example.gov.uk"),
+    ("http://x.example.k12.ca.us/", "example.k12.ca.us"),  # 3-label rule
+    # private-section platforms: each subdomain is its own registrant
+    ("http://user.github.io/repo", "user.github.io"),
+    ("http://bucket.s3.amazonaws.com/", "bucket.s3.amazonaws.com"),
+    # wildcard rules: *.ck -> any label under ck is a public suffix
+    ("http://shop.foo.ck/", "shop.foo.ck"),
+    # exception rules beat the wildcard: !www.ck, !city.kawasaki.jp
+    ("http://www.ck/", "www.ck"),
+    ("http://sub.www.ck/", "www.ck"),
+    ("http://city.kawasaki.jp/", "city.kawasaki.jp"),
+    ("http://sub.city.kawasaki.jp/", "city.kawasaki.jp"),
+    ("http://foo.chuo.kawasaki.jp/", "foo.chuo.kawasaki.jp"),  # wildcard path
+    # a host that IS a public suffix passes through (documented divergence)
+    ("http://co.uk/", "co.uk"),
+]
+
+
+def test_registrable_domain_psl_rules(spark):
+    from nreadspark.ops.urls import load_psl, with_registrable_domain
+
+    exact, wildcards, exceptions = load_psl()
+    assert "co.uk" in exact[2] and "k12.ca.us" in exact[3]
+    assert "ck" in wildcards[1] and "kawasaki.jp" in wildcards[2]
+    assert "www.ck" in exceptions[2] and "city.kawasaki.jp" in exceptions[3]
+    # private section is droppable
+    exact_icann, _, _ = load_psl(include_private=False)
+    assert "github.io" not in exact_icann.get(2, frozenset())
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(PSL_CASES)], "doc_id long, url string"
+    )
+    got = {r["doc_id"]: r["domain"] for r in with_registrable_domain(df).collect()}
+    for i, (u, want) in enumerate(PSL_CASES):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_registrable_domain_extra_suffixes_hook(spark):
+    """Per-call extra rules still layer on top of the snapshot, now at
+    any label count."""
+    from nreadspark.ops.urls import with_registrable_domain
+
+    df = spark.createDataFrame(
+        [(0, "http://a.b.internal.corp/"), (1, "http://x.pages.internal.corp/")],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["domain"]
+        for r in with_registrable_domain(
+            df, extra_suffixes=("internal.corp", "pages.internal.corp")
+        ).collect()
+    }
+    assert got[0] == "b.internal.corp"
+    assert got[1] == "x.pages.internal.corp"
