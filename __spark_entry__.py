@@ -584,6 +584,44 @@ def _q_robots_noindex(spark, sf_dir):
     return robots_meta(docs.select("doc_id", html.alias("html")))
 
 
+def _q_robots_xheader(spark, sf_dir):
+    """X-Robots-Tag from archived response headers (r7, VERDICT r6 #7):
+    plant a closed-form header zoo by doc_id residue (plain, scoped,
+    multi-header, case variants, a decoy header) alongside a meta-tag
+    plant, through robots_flags' UNION semantics; the oracle states the
+    expected flags from the residues alone."""
+    from nreadspark.ops.robots import robots_flags
+
+    docs = _table(spark, sf_dir, "documents")
+    r = F.pmod("doc_id", F.lit(7))
+    headers = (
+        F.when(r == 0, F.array(F.lit("x-robots-tag: noindex")))
+        .when(r == 1, F.array(F.lit("X-Robots-Tag: examplebot: nofollow")))
+        .when(
+            r == 2,
+            F.array(
+                F.lit("content-type: text/html"),
+                F.lit("x-robots-tag: NONE"),
+            ),
+        )
+        .when(r == 3, F.array(F.lit("x-robots-tag: unavailable_after: 2026-01-01")))
+        .when(r == 4, F.array(F.lit("x-robots-tags: noindex")))  # decoy name
+        .when(r == 5, F.lit(None).cast("array<string>"))  # non-response record
+        .otherwise(F.array().cast("array<string>"))
+    )
+    meta = F.when(
+        F.pmod("doc_id", F.lit(5)) == 3,
+        F.lit('<meta name="robots" content="nofollow">'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body><p>"),
+        F.col("text"), F.lit("</p></body></html>"),
+    )
+    return robots_flags(
+        docs.select("doc_id", html.alias("html"), headers.alias("http_headers"))
+    )
+
+
 def _q_robots_rules(spark, sf_dir):
     """robots.txt fetch-permission filter (r6): plant a 7-domain robots.txt
     zoo (group selection, exact-agent preference over *, wildcard + $
@@ -2257,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": _q_domain_quality,
         "mixture_plan": _q_mixture_plan,
         "robots_noindex": _q_robots_noindex,
+        "robots_xheader": _q_robots_xheader,
         "link_graph": _q_link_graph,
         "domain_pagerank": _q_domain_pagerank,
         "anchor_profile": _q_anchor_profile,
@@ -2955,6 +2994,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(doc_id % 6 AS INT) IN (0, 2, 5) AS noindex,
                    CAST(doc_id % 6 AS INT) IN (1, 2, 5) AS nofollow
+            FROM documents
+        """,
+        # X-Robots-Tag union semantics (r7): header residues 0 (plain
+        # noindex), 1 (agent-scoped nofollow -- scoped counts,
+        # documented), 2 ('NONE' shorthand = both); 3 (unavailable_after
+        # decoy), 4 (decoy header name), 5 (NULL headers), 6 (empty) set
+        # nothing; meta residue doc_id%5==3 adds nofollow
+        "robots_xheader": """
+            SELECT doc_id,
+                   CAST(doc_id % 7 AS INT) IN (0, 2) AS noindex,
+                   (CAST(doc_id % 7 AS INT) IN (1, 2) OR doc_id % 5 = 3) AS nofollow
             FROM documents
         """,
         # mixture_plan (r6): per-language integer token sums -> exact

@@ -179,6 +179,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "domain_quality",
         "mixture_plan",
         "robots_noindex",
+        "robots_xheader",
         "link_graph",
         "domain_pagerank",
         "anchor_profile",

@@ -5,9 +5,12 @@ column expressions.
 A crawl that trains on pages whose publishers opted out via
 ``<meta name="robots" content="noindex">`` is both a compliance and a
 quality problem (noindexed pages are disproportionately login walls,
-faceted-search chaff and staging leftovers).  The HTTP-header half of the
-protocol (``X-Robots-Tag``) lives with the fetcher, out of scope for the
-batch engine (SURVEY §2.1 S2); this module handles the in-document half.
+faceted-search chaff and staging leftovers).  This module handles BOTH
+halves of the protocol the batch engine can see: the in-document meta
+tags, and -- since r7 -- the ``X-Robots-Tag`` response headers that the
+WARC/CDX ingestion tiers preserve on every response record
+(:func:`x_robots_flags` / :func:`robots_flags`); only live per-fetch
+agent scoping stays with the fetcher (SURVEY §2.1 S2).
 
 Semantics (public robots-meta spec, as implemented by the major crawlers):
 directives are comma-separated tokens inside the ``content`` attribute of
@@ -66,6 +69,80 @@ def robots_meta(df: DataFrame, html_col: str = "html") -> DataFrame:
         "doc_id",
         _directive(F.col("__rb_contents"), "noindex").alias("noindex"),
         _directive(F.col("__rb_contents"), "nofollow").alias("nofollow"),
+    )
+
+
+def _x_robots_values(headers: Column) -> Column:
+    """``X-Robots-Tag`` header values from an ``array<string>`` of
+    ``'name: value'`` response-header lines (the shape
+    ``warc_records_from_ranges`` / ``parse_http_response`` emit)."""
+    return F.transform(
+        F.filter(
+            F.coalesce(headers, F.array().cast("array<string>")),
+            lambda h: h.rlike(r"(?i)^x-robots-tag\s*:"),
+        ),
+        lambda h: F.regexp_replace(h, r"(?i)^x-robots-tag\s*:\s*", ""),
+    )
+
+
+def x_robots_flags(df: DataFrame, headers_col: str = "http_headers") -> DataFrame:
+    """(doc_id, noindex, nofollow) from archived ``X-Robots-Tag``
+    response headers -- the HTTP half of the robots opt-out protocol,
+    which the batch engine CAN honor without a fetcher whenever the
+    ingestion path preserves response headers (the WARC/CDX tiers do:
+    ``http_headers`` on every response record).
+
+    Directive parsing matches :func:`robots_meta`'s token rule; multiple
+    headers union.  Agent-SCOPED directives (``X-Robots-Tag: somebot:
+    noindex``) also count -- the scope token reads as just another
+    delimited word, which is the conservative curation-side reading
+    (documented; per-agent scoping belongs to a fetcher that knows its
+    own name).  NULL / missing header arrays yield (false, false)."""
+    d = df.withColumn("__xr_vals", _x_robots_values(F.col(headers_col)))
+    return d.select(
+        "doc_id",
+        _directive(F.col("__xr_vals"), "noindex").alias("noindex"),
+        _directive(F.col("__xr_vals"), "nofollow").alias("nofollow"),
+    )
+
+
+def robots_flags(
+    df: DataFrame, html_col: str = "html", headers_col: str | None = "http_headers"
+) -> DataFrame:
+    """(doc_id, noindex, nofollow): the UNION of the in-document
+    ``<meta name=robots>`` directives and the ``X-Robots-Tag`` response
+    headers -- the full archival-side opt-out protocol.  Both halves are
+    staged columns of ONE projection chain (zero shuffles, no join);
+    pass ``headers_col=None`` for corpora without preserved headers
+    (degrades to :func:`robots_meta` exactly)."""
+    if headers_col is None:
+        return robots_meta(df, html_col)
+    d = (
+        df.withColumn(
+            "__rb_tags",
+            F.regexp_extract_all(
+                F.coalesce(F.col(html_col), F.lit("")), F.lit(_META_TAG), 0
+            ),
+        )
+        .withColumn(
+            "__rb_contents",
+            F.transform(
+                F.filter(F.col("__rb_tags"), lambda t: t.rlike(_NAME_ROBOTS)),
+                lambda t: F.regexp_extract(t, _CONTENT_ATTR, 1),
+            ),
+        )
+        .withColumn("__xr_vals", _x_robots_values(F.col(headers_col)))
+    )
+    return d.select(
+        "doc_id",
+        (
+            _directive(F.col("__rb_contents"), "noindex")
+            | _directive(F.col("__xr_vals"), "noindex")
+        ).alias("noindex"),
+        (
+            _directive(F.col("__rb_contents"), "nofollow")
+            | _directive(F.col("__xr_vals"), "nofollow")
+        ).alias("nofollow"),
     )
 
 

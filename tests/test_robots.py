@@ -135,3 +135,38 @@ def test_filter_survivors_and_plan_shape(spark):
     # corpus side: one join, no corpus re-shuffle, no Python
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_x_robots_header_flags_and_union(spark):
+    """X-Robots-Tag parsing: plain/scoped/multi-header/'none' shorthand
+    set flags; decoy header names, unavailable_after, NULL and empty
+    arrays don't; robots_flags unions headers with meta tags and
+    degrades to robots_meta exactly when headers_col=None."""
+    from pyspark.sql import Row
+    from nreadspark.ops.robots import robots_flags, robots_meta, x_robots_flags
+
+    rows = [
+        Row(doc_id=0, html="<p>x</p>", http_headers=["x-robots-tag: noindex"]),
+        Row(doc_id=1, html="<p>x</p>", http_headers=["X-Robots-Tag: somebot: nofollow"]),
+        Row(doc_id=2, html="<p>x</p>", http_headers=["content-type: text/html", "x-robots-tag: NONE"]),
+        Row(doc_id=3, html="<p>x</p>", http_headers=["x-robots-tag: unavailable_after: 2026-01-01"]),
+        Row(doc_id=4, html="<p>x</p>", http_headers=["x-robots-tags: noindex"]),  # decoy name
+        Row(doc_id=5, html="<p>x</p>", http_headers=None),
+        Row(doc_id=6, html='<meta name="robots" content="noindex">',
+            http_headers=["x-robots-tag: nofollow"]),  # union of both halves
+    ]
+    df = spark.createDataFrame(rows)
+    hdr = {r["doc_id"]: (r["noindex"], r["nofollow"]) for r in x_robots_flags(df).collect()}
+    assert hdr[0] == (True, False)
+    assert hdr[1] == (False, True)  # scoped directives count (documented)
+    assert hdr[2] == (True, True)  # 'none' shorthand, second header
+    assert hdr[3] == (False, False) and hdr[4] == (False, False)
+    assert hdr[5] == (False, False)
+    both = {r["doc_id"]: (r["noindex"], r["nofollow"]) for r in robots_flags(df).collect()}
+    assert both[6] == (True, True)  # meta noindex + header nofollow union
+    assert both[0] == (True, False) and both[3] == (False, False)
+    # headers_col=None degrades to robots_meta exactly
+    meta_only = {r["doc_id"]: (r["noindex"], r["nofollow"])
+                 for r in robots_flags(df, headers_col=None).collect()}
+    ref = {r["doc_id"]: (r["noindex"], r["nofollow"]) for r in robots_meta(df).collect()}
+    assert meta_only == ref
