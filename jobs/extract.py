@@ -9,6 +9,14 @@ table (parquet/Iceberg) into a parquet output with per-bucket lineage.
     spark-submit --py-files nreadspark.zip jobs/extract.py \
         --warc-glob '/crawl/segment-00/*.warc.gz' --output /path/to/out
 
+    # crawl PLANNING (no extraction): slotted fetch-plan table from the
+    # CDX index -- archival re-read plan, or sitemap-refresh plan with
+    # --sitemap-glob (per-domain-bucket resume):
+    spark-submit --py-files nreadspark.zip jobs/extract.py \
+        --cdx-glob '/crawl/indexes/*.cdxj' --cdx-prefix 'com,example)' \
+        --plan-output /path/to/plan [--sitemap-glob '/maps/*.xml'] \
+        --output /ignored
+
 Reference analogue: NReadability.Console/Program.cs:35-50 (file in/file out),
 re-expressed as a distributed, resumable Spark job.
 """
@@ -55,6 +63,27 @@ def main() -> None:
         help="prefix for relative WARC filenames in the CDX index",
     )
     parser.add_argument(
+        "--plan-output",
+        default=None,
+        help="with --cdx-glob: write the politeness-slotted fetch-plan "
+        "table here INSTEAD of extracting (archival re-read plan; add "
+        "--sitemap-glob for the sitemap-refresh plan). Per-domain-bucket "
+        "resumable lineage.",
+    )
+    parser.add_argument(
+        "--sitemap-glob",
+        default=None,
+        help="with --plan-output: sitemap XML files declaring the URL "
+        "inventory; the plan becomes inventory-vs-capture refresh "
+        "reasoning (new/modified/unknown)",
+    )
+    parser.add_argument(
+        "--slot-size",
+        type=int,
+        default=1,
+        help="max requests per domain per politeness slot (--plan-output)",
+    )
+    parser.add_argument(
         "--synthetic",
         type=int,
         default=0,
@@ -83,6 +112,25 @@ def main() -> None:
     if args.master:
         builder = builder.master(args.master)
     spark = configure_session_defaults(builder).getOrCreate()
+
+    if args.plan_output:
+        if not args.cdx_glob:
+            parser.error("--plan-output requires --cdx-glob")
+            return
+        from nreadspark.lineage import run_crawl_planning
+
+        summary = run_crawl_planning(
+            spark,
+            args.cdx_glob,
+            args.cdx_prefix,
+            args.plan_output,
+            sitemap_glob=args.sitemap_glob,
+            per_domain_per_slot=args.slot_size,
+            n_buckets=args.buckets,
+            resume=not args.no_resume,
+        )
+        print(json.dumps(summary))
+        return
 
     if args.cdx_glob:
         summary = run_cdx_ingestion(

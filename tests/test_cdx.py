@@ -318,3 +318,95 @@ def test_plan_fetches_null_status_opt_in(spark):
     assert {r["urlkey"] for r in strict.collect()} == {"com,a)/p"}
     lenient = plan_fetches(cdx, ["com,a)"], include_null_status=True)
     assert {r["urlkey"] for r in lenient.collect()} == {"com,a)/p", "com,a)/q"}
+
+
+def test_run_crawl_planning_job_with_domain_bucket_resume(spark, tmp_path):
+    """--plan-output promoted to the job surface (r7): CDXJ index (+
+    sitemaps) -> slotted plan table + per-domain-bucket manifests;
+    resume recomputes only missing buckets; changing the slot width is
+    a different plan (fingerprint covers it)."""
+    import json as _json
+    import os
+
+    from nreadspark.lineage import run_crawl_planning
+    from nreadspark.sitemap import build_sitemap_xml
+
+    idx = tmp_path / "index"
+    idx.mkdir()
+    lines = []
+    for d in range(4):
+        for i in range(4):
+            # two captures for p0 (latest wins), one for the rest
+            lines.append(build_cdxj_line(
+                f"com,site{d})/p{i}", "20260101000000",
+                f"http://site{d}.com/p{i}", f"seg-{d}.warc.gz", i * 100, 90))
+        lines.append(build_cdxj_line(
+            f"com,site{d})/p0", "20260301000000",
+            f"http://site{d}.com/p0", f"seg-{d}x.warc.gz", 0, 90))
+    (idx / "cdx-00000").write_text("\n".join(lines) + "\n")
+    prefixes = [f"com,site{d})" for d in range(4)]
+
+    # --- archival re-read mode -------------------------------------------
+    out_a = str(tmp_path / "plan_archival")
+    s1 = run_crawl_planning(spark, str(idx), prefixes, out_a, n_buckets=4)
+    assert s1["mode"] == "archival" and s1["urls_planned"] == 16
+    plan = spark.read.parquet(out_a)
+    rows = {(r["urlkey"]): r for r in plan.collect()}
+    assert rows["com,site1)/p0"]["timestamp"] == "20260301000000"  # latest
+    # politeness: 4 urls per domain at slot width 1 -> slots 0..3
+    assert plan.filter("domain = 'com,site2'").agg(
+        {"slot": "max"}).collect()[0][0] == 3
+    s2 = run_crawl_planning(spark, str(idx), prefixes, out_a, n_buckets=4)
+    assert s2["buckets_computed"] == 0 and s2["buckets_skipped"] == 4
+
+    # delete one manifest: exactly that domain bucket recomputes
+    manifests = sorted(
+        p for p in os.listdir(os.path.join(out_a, "_lineage"))
+        if p.startswith("bucket=")
+    )
+    os.remove(os.path.join(out_a, "_lineage", manifests[0]))
+    s3 = run_crawl_planning(spark, str(idx), prefixes, out_a, n_buckets=4)
+    assert s3["buckets_computed"] == 1
+    assert spark.read.parquet(out_a).count() == 16
+
+    # a different slot width is a different plan: full recompute
+    s4 = run_crawl_planning(
+        spark, str(idx), prefixes, out_a, n_buckets=4, per_domain_per_slot=2
+    )
+    assert s4["buckets_skipped"] == 0
+    plan4 = spark.read.parquet(out_a)
+    assert plan4.agg({"slot": "max"}).collect()[0][0] == 1  # 4 urls / width 2
+
+    # --- sitemap-refresh mode --------------------------------------------
+    maps = tmp_path / "maps"
+    maps.mkdir()
+    for d in range(4):
+        entries = [
+            # p0: declared modified AFTER its latest capture
+            (f"http://site{d}.com/p0", "2026-05-01"),
+            # p1: declared older than its capture -> fresh, not planned
+            (f"http://site{d}.com/p1", "2025-12-01"),
+            # p9: never captured -> 'new'
+            (f"http://site{d}.com/p9?a=1&b=2", None),
+        ]
+        (maps / f"site{d}.xml").write_text(build_sitemap_xml(entries))
+    out_r = str(tmp_path / "plan_refresh")
+    r1 = run_crawl_planning(
+        spark, str(idx), prefixes, out_r,
+        sitemap_glob=str(maps), n_buckets=4,
+    )
+    assert r1["mode"] == "refresh" and r1["n_sitemap_files"] == 4
+    refresh = spark.read.parquet(out_r)
+    reasons = {
+        (r["urlkey"], r["reason"]) for r in refresh.collect()
+    }
+    for d in range(4):
+        assert (f"com,site{d})/p0", "modified") in reasons
+        # escaped '&amp;' in the sitemap decodes -> urlkey keeps the query
+        assert (f"com,site{d})/p9?a=1&b=2", "new") in reasons
+        assert not any(k == f"com,site{d})/p1" for k, _ in reasons)
+    r2 = run_crawl_planning(
+        spark, str(idx), prefixes, out_r,
+        sitemap_glob=str(maps), n_buckets=4,
+    )
+    assert r2["buckets_computed"] == 0 and r2["buckets_skipped"] == 4
