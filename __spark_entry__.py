@@ -1741,6 +1741,28 @@ def _q_multimodal_phash_jpeg(spark, sf_dir):
     )
 
 
+def _q_multimodal_phash_gif(spark, sf_dir):
+    """GIF perceptual hashes (r7): real GIF89a payloads (true LZW with
+    growing code widths; odd ids INTERLACED) through the vendored LZW
+    decoder; grayscale palette (entry i = (i,i,i)) + the PNG corpus's
+    pixel formula make the PNG oracle transfer verbatim -- and gif://X
+    hashes equal img://X's, the cross-codec dedup property."""
+    from nreadspark.ops.images import image_hashes, synthesize_gif_corpus
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = synthesize_gif_corpus(docs.select("doc_id"))
+    return image_hashes(media).select(
+        "media_ref",
+        "width",
+        "height",
+        "ahash_hi",
+        "ahash_lo",
+        "ghash_hi",
+        "ghash_lo",
+        "decoder",
+    )
+
+
 def _q_dedup_image_phash(spark, sf_dir):
     """Image near-duplicate pairs (r6) within hamming<=3 on the average
     hash: banded 4x16-bit self-join (pigeonhole-exact at <=3 bits) +
@@ -2314,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash": _q_multimodal_phash,
         "dedup_image_phash": _q_dedup_image_phash,
         "multimodal_phash_jpeg": _q_multimodal_phash_jpeg,
+        "multimodal_phash_gif": _q_multimodal_phash_gif,
         "dedup_image_survivors": _q_dedup_image_survivors,
         "dedup_reference_bloom": _q_dedup_reference_bloom,
         # audio fingerprint tier (r6): WAV PCM8 energy-window hashes +
@@ -3981,6 +4004,51 @@ def oracle_sql() -> dict[str, str]:
                    h.ahash_hi, h.ahash_lo, h.ghash_hi, h.ghash_lo,
                    CASE WHEN h.doc_id IS NULL THEN 'undecodable'
                         ELSE 'pixels:png' END AS decoder
+            FROM d LEFT JOIN hashes h ON h.doc_id = d.doc_id
+        """,
+        # GIF hashes (r7): lossless LZW round trip, so the PNG oracle
+        # transfers verbatim (same pixel formula; grayscale palette makes
+        # luma = i*1000); interlaced odd ids decode to the same pixels
+        "multimodal_phash_gif": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            px AS (
+                SELECT g.doc_id, x.x AS x, y.y AS y,
+                       ((37*(g.doc_id % 97) + 13*x.x + 29*y.y) % 256) * 1000 AS luma
+                FROM (SELECT doc_id FROM d WHERE doc_id % 101 <> 7) g,
+                     generate_series(0, 15) AS x(x),
+                     generate_series(0, 15) AS y(y)
+            ),
+            blocks AS (
+                SELECT doc_id, (y//2)*8 + (x//2) AS j,
+                       SUM(luma) AS s, COUNT(*) AS c
+                FROM px GROUP BY 1, 2
+            ),
+            tot AS (SELECT doc_id, SUM(s) AS t, SUM(c) AS n FROM blocks GROUP BY doc_id),
+            nb AS (
+                SELECT b.doc_id, b.j, b.s, b.c, b2.s AS ns, b2.c AS nc
+                FROM blocks b JOIN blocks b2
+                  ON b2.doc_id = b.doc_id
+                 AND b2.j = (b.j//8)*8 + ((b.j%8)+1)%8
+            ),
+            hashes AS (
+                SELECT nb.doc_id,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.s * tot.n > tot.t * nb.c
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ahash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.s * tot.n > tot.t * nb.c
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ahash_lo,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.s * nb.nc > nb.ns * nb.c
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ghash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.s * nb.nc > nb.ns * nb.c
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ghash_lo
+                FROM nb JOIN tot ON tot.doc_id = nb.doc_id
+                GROUP BY nb.doc_id
+            )
+            SELECT 'gif://' || CAST(d.doc_id AS VARCHAR) AS media_ref,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 16 END AS INT) AS width,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 16 END AS INT) AS height,
+                   h.ahash_hi, h.ahash_lo, h.ghash_hi, h.ghash_lo,
+                   CASE WHEN h.doc_id IS NULL THEN 'undecodable'
+                        ELSE 'pixels:gif' END AS decoder
             FROM d LEFT JOIN hashes h ON h.doc_id = d.doc_id
         """,
         # baseline-JPEG hashes (r7): 64x64 images of CONSTANT 8x8 blocks,

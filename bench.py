@@ -188,6 +188,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "lm_familiarity",
         "multimodal_phash",
         "multimodal_phash_jpeg",
+        "multimodal_phash_gif",
         "dedup_image_phash",
         "dedup_image_survivors",
         "dedup_reference_bloom",

@@ -201,6 +201,14 @@ def image_hashes(
                                 tier = "pixels:jpeg"
                             except ValueError:
                                 dw = None
+                        if dw is None and codec == "gif":
+                            from .multimodal import gif_luma_milli
+
+                            try:
+                                dw, dh, lumas = gif_luma_milli(raw)
+                                tier = "pixels:gif"
+                            except ValueError:
+                                dw = None
                         if dw is not None:
                             hashes = ahash64(dw, dh, lumas) + ghash64(
                                 dw, dh, lumas
@@ -384,6 +392,56 @@ def synthesize_png_corpus(
                 if int(doc_id) % corrupt_mod == 7:
                     raw = raw[:16]
                 refs.append(f"img://{doc_id}")
+                payloads.append(raw)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_ref": refs, "payload": payloads}
+            )
+
+    schema = StructType(
+        [
+            docs_df.schema["doc_id"],
+            StructField("media_ref", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs_df.select("doc_id").mapInPandas(batches, schema)
+
+
+def synthesize_gif_corpus(
+    docs_df: DataFrame,
+    size: int = 16,
+    n_bases: int = 97,
+    corrupt_mod: int = 101,
+) -> DataFrame:
+    """(doc_id, media_ref, payload): deterministic GIFs with a grayscale
+    palette (entry i = (i,i,i), so luma = i*1000) and the SAME pixel
+    formula as :func:`synthesize_png_corpus` -- GIF is lossless, so the
+    PNG oracle SQL transfers verbatim, and a gif://X hashes identically
+    to the img://X PNG of the same base (cross-codec dedup).  Odd
+    doc_ids are INTERLACED (same pixels, same hashes -- the
+    de-interlace path under oracle test); ``doc_id % corrupt_mod == 7``
+    rows are truncated."""
+    from .multimodal import encode_gif
+
+    gray_palette = bytes(v for i in range(256) for v in (i, i, i))
+
+    def batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            refs, payloads = [], []
+            for doc_id in pdf["doc_id"].tolist():
+                d = int(doc_id)
+                base = d % n_bases
+                px = bytes(
+                    synth_pixel(base, x, y) for y in range(size) for x in range(size)
+                )
+                raw = encode_gif(
+                    size, size, px, gray_palette, interlaced=bool(d % 2)
+                )
+                if d % corrupt_mod == 7:
+                    raw = raw[:8]
+                refs.append(f"gif://{d}")
                 payloads.append(raw)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "media_ref": refs, "payload": payloads}

@@ -201,6 +201,23 @@ def parse_image_header(raw: bytes):
     if len(raw) >= 10 and raw[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", raw[6:10])
         return ("gif", w, h)
+    if len(raw) >= 30 and raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+        # WebP (RIFF container): VP8 lossy (frame tag + 14-bit dims),
+        # VP8L lossless (bit-packed 14-bit dims), VP8X extended (24-bit
+        # minus-one dims) -- all public container-spec field reads
+        fourcc = raw[12:16]
+        if fourcc == b"VP8 " and len(raw) >= 30 and raw[23:26] == b"\x9d\x01\x2a":
+            w = int.from_bytes(raw[26:28], "little") & 0x3FFF
+            h = int.from_bytes(raw[28:30], "little") & 0x3FFF
+            return ("webp", w, h)
+        if fourcc == b"VP8L" and len(raw) >= 25 and raw[20] == 0x2F:
+            bits = int.from_bytes(raw[21:25], "little")
+            return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        if fourcc == b"VP8X" and len(raw) >= 30:
+            w = int.from_bytes(raw[24:27], "little") + 1
+            h = int.from_bytes(raw[27:30], "little") + 1
+            return ("webp", w, h)
+        return None
     if len(raw) >= 4 and raw[:2] == b"\xff\xd8":
         i = 2
         while i + 9 <= len(raw):
@@ -468,6 +485,239 @@ def png_luma_milli(raw: bytes):
         out[i] * 299 + out[i + 1] * 587 + out[i + 2] * 114
         for i in range(0, len(out), step)
     ]
+
+
+# ---------------------------------------------------------------------------
+# vendored GIF pixel decode (LZW) -- third leg of the pure-stdlib image
+# tier.  GIF is LOSSLESS, so like PNG (and unlike general JPEG) a
+# closed-form pixel oracle is exact.  Public-spec provenance: GIF89a
+# specification (CompuServe, public) + the standard GIF-variant LZW.
+
+
+def _gif_subblocks(raw: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain starting at ``pos``; returns
+    (data, position after the terminator)."""
+    out = bytearray()
+    while True:
+        if pos >= len(raw):
+            raise ValueError("truncated sub-block chain")
+        n = raw[pos]
+        pos += 1
+        if n == 0:
+            return bytes(out), pos
+        block = raw[pos : pos + n]
+        if len(block) < n:
+            raise ValueError("truncated sub-block")
+        out += block
+        pos += n
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+    """GIF-variant LZW: LSB-first codes, clear/EOI specials, code width
+    grows when the table fills (cap 12 bits)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError("bad LZW minimum code size")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [(i,) for i in range(clear)] + [None, None]
+    table = list(base)
+    code_size = min_code_size + 1
+    out: list[int] = []
+    acc = nbits = 0
+    prev: tuple[int, ...] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table) or table[code] is None:
+                    raise ValueError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code out of range")
+            out.extend(entry)
+            if len(out) > max_pixels:
+                raise ValueError("LZW output exceeds pixel count")
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    raise ValueError("LZW stream ended without EOI")
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_luma_milli(raw: bytes):
+    """Decode the FIRST frame of a GIF to the integer scale-1000 luma
+    matrix ``(w, h, lumas)`` -- the exact convention of
+    :func:`png_luma_milli` (``r*299 + g*587 + b*114`` over the palette
+    entries), so GIF payloads feed the same perceptual-hash consumers.
+    Interlaced frames are de-interlaced; animated GIFs hash frame 1
+    (later frames are deltas against rendered state -- out of scope,
+    and frame 1 is the perceptual identity of the asset); transparency
+    is ignored (the transparent index's palette color counts, exactly
+    what hashing the undisposed first frame means).  ``ValueError`` for
+    anything else -- the caller's containment tier."""
+    if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    flags = raw[10]
+    pos = 13
+    global_ct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_ct = raw[pos : pos + 3 * n]
+        if len(global_ct) < 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    while pos < len(raw):
+        b = raw[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            _, pos = _gif_subblocks(raw, pos + 2)
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(raw):
+                raise ValueError("truncated image descriptor")
+            w, h = struct.unpack("<HH", raw[pos + 5 : pos + 9])
+            iflags = raw[pos + 9]
+            pos += 10
+            ct = global_ct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = raw[pos : pos + 3 * n]
+                if len(ct) < 3 * n:
+                    raise ValueError("truncated local color table")
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("no color table")
+            if pos >= len(raw):
+                raise ValueError("missing LZW data")
+            mcs = raw[pos]
+            data, pos = _gif_subblocks(raw, pos + 1)
+            idx = _gif_lzw_decode(data, mcs, w * h)
+            if len(idx) < w * h:
+                raise ValueError("short pixel data")
+            idx = idx[: w * h]
+            if max(idx, default=0) * 3 + 3 > len(ct):
+                raise ValueError("palette index out of color-table range")
+            luma = [ct[i * 3] * 299 + ct[i * 3 + 1] * 587 + ct[i * 3 + 2] * 114 for i in idx]
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                rows = []
+                for start, step in _GIF_INTERLACE_PASSES:
+                    rows.extend(range(start, h, step))
+                out = [0] * (w * h)
+                for src, dst in enumerate(rows):
+                    out[dst * w : (dst + 1) * w] = luma[src * w : (src + 1) * w]
+                luma = out
+            return w, h, luma
+        elif b == 0x3B:  # trailer before any frame
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("no image frame")
+
+
+def encode_gif(
+    w: int,
+    h: int,
+    indices: bytes,
+    palette: bytes,
+    interlaced: bool = False,
+) -> bytes:
+    """Real GIF89a encoder (true LZW with growing code widths + clear-on-
+    full, optional interlacing) for tests and closed-form synthetic
+    corpora -- the write-side twin of :func:`gif_luma_milli`."""
+    n = len(palette) // 3
+    depth = max(1, (n - 1).bit_length())
+    if (1 << depth) * 3 != len(palette):
+        raise ValueError("palette length must be 3 * 2^k")
+    if len(indices) != w * h:
+        raise ValueError("index buffer does not match dimensions")
+    mcs = max(2, depth)
+    clear = 1 << mcs
+    eoi = clear + 1
+
+    if interlaced:
+        rows = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            rows.extend(range(start, h, step))
+        seq = bytearray()
+        for r in rows:
+            seq += indices[r * w : (r + 1) * w]
+        indices = bytes(seq)
+
+    out_bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    nxt = eoi + 1
+    code_size = mcs + 1
+    emit(clear, code_size)
+    buf = b""
+    for byte in indices:
+        cand = buf + bytes([byte])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], code_size)
+        if nxt < 4096:
+            table[cand] = nxt
+            nxt += 1
+            # one-late widen: the decoder rebuilds the entry for our emit
+            # j only while reading emit j+1, so its width change lands on
+            # emit j+2 -- the encoder therefore widens when the code just
+            # ASSIGNED equals 1<<code_size (one assignment after the
+            # (1<<code_size)-1 entry), not when it equals (1<<size)-1
+            if nxt - 1 == (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt = eoi + 1
+            code_size = mcs + 1
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out_bits.append(acc & 0xFF)
+
+    header = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80 | (depth - 1), 0, 0])
+    body = bytearray(header + palette)
+    body += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    body.append(0x40 if interlaced else 0)
+    body.append(mcs)
+    i = 0
+    while i < len(out_bits):
+        chunk = bytes(out_bits[i : i + 255])
+        body.append(len(chunk))
+        body += chunk
+        i += 255
+    body += b"\x00\x3b"
+    return bytes(body)
 
 
 def decode_image_real(payload: bytes):

@@ -146,3 +146,79 @@ def test_native_parity_when_pil_available():
     vals = _blocky_vals(4)
     jpg = encode_blocky_jpeg(8, 8, vals)
     assert _native_luma_milli(jpg) == decode_jpeg_luma_milli(jpg)
+
+
+def test_gif_lzw_round_trip_and_interlace():
+    """Real LZW (growing code widths, clear-on-full, interlace) round
+    trips exactly -- GIF is lossless, the PNG-style exactness contract."""
+    import random
+
+    from nreadspark.ops.multimodal import encode_gif, gif_luma_milli
+
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    random.seed(3)
+    for w, h, interlaced in [(16, 16, False), (16, 16, True), (13, 9, False), (120, 120, False)]:
+        idx = bytes(random.randrange(256) for _ in range(w * h))
+        dw, dh, lumas = gif_luma_milli(encode_gif(w, h, idx, pal, interlaced=interlaced))
+        assert (dw, dh) == (w, h)
+        assert lumas == [i * 1000 for i in idx], (w, h, interlaced)
+    # repetitive content drives deep LZW strings + real compression
+    idx = (b"abcabcabd" * 2000)[: 120 * 120]
+    raw = encode_gif(120, 120, idx, pal)
+    assert len(raw) < 2000  # actually compressed
+    assert gif_luma_milli(raw)[2] == [i * 1000 for i in idx]
+    # color palette: luma = r*299 + g*587 + b*114
+    pal4 = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    _, _, l = gif_luma_milli(encode_gif(4, 4, bytes([0, 1, 2, 3] * 4), pal4))
+    assert l[:4] == [255 * 299, 255 * 587, 255 * 114, 10 * 299 + 20 * 587 + 30 * 114]
+    for bad in [b"GIF89a", b"\x89PNG", encode_gif(4, 4, bytes(16), pal4)[:20]]:
+        with pytest.raises(ValueError):
+            gif_luma_milli(bad)
+
+
+def test_image_hashes_gif_tier_cross_codec(spark):
+    """pixels:gif rides image_hashes; a GIF and a PNG of the same pixel
+    formula hash identically (cross-codec dedup), interlacing doesn't
+    change the hash, corrupt rows contained."""
+    from nreadspark.ops.images import (
+        image_hashes,
+        synthesize_gif_corpus,
+        synthesize_png_corpus,
+    )
+
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    gif = {r["media_ref"]: r for r in image_hashes(
+        synthesize_gif_corpus(docs, n_bases=10, corrupt_mod=29)).collect()}
+    png = {r["media_ref"]: r for r in image_hashes(
+        synthesize_png_corpus(docs, n_bases=10, corrupt_mod=29)).collect()}
+    assert gif["gif://7"]["decoder"] == "undecodable"
+    assert gif["gif://4"]["decoder"] == "pixels:gif"  # progressive-scan
+    assert gif["gif://5"]["decoder"] == "pixels:gif"  # interlaced
+    for d in (3, 4, 13):
+        assert (gif[f"gif://{d}"]["ahash_hi"], gif[f"gif://{d}"]["ahash_lo"]) == (
+            png[f"img://{d}"]["ahash_hi"], png[f"img://{d}"]["ahash_lo"]
+        ), d
+    # interlaced 13 vs progressive 4: wrong pairing -- same BASE pairs:
+    assert (gif["gif://3"]["ghash_hi"], gif["gif://3"]["ghash_lo"]) == (
+        gif["gif://13"]["ghash_hi"], gif["gif://13"]["ghash_lo"]
+    )
+
+
+def test_webp_header_dims():
+    import struct
+
+    from nreadspark.ops.multimodal import parse_image_header
+
+    def riff(fourcc, chunk):
+        body = fourcc + struct.pack("<I", len(chunk)) + chunk
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    # payload: 3-byte frame tag, 3-byte start code, 14-bit dims
+    vp8 = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240) + bytes(8)
+    assert parse_image_header(riff(b"VP8 ", vp8)) == ("webp", 320, 240)
+    bits = (319) | (239 << 14)
+    vp8l = b"\x2f" + struct.pack("<I", bits) + bytes(8)
+    assert parse_image_header(riff(b"VP8L", vp8l)) == ("webp", 320, 240)
+    vp8x = bytes(4) + (319).to_bytes(3, "little") + (239).to_bytes(3, "little") + bytes(4)
+    assert parse_image_header(riff(b"VP8X", vp8x)) == ("webp", 320, 240)
+    assert parse_image_header(b"RIFF\x00\x00\x00\x00WEBPJUNK" + bytes(20)) is None
