@@ -49,6 +49,21 @@ LANG_MARKERS = {
     # scan -- _split_scan_safe rejects exactly that shape
     "hi": ["है", "और", "की", "में", "से"],
     "th": ["ที่", "ใน", "ของ", "และ", "การ"],
+    # round 7: six more languages, proving the replace-arithmetic scorer's
+    # cost is language-count-INDEPENDENT (the r6 alternation regressed
+    # ~linearly per added language; the r5->r6 10->14 jump measured 2x).
+    # Latin additions use deliberately ACCENT-FREE markers (Java \b is
+    # ASCII-only, so an accented marker would have ill-defined word
+    # boundaries in BOTH engines); el/bn are new disjoint scripts.
+    # Cross-language shared words ('og', 'som') are fine -- the contract
+    # is independent per-language scans, and discriminative markers keep
+    # argmax accuracy (held-out test).
+    "sv": ["och", "att", "som", "inte", "jag"],
+    "da": ["og", "ikke", "hvad", "hvor", "jeg"],
+    "fi": ["mutta", "kuin", "sitten", "vain", "kanssa"],
+    "pl": ["jest", "nie", "ale", "jak", "przez"],
+    "el": ["και", "του", "είναι", "που", "για"],
+    "bn": ["এবং", "করে", "আমি", "তার", "কিন্তু"],
 }
 
 # Languages whose markers are ASCII-ish space-delimited words get \b
@@ -57,7 +72,7 @@ LANG_MARKERS = {
 # sides are non-word chars and no boundary exists) -- substring counting is
 # the cross-engine-stable semantics there, and CJK has no word spacing
 # anyway.
-_LATIN_LANGS = {"en", "es", "fr", "de", "it", "pt", "nl"}
+_LATIN_LANGS = {"en", "es", "fr", "de", "it", "pt", "nl", "sv", "da", "fi", "pl"}
 
 
 def lang_pattern(lang: str) -> str:
@@ -364,35 +379,29 @@ def lang_id(
             "__na_len", F.length("__na")
         )
 
-        def replace_score(lang):
+        def replace_score_sql(lang: str) -> str:
+            # generated as ONE SQL string per language: at 20 languages the
+            # DSL form was ~800 py4j round-trips and ~2 s of DRIVER time
+            # per build (execution itself is ~0.2 s); F.expr parses
+            # JVM-side in one call
             if lang in _LATIN_LANGS:
                 src, slen = "__lt", "__lt_len"
                 needles = [f" {m} " for m in LANG_MARKERS[lang]]
             else:
                 src, slen = "__na", "__na_len"
                 needles = list(LANG_MARKERS[lang])
-            counts = [
-                (
-                    (
-                        F.col(slen)
-                        - F.length(F.replace(F.col(src), F.lit(n), F.lit("")))
-                    )
-                    / F.lit(len(n))
-                ).cast("long")
+            terms = [
+                "cast(({slen} - length(replace({src}, '{m}', ''))) / {k} as bigint)".format(
+                    slen=slen, src=src, m=n.replace("'", "''"), k=len(n)
+                )
                 for n in needles
             ]
-            total = counts[0]
-            for c in counts[1:]:
-                total = total + c
-            return total
+            return f"coalesce({' + '.join(terms)}, 0L) AS score_{lang}"
 
-        scored = staged.select(
+        scored = staged.selectExpr(
             "doc_id",
             *carry,
-            *[
-                F.coalesce(replace_score(lang), F.lit(0)).alias(f"score_{lang}")
-                for lang in langs
-            ],
+            *[replace_score_sql(lang) for lang in langs],
         )
     elif _single_pass_safe():  # pragma: no cover - shipped set is split-safe
         hits = F.regexp_extract_all(
@@ -418,18 +427,23 @@ def lang_id(
             for lang in langs
         ]
         scored = df.select("doc_id", *carry, *score_cols)
-    # argmax with tie-break on language code order
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    predicted = F.when(best == 0, F.lit("und")).otherwise(
-        F.coalesce(
-            *[F.when(F.col(f"score_{lang}") == best, F.lit(lang)) for lang in langs]
+    # argmax with tie-break on language code order -- SQL-generated like
+    # the score columns (py4j build cost), best staged in its own
+    # projection so the CASE arms read a column ref
+    best_sql = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred_sql = (
+        "CASE WHEN __best = 0 THEN 'und' ELSE coalesce("
+        + ", ".join(
+            f"CASE WHEN score_{lang} = __best THEN '{lang}' END" for lang in langs
         )
+        + ") END AS predicted_lang"
     )
-    return scored.select(
+    staged_best = scored.selectExpr("*", f"{best_sql} AS __best")
+    return staged_best.selectExpr(
         "doc_id",
         *carry,
-        predicted.alias("predicted_lang"),
-        best.cast("bigint").alias("best_score"),
+        pred_sql,
+        "cast(__best AS bigint) AS best_score",
     )
 
 

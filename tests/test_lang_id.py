@@ -125,6 +125,49 @@ CORPUS = {
         "อาหารและน้ำอยู่ในครัว",
         "บ้านของเราอยู่ที่เชิงเขา",
     ],
+    # round-7 additions (20 languages total)
+    "sv": [
+        "jag tror att det blir regn och blåst idag",
+        "hon sa att hon inte ville komma med",
+        "det var en bok som jag verkligen gillade",
+        "vi gick ut fast det inte var varmt och soligt",
+        "jag vet inte om han kommer att hinna",
+    ],
+    "da": [
+        "jeg ved ikke hvad han mener med det",
+        "hvor er bogen og hvad skal vi læse",
+        "hun kom ikke og jeg gik hjem",
+        "hvad sker der og hvor skal vi hen",
+        "jeg kan ikke se hvor vejen ender",
+    ],
+    "fi": [
+        "halusin tulla mutta juna oli myöhässä",
+        "talo on suurempi kuin muistin ja sitten satoi",
+        "otan vain yhden kupin kahvia kanssa",
+        "ensin söimme ja sitten lähdimme kävelylle",
+        "parempi myöhään kuin ei milloinkaan mutta tule",
+    ],
+    "pl": [
+        "to jest dom ale nie mój",
+        "nie wiem jak to działa przez cały dzień",
+        "ona jest miła ale czasem nie słucha",
+        "przeszliśmy przez park jak zwykle wieczorem",
+        "to nie jest takie proste jak się wydaje",
+    ],
+    "el": [
+        "και το πρωί ήπιαμε καφέ του χωριού",
+        "το σπίτι που μένουμε είναι παλιό",
+        "αυτό είναι για σένα και για μένα",
+        "η θάλασσα του νησιού είναι καθαρή",
+        "ο φίλος που ήρθε χθες έφυγε νωρίς",
+    ],
+    "bn": [
+        "আমি বই পড়ি এবং গান শুনি",
+        "সে কাজ করে কিন্তু ক্লান্ত হয় না",
+        "তার বাড়ি নদীর ধারে এবং খুব সুন্দর",
+        "আমি যাব কিন্তু একটু দেরি হবে",
+        "বৃষ্টি পড়ে এবং তার ছাতা নেই",
+    ],
 }
 
 
