@@ -484,13 +484,15 @@ def synthesize_jpeg_corpus(
     exactly one JPEG block, so the oracle reduces to ``bit j = v_j * 64
     > sum(v)`` (counts cancel).
 
-    Odd doc_ids encode the SAME luma inside a 3-component YCbCr 4:2:0
-    frame with flat chroma (exercising interleave/subsample/chroma-skip
-    and planting cross-layout duplicate pairs: gray and color twins hash
-    identically); ``doc_id % corrupt_mod == 7`` rows are truncated
-    (``undecodable``); ``doc_id % progressive_mod == 11`` rows are an
-    SOF2 stub with parseable dims (the ``header:jpeg`` tier)."""
-    from .jpeg import encode_blocky_jpeg
+    Three encodings of the SAME luma rotate by ``doc_id % 3``: gray
+    baseline, YCbCr 4:2:0 baseline (interleave/subsample/chroma-skip),
+    and PROGRESSIVE gray (the six-scan successive-approximation script
+    -- DC-only blocks survive it exactly) -- all three hash identically,
+    planting cross-encoding duplicate pairs.  ``doc_id % corrupt_mod ==
+    7`` rows are truncated (``undecodable``); ``doc_id %
+    progressive_mod == 11`` rows are a scanless SOF2 stub with parseable
+    dims (the ``header:jpeg`` tier -- dims without decodable pixels)."""
+    from .jpeg import encode_blocky_jpeg, encode_gray_jpeg_progressive
 
     def batches(iterator):
         import pandas as pd
@@ -508,9 +510,20 @@ def synthesize_jpeg_corpus(
                 if d % progressive_mod == 11:
                     raw = _PROGRESSIVE_STUB
                 else:
-                    raw = encode_blocky_jpeg(
-                        GRID, GRID, vals, color_420=bool(d % 2)
-                    )
+                    layout = d % 3
+                    if layout == 2:
+                        px = bytes(
+                            vals[(y // 8) * GRID + (x // 8)]
+                            for y in range(8 * GRID)
+                            for x in range(8 * GRID)
+                        )
+                        raw = encode_gray_jpeg_progressive(
+                            8 * GRID, 8 * GRID, px
+                        )
+                    else:
+                        raw = encode_blocky_jpeg(
+                            GRID, GRID, vals, color_420=(layout == 1)
+                        )
                     if d % corrupt_mod == 7:
                         raw = raw[:16]
                 refs.append(f"jpg://{d}")

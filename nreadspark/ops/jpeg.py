@@ -4,11 +4,11 @@ PNG unfilter in ``ops.multimodal``.
 
 Scope (deliberate, documented):
 
-* baseline sequential DCT (SOF0), 8-bit precision, grayscale or YCbCr;
-* one interleaved scan covering all components (plus the grayscale
-  single-component scan) -- the layout virtually every camera/encoder
-  emits; progressive (SOF2), arithmetic coding, hierarchical and
-  multi-scan baseline raise ``ValueError`` and take the header-dims tier
+* baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2: spectral
+  selection + successive approximation, DC/AC first and refinement
+  scans, EOB runs -- the full T.81 Annex G Huffman path), 8-bit
+  precision, grayscale or YCbCr; arithmetic coding, hierarchical and
+  lossless modes raise ``ValueError`` and take the header-dims tier
   upstream (``decoder='header:jpeg'``);
 * the luma plane ONLY: the perceptual-hash consumers need Y, and JPEG
   stores Y as its own component, so chroma blocks are entropy-SKIPPED
@@ -27,7 +27,11 @@ basis function is flat), so a closed-form SQL oracle can recompute
 hashes without touching JPEG bytes, and a PIL/libjpeg parity test is
 exact as well (``tests/test_images.py``; gated on PIL availability).
 The numpy matrix IDCT here keeps float error ~1e-13 on DC-only blocks
--- far below the round-to-nearest threshold.
+-- far below the round-to-nearest threshold.  Progressive gets a second
+exactness lever: successive approximation is LOSSLESS once all scans
+arrive, so a progressive encoding of the same quantized coefficients
+must decode to exactly the baseline encoding's pixels -- pinned by
+round-trip tests through two entirely different entropy paths.
 
 Throughput: the entropy loop is pure Python (same vendored-tier
 trade as the PNG unfilter, measured and documented in
@@ -186,13 +190,54 @@ def _split_entropy(raw: bytes, start: int) -> tuple[list[bytes], int]:
     return [bytes(c) for c in chunks], i
 
 
+class _FrameState:
+    """Per-frame coefficient store: the luma component's blocks on the
+    LOGICAL grid (``index = by * bw + bx`` over the interleave-padded
+    grid), accumulated across however many scans the stream carries --
+    one for baseline, several for progressive."""
+
+    def __init__(self, w, h, comps, progressive):
+        if comps[0][1] != max(c[1] for c in comps) or comps[0][2] != max(
+            c[2] for c in comps
+        ):
+            raise ValueError("luma not stored at full resolution")
+        self.w, self.h = w, h
+        self.progressive = progressive
+        if len(comps) == 1:
+            comps = [(comps[0][0], 1, 1, comps[0][3])]
+        self.comps = comps
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcus_x = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcus_y = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.luma_id = comps[0][0]
+        self.hy, self.vy = comps[0][1], comps[0][2]
+        self.bw = self.mcus_x * self.hy  # interleave-padded block grid
+        self.bh = self.mcus_y * self.vy
+        # non-interleaved grid (what single-component scans iterate):
+        # can be NARROWER than the padded grid when w % mcu_width != 0
+        self.nw = (w + 7) // 8
+        self.nh = (h + 7) // 8
+        self.coefs = [[0] * 64 for _ in range(self.bw * self.bh)]
+
+
 def decode_jpeg_luma_milli(raw: bytes, max_pixels: int | None = None):
-    """Decode a baseline JPEG's LUMA plane: ``(w, h, lumas)`` with
-    ``lumas`` a row-major list of ``Y*1000`` integers -- the same
-    scale-1000 convention as :func:`~nreadspark.ops.multimodal.
-    png_luma_milli` (and the identical quantity: JPEG's Y IS the ITU-R
-    601 luma).  ``ValueError`` on anything outside the documented
-    baseline scope -- the caller's containment tier."""
+    """Decode a JPEG's LUMA plane: ``(w, h, lumas)`` with ``lumas`` a
+    row-major list of ``Y*1000`` integers -- the same scale-1000
+    convention as :func:`~nreadspark.ops.multimodal.png_luma_milli` (and
+    the identical quantity: JPEG's Y IS the ITU-R 601 luma).
+
+    Handles baseline sequential (SOF0/1) AND progressive (SOF2: spectral
+    selection + successive approximation, DC/AC first and refinement
+    scans, EOB runs) -- both accumulate into one coefficient store, so
+    the IDCT/assembly path is shared and a progressive encoding of the
+    same quantized coefficients decodes to EXACTLY the baseline pixels
+    (the property the round-trip tests pin).  Chroma stays cheap: its
+    non-interleaved scans are skipped wholesale (the entropy segment
+    boundary is found without decoding), and interleaved scans only
+    parse its coefficient lengths.  ``ValueError`` on anything outside
+    this scope (arithmetic coding, hierarchical, 12-bit, lossless) --
+    the caller's containment tier."""
     import numpy as np
 
     if len(raw) < 4 or raw[:2] != b"\xff\xd8":
@@ -200,11 +245,12 @@ def decode_jpeg_luma_milli(raw: bytes, max_pixels: int | None = None):
     qtables: dict[int, list[int]] = {}
     dc_tables: dict[int, _HuffTable] = {}
     ac_tables: dict[int, _HuffTable] = {}
-    frame = None  # (w, h, components)
+    st: _FrameState | None = None
     restart_interval = 0
+    saw_scan = False
     i = 2
     n = len(raw)
-    while i + 4 <= n:
+    while i + 2 <= n:
         if raw[i] != 0xFF:
             raise ValueError("marker expected")
         marker = raw[i + 1]
@@ -213,6 +259,8 @@ def decode_jpeg_luma_milli(raw: bytes, max_pixels: int | None = None):
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
+        if i + 4 > n:
+            raise ValueError("truncated segment header")
         seg_len = int.from_bytes(raw[i + 2 : i + 4], "big")
         body = raw[i + 4 : i + 2 + seg_len]
         if len(body) != seg_len - 2:
@@ -231,7 +279,7 @@ def decode_jpeg_luma_milli(raw: bytes, max_pixels: int | None = None):
                         for k in range(64)
                     ]
                     j += 128
-                if len(q) != 64 or not q[-1:]:
+                if len(q) != 64:
                     raise ValueError("truncated DQT")
                 qtables[tq] = q
         elif marker == 0xC4:  # DHT
@@ -245,7 +293,7 @@ def decode_jpeg_luma_milli(raw: bytes, max_pixels: int | None = None):
                     raise ValueError("truncated DHT")
                 (dc_tables if tc == 0 else ac_tables)[th] = _HuffTable(bits, vals)
                 j += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline-decodable
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = body[0]
             h, w = struct.unpack(">HH", body[1:5])
             nc = body[5]
@@ -253,141 +301,286 @@ def decode_jpeg_luma_milli(raw: bytes, max_pixels: int | None = None):
                 raise ValueError("only 8-bit precision supported")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported component count {nc}")
+            if max_pixels is not None and w * h > max_pixels:
+                raise ValueError("image exceeds max_pixels")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-            frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic/hierarchical)")
+            st = _FrameState(w, h, comps, progressive=(marker == 0xC2))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG coding (arithmetic/hierarchical/lossless)")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS
-            if frame is None:
+            if st is None:
                 raise ValueError("SOS before SOF")
-            w, h, comps = frame
-            if max_pixels is not None and w * h > max_pixels:
-                raise ValueError("image exceeds max_pixels")
             ns = body[0]
-            if ns != len(comps):
-                raise ValueError("multi-scan baseline unsupported")
-            scan_sel = {}
+            sel = []
             for s in range(ns):
                 cs, tables = body[1 + 2 * s], body[2 + 2 * s]
-                scan_sel[cs] = (tables >> 4, tables & 0xF)
-            chunks, _ = _split_entropy(raw, i + 2 + seg_len)
-            return _decode_scan(
-                np, w, h, comps, scan_sel, qtables, dc_tables, ac_tables,
-                chunks, restart_interval,
+                sel.append((cs, tables >> 4, tables & 0xF))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            chunks, i = _split_entropy(raw, i + 2 + seg_len)
+            _decode_sos(
+                st, sel, ss, se, ah, al, chunks, dc_tables, ac_tables,
+                restart_interval,
             )
+            saw_scan = True
+            continue
         i += 2 + seg_len
-    raise ValueError("no SOS segment")
+    if st is None or not saw_scan:
+        raise ValueError("no SOS segment")
+    yq = qtables.get(st.comps[0][3])
+    if yq is None:
+        raise ValueError("missing quantization table")
+    return _finish_luma(np, st, yq)
 
 
-def _decode_scan(
-    np, w, h, comps, scan_sel, qtables, dc_tables, ac_tables, chunks,
-    restart_interval,
-):
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if comps[0][1] != hmax or comps[0][2] != vmax:
-        raise ValueError("luma not stored at full resolution")
-    if len(comps) == 1:
-        # non-interleaved single-component scan: MCU is ONE block
-        mcus_x = (w + 7) // 8
-        mcus_y = (h + 7) // 8
-        hmax = vmax = 1
-        comps = [(comps[0][0], 1, 1, comps[0][3])]
-    else:
-        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
-        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    luma_id = comps[0][0]
-    for cid, _, _, tq in comps:
-        if tq not in qtables:
-            raise ValueError("missing quantization table")
-        if cid not in scan_sel:
-            raise ValueError("scan omits a frame component")
-        td, ta = scan_sel[cid]
-        if td not in dc_tables or ta not in ac_tables:
-            raise ValueError("missing Huffman table")
-    yq = np.array(
-        [qtables[comps[0][3]][k] for k in range(64)], dtype=np.float64
-    )
-    # zigzag -> linear permutation applied once per stored block
-    zz = np.array(ZIGZAG, dtype=np.int64)
+class _ChunkReader:
+    """Restart-aware bit source: units (MCUs or blocks) are counted and
+    the reader hops to the next restart chunk at each interval."""
 
-    hy, vy = comps[0][1], comps[0][2]
-    blocks_per_mcu_y = hy * vy
-    y_blocks = np.zeros((mcus_x * mcus_y * blocks_per_mcu_y, 64), dtype=np.float64)
+    def __init__(self, chunks, interval, on_restart):
+        self._iter = iter(chunks)
+        self.reader = _BitReader(next(self._iter))
+        self.interval = interval
+        self.on_restart = on_restart
+        self.units = 0
 
-    n_mcus = mcus_x * mcus_y
-    mcu_index = 0
-    chunk_iter = iter(chunks)
-    reader = _BitReader(next(chunk_iter))
-    preds = {cid: 0 for cid, *_ in comps}
-    interval = restart_interval if restart_interval else n_mcus
-    stored = 0
-    while mcu_index < n_mcus:
-        if mcu_index and restart_interval and mcu_index % interval == 0:
-            # restart: next chunk, byte-aligned, predictors reset
+    def step(self) -> None:
+        if self.units and self.interval and self.units % self.interval == 0:
             try:
-                reader = _BitReader(next(chunk_iter))
+                self.reader = _BitReader(next(self._iter))
             except StopIteration:
                 raise ValueError("missing restart marker") from None
-            preds = {cid: 0 for cid, *_ in comps}
-        for cid, ch, cv, _tq in comps:
-            td, ta = scan_sel[cid]
-            dct, act = dc_tables[td], ac_tables[ta]
-            for _b in range(ch * cv):
-                is_luma = cid == luma_id
-                coeffs = y_blocks[stored] if is_luma else None
-                # DC
-                s = _decode_symbol(reader, dct)
-                diff = _extend(reader.receive(s), s) if s else 0
-                preds[cid] += diff
-                if is_luma:
-                    coeffs[0] = preds[cid]
-                # AC run-length
-                k = 1
-                while k < 64:
-                    rs = _decode_symbol(reader, act)
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    v = _extend(reader.receive(s), s)
-                    if is_luma:
-                        coeffs[k] = v
-                    k += 1
-                if is_luma:
-                    stored += 1
-        mcu_index += 1
+            self.on_restart()
 
-    # dequant + de-zigzag + IDCT, vectorized over every luma block
+
+def _decode_sos(st, sel, ss, se, ah, al, chunks, dc_tables, ac_tables, dri):
+    frame_by_id = {c[0]: c for c in st.comps}
+    for cs, _, _ in sel:
+        if cs not in frame_by_id:
+            raise ValueError("scan component not in frame")
+    if st.progressive and not (
+        (ss == 0 and se == 0) or (len(sel) == 1 and 1 <= ss <= se <= 63)
+    ):
+        raise ValueError("invalid progressive band")
+    if not st.progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("invalid sequential scan parameters")
+
+    if len(sel) == 1 and sel[0][0] != st.luma_id and st.progressive:
+        return  # chroma-only scan: entropy segment already skipped
+
+    if len(sel) > 1 or not st.progressive:
+        # multi-component MCU scan (baseline full band / progressive DC),
+        # or the baseline single-component frame (full band, MCU == block)
+        _decode_interleaved(st, sel, ss, se, ah, al, chunks, dc_tables, ac_tables, dri)
+    else:
+        _decode_single(st, sel[0], ss, se, ah, al, chunks, dc_tables, ac_tables, dri)
+
+
+def _decode_interleaved(st, sel, ss, se, ah, al, chunks, dc_tables, ac_tables, dri):
+    """All-components MCU scan: baseline full band, or progressive DC
+    (first / refinement).  Chroma coefficients are parsed for their bit
+    lengths only."""
+    if st.progressive and se != 0:
+        raise ValueError("interleaved AC scan is not legal JPEG")
+    by_id = {c[0]: c for c in st.comps}
+    order = [by_id[cs] for cs, _, _ in sel]
+    tables = {cs: (td, ta) for cs, td, ta in sel}
+    preds = {c[0]: 0 for c in st.comps}
+
+    def on_restart():
+        for k in preds:
+            preds[k] = 0
+
+    interval = dri if dri else 0
+    src = _ChunkReader(chunks, interval, on_restart)
+    dc_refine = st.progressive and ah > 0
+    for cs, td, ta in sel:
+        if not dc_refine and td not in dc_tables:
+            raise ValueError("missing DC Huffman table")
+        if not st.progressive and ta not in ac_tables:
+            raise ValueError("missing AC Huffman table")
+    n_mcus = st.mcus_x * st.mcus_y
+    single = len(st.comps) == 1
+    for m in range(n_mcus):
+        src.step()
+        r = src.reader
+        my, mx = divmod(m, st.mcus_x)
+        for cid, ch, cv, _tq in order:
+            td, ta = tables[cid]
+            is_luma = cid == st.luma_id
+            for b in range(ch * cv):
+                iy, ix = divmod(b, ch)
+                if is_luma:
+                    blk = st.coefs[(my * cv + iy) * st.bw + mx * ch + ix]
+                else:
+                    blk = None
+                if dc_refine:
+                    bit = r.read_bit()
+                    if blk is not None:
+                        blk[0] |= bit << al
+                else:
+                    s = _decode_symbol(r, dc_tables[td])
+                    diff = _extend(r.receive(s), s) if s else 0
+                    preds[cid] += diff
+                    if blk is not None:
+                        blk[0] = preds[cid] << al
+                if not st.progressive:
+                    _baseline_ac(r, ac_tables[ta], blk)
+        src.units += 1
+    # grayscale baseline frames are a single-component "interleaved" scan
+    del single
+
+
+def _baseline_ac(r, act, blk):
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(r, act)
+        run, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if run == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        v = _extend(r.receive(s), s)
+        if blk is not None:
+            blk[k] = v
+        k += 1
+
+
+def _decode_single(st, one, ss, se, ah, al, chunks, dc_tables, ac_tables, dri):
+    """Single-component progressive scan over the luma's non-interleaved
+    block grid (raster order; may be narrower than the padded grid)."""
+    cs, td, ta = one
+    state = {"pred": 0, "eobrun": 0}
+
+    def on_restart():
+        state["pred"] = 0
+        state["eobrun"] = 0
+
+    src = _ChunkReader(chunks, dri if dri else 0, on_restart)
+    if ss == 0:  # DC-only non-interleaved scan
+        if ah == 0 and td not in dc_tables:
+            raise ValueError("missing DC Huffman table")
+    elif ah == 0 or st.progressive:
+        if ta not in ac_tables and ss > 0:
+            raise ValueError("missing AC Huffman table")
+    for by in range(st.nh):
+        for bx in range(st.nw):
+            src.step()
+            r = src.reader
+            blk = st.coefs[by * st.bw + bx]
+            if ss == 0:
+                if ah == 0:
+                    s = _decode_symbol(r, dc_tables[td])
+                    diff = _extend(r.receive(s), s) if s else 0
+                    state["pred"] += diff
+                    blk[0] = state["pred"] << al
+                else:
+                    blk[0] |= r.read_bit() << al
+            elif ah == 0:
+                _ac_first(r, ac_tables[ta], blk, ss, se, al, state)
+            else:
+                _ac_refine(r, ac_tables[ta], blk, ss, se, al, state)
+            src.units += 1
+
+
+def _ac_first(r, act, blk, ss, se, al, state):
+    """Progressive AC initial scan (T.81 G.1.2.2): baseline run-length
+    plus EOBn end-of-band runs spanning blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(r, act)
+        run, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if run == 15:
+                k += 16
+                continue
+            state["eobrun"] = (1 << run) - 1
+            if run:
+                state["eobrun"] += r.receive(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(r.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine(r, act, blk, ss, se, al, state):
+    """Progressive AC refinement scan (T.81 G.1.2.3, the djpeg
+    decode_mcu_AC_refine shape): weave correction bits for
+    already-nonzero coefficients while placing new +-1<<Al ones; an EOB
+    run still carries correction bits for the rest of the band."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_symbol(r, act)
+            run, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if run != 15:
+                    # refinement EOBn carries the FULL count (1<<r)+extra
+                    # and the current block still owes its tail correction
+                    # bits -- the tail pass below always runs, then
+                    # decrements (the jdphuff semantics; using (1<<r)-1
+                    # here would skip the tail bits at run=0)
+                    state["eobrun"] = 1 << run
+                    if run:
+                        state["eobrun"] += r.receive(run)
+                    break
+                coef = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                coef = p1 if r.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if r.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = coef
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if blk[k] != 0 and r.read_bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _finish_luma(np, st, yq_list):
+    yq = np.array(yq_list, dtype=np.float64)
+    zz = np.array(ZIGZAG, dtype=np.int64)
+    y_blocks = np.array(st.coefs, dtype=np.float64)
     deq = np.zeros_like(y_blocks)
     deq[:, zz] = y_blocks * yq[None, :]
     pix = _idct_blocks(deq.reshape(-1, 8, 8))
     pix = np.clip(np.floor(pix + 128.5), 0, 255).astype(np.int64)
-
-    # assemble the luma plane from per-MCU block order, crop to (w, h)
-    plane_w, plane_h = mcus_x * hy * 8, mcus_y * vy * 8
-    plane = np.zeros((plane_h, plane_w), dtype=np.int64)
-    b = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for by in range(vy):
-                for bx in range(hy):
-                    y0 = (my * vy + by) * 8
-                    x0 = (mx * hy + bx) * 8
-                    plane[y0 : y0 + 8, x0 : x0 + 8] = pix[b]
-                    b += 1
-    plane = plane[:h, :w] * 1000
-    return w, h, plane.reshape(-1).tolist()
+    # logical grid: block index = by * bw + bx
+    plane = (
+        pix.reshape(st.bh, st.bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(st.bh * 8, st.bw * 8)
+    )
+    plane = plane[: st.h, : st.w] * 1000
+    return st.w, st.h, plane.reshape(-1).tolist()
 
 
 # ---------------------------------------------------------------------------
@@ -480,6 +673,29 @@ def _forward_dct_blocks(blocks):
     return np.einsum("ur,nrc,vc->nuv", M, blocks, M, optimize=True)
 
 
+def _quantize_gray(w: int, h: int, pixels: bytes, quant: int):
+    """(bw, bh, quantized) -- zigzag-ordered integer coefficient blocks
+    shared by the baseline and progressive encoders, so both transmit
+    the IDENTICAL coefficients (the basis of the cross-encoding
+    exactness test)."""
+    import numpy as np
+
+    if len(pixels) != w * h:
+        raise ValueError("pixel buffer does not match dimensions")
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w).astype(np.float64)
+    # edge-replicate padding keeps block stats sane
+    img = np.pad(img, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") - 128.0
+    blocks = img.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coeffs = _forward_dct_blocks(blocks)
+    q = np.full(64, quant, dtype=np.float64)
+    quantized = np.round(coeffs.reshape(-1, 64)[:, ZIGZAG] / q[None, :]).astype(int)
+    # the Annex K AC table tops out at category 10 (|v| <= 1023); only a
+    # near-checkerboard extreme can exceed it -- clamp ACs, never the DC
+    quantized[:, 1:] = np.clip(quantized[:, 1:], -1023, 1023)
+    return bw, bh, quantized
+
+
 def encode_gray_jpeg(
     w: int,
     h: int,
@@ -492,26 +708,9 @@ def encode_gray_jpeg(
     markers) -- exercises the decoder's AC/run-length/restart paths in
     tests.  Lossless only in the DC-only constant-block case; general
     images round-trip within IDCT tolerance."""
-    import numpy as np
-
-    if len(pixels) != w * h:
-        raise ValueError("pixel buffer does not match dimensions")
     dct = _HuffTable(DC_LUMA_BITS, DC_LUMA_VALS)
     act = _HuffTable(AC_LUMA_BITS, AC_LUMA_VALS)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w).astype(np.float64)
-    # edge-replicate padding keeps block stats sane
-    img = np.pad(img, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") - 128.0
-    blocks = (
-        img.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    )
-    coeffs = _forward_dct_blocks(blocks)
-    zz = ZIGZAG
-    q = np.full(64, quant, dtype=np.float64)
-    quantized = np.round(coeffs.reshape(-1, 64)[:, zz] / q[None, :]).astype(int)
-    # the Annex K AC table tops out at category 10 (|v| <= 1023); only a
-    # near-checkerboard extreme can exceed it -- clamp ACs, never the DC
-    quantized[:, 1:] = np.clip(quantized[:, 1:], -1023, 1023)
+    bw, bh, quantized = _quantize_gray(w, h, pixels, quant)
 
     wtr = _BitWriter()
     pred = 0
@@ -601,5 +800,220 @@ def encode_blocky_jpeg(
     out += _seg(0xC4, bytes([0x10] + AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
     out += _seg(0xDA, sos)
     out += body
+    out += b"\xff\xd9"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (tests + synthetic corpora): the libjpeg-style scan
+# script over the SAME quantized coefficients as encode_gray_jpeg, which
+# is what makes the cross-encoding exactness test possible -- successive
+# approximation is lossless once all scans arrive, so progressive decode
+# == baseline decode, bit for bit.
+
+# the standard sequential AC table has no EOBn symbols (progressive needs
+# EOB1..EOB14), so progressive scans carry their own fixed-length table:
+# 176 symbols all at 8 bits (valid canonical Huffman; the all-ones code
+# stays unused).  Optimal? No. Spec-conformant and simple? Yes.
+_PROG_AC_VALS = (
+    [r << 4 for r in range(15)]  # EOB0..EOB14
+    + [0xF0]  # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+class _ScanWriter(_BitWriter):
+    """Bit writer with the pending EOB-run + buffered-correction-bit
+    machinery both progressive AC scan types share.  TWO bit pools, as
+    in jcphuff: ``run_bits`` belong to the pending cross-block EOB run
+    and flush right after its EOBn symbol; ``cur_bits`` are the current
+    block's corrections since the last emitted symbol and flush right
+    after THAT symbol -- conflating them emits bits in the wrong order
+    relative to the next symbol."""
+
+    def __init__(self, act: _HuffTable):
+        super().__init__()
+        self.act = act
+        self.eobrun = 0
+        self.run_bits: list[int] = []
+        self.cur_bits: list[int] = []
+
+    def symbol(self, s: int) -> None:
+        code, length = self.act.encode[s]
+        self.write(code, length)
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            run = self.eobrun.bit_length() - 1
+            self.symbol(run << 4)
+            if run:
+                self.write(self.eobrun - (1 << run), run)
+            self.eobrun = 0
+            for b in self.run_bits:
+                self.write(b, 1)
+            self.run_bits = []
+
+    def flush_cur(self) -> None:
+        for b in self.cur_bits:
+            self.write(b, 1)
+        self.cur_bits = []
+
+    def end_block_pending(self) -> None:
+        """Block ended with unemitted state: it joins the EOB run and its
+        leftover correction bits ride with the run."""
+        self.eobrun += 1
+        self.run_bits.extend(self.cur_bits)
+        self.cur_bits = []
+        if self.eobrun == 0x7FFF:
+            self.emit_eobrun()
+
+
+def _enc_dc_first(quantized, al: int, dct: _HuffTable) -> bytes:
+    wtr = _BitWriter()
+    pred = 0
+    for blk in quantized:
+        t = int(blk[0]) >> al  # DC uses the arithmetic point transform
+        diff = t - pred
+        pred = t
+        s = _category(diff)
+        code, length = dct.encode[s]
+        wtr.write(code, length)
+        _write_coeff_bits(wtr, diff, s)
+    return wtr.flush()
+
+
+def _enc_dc_refine(quantized, al: int) -> bytes:
+    wtr = _BitWriter()
+    for blk in quantized:
+        wtr.write((int(blk[0]) >> al) & 1, 1)
+    return wtr.flush()
+
+
+def _enc_ac_first(quantized, ss: int, se: int, al: int, act: _HuffTable) -> bytes:
+    wtr = _ScanWriter(act)
+    for blk in quantized:
+        # AC uses the MAGNITUDE point transform (sign(v) * (|v| >> Al))
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            a = (v if v >= 0 else -v) >> al
+            vals.append(a if v >= 0 else -a)
+        last_nz = -1
+        for j in range(len(vals) - 1, -1, -1):
+            if vals[j]:
+                last_nz = j
+                break
+        if last_nz < 0:
+            wtr.eobrun += 1
+            if wtr.eobrun == 0x7FFF:
+                wtr.emit_eobrun()
+            continue
+        wtr.emit_eobrun()
+        r = 0
+        for j in range(last_nz + 1):
+            v = vals[j]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                wtr.symbol(0xF0)
+                r -= 16
+            s = _category(v)
+            wtr.symbol((r << 4) | s)
+            _write_coeff_bits(wtr, v, s)
+            r = 0
+        if last_nz < len(vals) - 1:
+            wtr.eobrun += 1
+    wtr.emit_eobrun()
+    return wtr.flush()
+
+
+def _enc_ac_refine(quantized, ss: int, se: int, al: int, act: _HuffTable) -> bytes:
+    """jcphuff encode_mcu_AC_refine shape: |v|>>Al == 1 places a new
+    coefficient this scan; > 1 appends a correction bit; ZRLs only
+    before the last new coefficient; trailing state rides the EOB run."""
+    wtr = _ScanWriter(act)
+    for blk in quantized:
+        absv = []
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            absv.append((v if v >= 0 else -v) >> al)
+        eob = -1
+        for j in range(len(absv) - 1, -1, -1):
+            if absv[j] == 1:
+                eob = j
+                break
+        r = 0
+        for j, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            if t > 1:
+                wtr.cur_bits.append(t & 1)
+                continue
+            # t == 1: newly nonzero this scan
+            while r > 15 and j <= eob:
+                wtr.emit_eobrun()
+                wtr.symbol(0xF0)
+                r -= 16
+                wtr.flush_cur()
+            wtr.emit_eobrun()
+            wtr.symbol((r << 4) | 1)
+            wtr.write(1 if int(blk[ss + j]) >= 0 else 0, 1)
+            wtr.flush_cur()
+            r = 0
+        if r > 0 or wtr.cur_bits:
+            wtr.end_block_pending()
+    wtr.emit_eobrun()
+    return wtr.flush()
+
+
+# the libjpeg-default-style grayscale scan script: spectral selection +
+# two-stage successive approximation for both DC and AC
+_PROG_SCRIPT = (
+    ("dc_first", 0, 0, 0, 1),
+    ("ac_first", 1, 5, 0, 2),
+    ("ac_first", 6, 63, 0, 2),
+    ("ac_refine", 1, 63, 2, 1),
+    ("dc_refine", 0, 0, 1, 0),
+    ("ac_refine", 1, 63, 1, 0),
+)
+
+
+def encode_gray_jpeg_progressive(
+    w: int, h: int, pixels: bytes, quant: int = 1
+) -> bytes:
+    """Progressive (SOF2) grayscale encoder: six scans of spectral
+    selection + successive approximation over the SAME quantized
+    coefficients as :func:`encode_gray_jpeg` -- decoding this payload
+    must produce EXACTLY the baseline encoding's pixels (successive
+    approximation is lossless once all scans arrive), which is the
+    cross-encoding consistency test's contract."""
+    dct = _HuffTable(DC_LUMA_BITS, DC_LUMA_VALS)
+    act = _HuffTable(_PROG_AC_BITS, _PROG_AC_VALS)
+    bw, bh, quantized = _quantize_gray(w, h, pixels, quant)
+    blocks = quantized.tolist()
+
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
+    out += _seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00] + DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _seg(0xC4, bytes([0x11] + _PROG_AC_BITS) + bytes(_PROG_AC_VALS))
+    for kind, ss, se, ah, al in _PROG_SCRIPT:
+        if kind == "dc_first":
+            body = _enc_dc_first(blocks, al, dct)
+            tables = 0x00
+        elif kind == "dc_refine":
+            body = _enc_dc_refine(blocks, al)
+            tables = 0x00  # table selector ignored in DC refinement
+        elif kind == "ac_first":
+            body = _enc_ac_first(blocks, ss, se, al, act)
+            tables = 0x01
+        else:
+            body = _enc_ac_refine(blocks, ss, se, al, act)
+            tables = 0x01
+        out += _seg(0xDA, bytes([1, 1, tables, ss, se, (ah << 4) | al]))
+        out += body
     out += b"\xff\xd9"
     return out

@@ -110,12 +110,18 @@ def test_image_hashes_jpeg_and_header_tiers(spark):
     assert got["jpg://11"]["decoder"] == "header:jpeg"  # 11 % 89 == 11
     assert (got["jpg://11"]["width"], got["jpg://11"]["height"]) == (64, 64)
     assert got["jpg://11"]["ahash_hi"] is None
-    assert got["jpg://0"]["decoder"] == "pixels:jpeg"  # gray layout
-    assert got["jpg://1"]["decoder"] == "pixels:jpeg"  # 4:2:0 layout
+    assert got["jpg://0"]["decoder"] == "pixels:jpeg"  # gray baseline
+    assert got["jpg://1"]["decoder"] == "pixels:jpeg"  # 4:2:0 baseline
+    assert got["jpg://2"]["decoder"] == "pixels:jpeg"  # progressive
     # gray (id 3) and color (id 13) twins: same base -> identical hashes
     assert (got["jpg://3"]["ahash_hi"], got["jpg://3"]["ahash_lo"]) == (
         got["jpg://13"]["ahash_hi"],
         got["jpg://13"]["ahash_lo"],
+    )
+    # progressive (id 2) and gray-baseline (id 12) twins hash identically
+    assert (got["jpg://2"]["ahash_hi"], got["jpg://2"]["ghash_lo"]) == (
+        got["jpg://12"]["ahash_hi"],
+        got["jpg://12"]["ghash_lo"],
     )
     # cross-codec agreement: a 64x64 PNG with the same blocky pixels
     # hashes identically to the JPEG (block-constant => same block sums)
@@ -222,3 +228,30 @@ def test_webp_header_dims():
     vp8x = bytes(4) + (319).to_bytes(3, "little") + (239).to_bytes(3, "little") + bytes(4)
     assert parse_image_header(riff(b"VP8X", vp8x)) == ("webp", 320, 240)
     assert parse_image_header(b"RIFF\x00\x00\x00\x00WEBPJUNK" + bytes(20)) is None
+
+
+def test_progressive_decode_equals_baseline_decode():
+    """Successive approximation is lossless once all scans arrive: a
+    progressive encoding of the SAME quantized coefficients must decode
+    to exactly the baseline encoding's pixels -- two entirely different
+    entropy paths (DC/AC first+refinement scans with EOB runs vs one
+    sequential scan) converging bit-for-bit."""
+    from nreadspark.ops.jpeg import encode_gray_jpeg_progressive
+
+    random.seed(11)
+    for w, h, q in [(8, 8, 1), (80, 56, 1), (13, 9, 1), (80, 56, 4), (200, 120, 8)]:
+        px = bytes(random.randrange(256) for _ in range(w * h))
+        base = decode_jpeg_luma_milli(encode_gray_jpeg(w, h, px, quant=q))
+        prog = decode_jpeg_luma_milli(encode_gray_jpeg_progressive(w, h, px, quant=q))
+        assert base == prog, (w, h, q)
+    # deep cross-block EOB runs + refinement correction-bit weaving
+    sparse = bytearray(128 for _ in range(96 * 96))
+    for i in range(0, 96 * 96, 997):
+        sparse[i] = 255
+    assert decode_jpeg_luma_milli(
+        encode_gray_jpeg_progressive(96, 96, bytes(sparse))
+    ) == decode_jpeg_luma_milli(encode_gray_jpeg(96, 96, bytes(sparse)))
+    smooth = bytes((x + y) % 256 for y in range(56) for x in range(80))
+    assert decode_jpeg_luma_milli(
+        encode_gray_jpeg_progressive(80, 56, smooth)
+    ) == decode_jpeg_luma_milli(encode_gray_jpeg(80, 56, smooth))
