@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .urls import _ABSOLUTE_PATTERN, registrable_domain_col
+from .urls import _ABSOLUTE_PATTERN, with_registrable_domain
 
 # one <a ...>...</a> snippet per match; lazy across nested markup, dotall
 # for multi-line anchors.  RE2/Java-identical syntax only.
@@ -89,13 +89,17 @@ def domain_link_graph(
     links = extract_outlinks(
         df.select("doc_id", url_col, html_col), html_col
     ).filter(F.col("href").rlike(_ABSOLUTE_PATTERN))
-    src = df.select(
-        "doc_id", registrable_domain_col(url_col, extra_suffixes).alias("src_domain")
-    )
-    edges = links.join(src, "doc_id").select(
-        "src_domain",
-        registrable_domain_col("href", extra_suffixes).alias("dst_domain"),
-    )
+    # STAGED domain extraction (with_registrable_domain): the PSL decision
+    # CASE references host/labels across every rule branch, and the
+    # single-Column form re-inlines the host regex chain per reference
+    # (r7: the PSL expansion turned that into a measured 3x pagerank
+    # battery regression; the staged form restored it)
+    src = with_registrable_domain(
+        df.select("doc_id", url_col), url_col, "src_domain", extra_suffixes
+    ).select("doc_id", "src_domain")
+    edges = with_registrable_domain(
+        links.join(src, "doc_id"), "href", "dst_domain", extra_suffixes
+    ).select("src_domain", "dst_domain")
     if drop_self:
         edges = edges.filter(
             ~F.col("src_domain").eqNullSafe(F.col("dst_domain"))
@@ -235,8 +239,9 @@ def anchor_text_profile(
         F.col("href").rlike(_ABSOLUTE_PATTERN)
     )
     counted = (
-        links.select(
-            registrable_domain_col("href", extra_suffixes).alias("dst_domain"),
+        with_registrable_domain(links, "href", "dst_domain", extra_suffixes)
+        .select(
+            "dst_domain",
             F.lower(F.regexp_replace(F.col("anchor"), r"\s+", " ")).alias("anchor"),
         )
         .filter((F.col("anchor") != "") & F.col("dst_domain").isNotNull())

@@ -352,13 +352,20 @@ def with_registrable_domain(
     return (
         df.withColumn("__rd_host", host_col(url_col))
         .withColumn("__rd_labels", F.split("__rd_host", r"\."))
-        .withColumn(
-            out_col,
-            _domain_from_parts(
-                F.col("__rd_host"), F.col("__rd_labels"), extra_suffixes
-            ),
-        )
+        .withColumn(out_col, _staged_domain_decision(tuple(extra_suffixes)))
         .drop("__rd_host", "__rd_labels")
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _staged_domain_decision(extra_suffixes: tuple, include_private: bool = True):
+    """The PSL decision Column over the staged __rd_host/__rd_labels
+    names, memoized: the rule CASE is a few hundred py4j calls to build
+    and is identical for every call site with the same suffix config
+    (Column objects are immutable unresolved expressions, shareable
+    across DataFrames)."""
+    return _domain_from_parts(
+        F.col("__rd_host"), F.col("__rd_labels"), extra_suffixes, include_private
     )
 
 
