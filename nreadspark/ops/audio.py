@@ -110,6 +110,52 @@ def wav_pcm8_samples(raw: bytes):
     return rate, data
 
 
+# MPEG-1/2 Layer III frame-header constants (public ISO 11172-3 / 13818-3
+# tables): bitrate kbps by (version_group, bitrate_index), sample rate by
+# (version, samplerate_index)
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def parse_mp3_header(raw: bytes):
+    """(sample_rate, bitrate_kbps, n_channels) from the first MPEG Layer
+    III frame sync in the payload (skipping a leading ID3v2 tag) --
+    the counted-not-dropped metadata tier for the web's dominant
+    compressed-audio format; full MP3 synthesis decoding is out of the
+    vendored-stdlib scope (the native seam's job).  Returns ``None``
+    when no valid frame header is found in the first 4 KiB."""
+    i = 0
+    if raw[:3] == b"ID3" and len(raw) >= 10:
+        # syncsafe 28-bit tag size
+        size = (
+            (raw[6] & 0x7F) << 21
+            | (raw[7] & 0x7F) << 14
+            | (raw[8] & 0x7F) << 7
+            | (raw[9] & 0x7F)
+        )
+        i = 10 + size
+    end = min(len(raw) - 4, i + 4096)
+    while i <= end:
+        if raw[i] == 0xFF and (raw[i + 1] & 0xE0) == 0xE0:
+            version = (raw[i + 1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            layer = (raw[i + 1] >> 1) & 0x3  # 1 = Layer III
+            br_idx = raw[i + 2] >> 4
+            sr_idx = (raw[i + 2] >> 2) & 0x3
+            if (
+                version != 1
+                and layer == 1
+                and 0 < br_idx < 15
+                and sr_idx < 3
+            ):
+                rates = _MP3_RATES[version]
+                bitrates = _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
+                channels = 1 if ((raw[i + 3] >> 6) & 0x3) == 3 else 2
+                return rates[sr_idx], bitrates[br_idx], channels
+        i += 1
+    return None
+
+
 def pcm_energies(data: bytes, bits: int = 8) -> list[int]:
     """Per-sample ENERGY: |s - midpoint|.  8-bit PCM is unsigned with
     midpoint 128; 16-bit PCM is little-endian SIGNED with midpoint 0 --
@@ -204,6 +250,14 @@ def audio_fingerprints(
                         decoder = f"pcm{bits}"
                 except ValueError:
                     n = rate = None
+                    # counted-not-dropped tier for the dominant compressed
+                    # format: an MP3 frame header yields the sample rate
+                    # (hashes stay NULL -- synthesis decoding is the
+                    # native seam's job)
+                    mp3 = parse_mp3_header(raw)
+                    if mp3 is not None:
+                        rate = mp3[0]
+                        decoder = "header:mp3"
                 out["n_samples"].append(n)
                 out["sample_rate"].append(rate)
                 out["ehash_hi"].append(hashes[0] if hashes else None)

@@ -211,3 +211,33 @@ def test_audio_fingerprints_pcm16_tags_and_dup_clusters(spark):
         got["aud://13"]["ehash_hi"],
         got["aud://13"]["ehash_lo"],
     )
+
+
+def test_mp3_header_tier(spark):
+    """MP3 payloads take the counted-not-dropped header tier: frame sync
+    (after an ID3v2 tag) yields the sample rate under decoder='header:mp3';
+    hashes stay NULL; garbage stays 'undecodable'."""
+    from pyspark.sql import Row
+    from nreadspark.ops.audio import audio_fingerprints, parse_mp3_header
+
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(100)  # MPEG1 L3 128k 44.1k stereo
+    assert parse_mp3_header(frame) == (44100, 128, 2)
+    id3 = b"ID3" + bytes([3, 0, 0, 0, 0, 0, 10]) + bytes(10) + frame
+    assert parse_mp3_header(id3) == (44100, 128, 2)
+    mono_v2 = bytes([0xFF, 0xF3, 0x22, 0xC0]) + bytes(40)  # MPEG2 L3, mono
+    assert parse_mp3_header(mono_v2) == (22050, 16, 1)
+    assert parse_mp3_header(b"\xff\xfb") is None  # too short
+    assert parse_mp3_header(bytes(64)) is None
+    assert parse_mp3_header(b"RIFF" + bytes(40)) is None
+
+    rows = [
+        Row(media_ref="a", payload=id3),
+        Row(media_ref="b", payload=b"not audio at all"),
+    ]
+    got = {
+        r["media_ref"]: r
+        for r in audio_fingerprints(spark.createDataFrame(rows)).collect()
+    }
+    assert got["a"]["decoder"] == "header:mp3"
+    assert got["a"]["sample_rate"] == 44100 and got["a"]["ehash_hi"] is None
+    assert got["b"]["decoder"] == "undecodable"
