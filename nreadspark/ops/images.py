@@ -333,10 +333,11 @@ def near_dup_image_pairs(
 # deterministic synthetic PNG corpus (tests + oracles)
 
 
-def encode_gray_png(w: int, h: int, pixels: bytes) -> bytes:
+def encode_gray_png(w: int, h: int, pixels: bytes, interlaced: bool = False) -> bytes:
     """Minimal VALID grayscale-8 PNG encoder (real CRCs, zlib IDAT,
-    filter-0 scanlines) -- lets tests and synthesizers produce payloads
-    the full vendored decode path round-trips."""
+    filter-0 scanlines; optional Adam7 interlacing) -- lets tests and
+    synthesizers produce payloads the full vendored decode path
+    round-trips."""
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -346,10 +347,26 @@ def encode_gray_png(w: int, h: int, pixels: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    scanlines = b"".join(
-        b"\x00" + pixels[y * w : (y + 1) * w] for y in range(h)
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1 if interlaced else 0)
+    if interlaced:
+        from .multimodal import _ADAM7_PASSES
+
+        scanlines = bytearray()
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            for j in range(ph):
+                scanlines.append(0)
+                scanlines += bytes(
+                    pixels[(y0 + j * dy) * w + (x0 + i * dx)] for i in range(pw)
+                )
+        scanlines = bytes(scanlines)
+    else:
+        scanlines = b"".join(
+            b"\x00" + pixels[y * w : (y + 1) * w] for y in range(h)
+        )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -374,9 +391,11 @@ def synthesize_png_corpus(
     form in doc_id so a SQL oracle recomputes the exact hashes WITHOUT
     decoding PNG bytes (the Spark side's encode->decode round trip is
     thereby verified end to end against generative ground truth).
-    ``doc_id % n_bases`` collisions plant exact-duplicate clusters;
-    ``doc_id % corrupt_mod == 7`` rows are truncated to 16 bytes to
-    exercise the containment tier."""
+    Odd doc_ids are Adam7-INTERLACED (r7; same pixels, same hashes --
+    the de-interlace path rides the same oracle); ``doc_id % n_bases``
+    collisions plant exact-duplicate clusters; ``doc_id % corrupt_mod ==
+    7`` rows are truncated to 16 bytes to exercise the containment
+    tier."""
 
     def batches(iterator):
         import pandas as pd
@@ -388,7 +407,9 @@ def synthesize_png_corpus(
                 px = bytes(
                     synth_pixel(base, x, y) for y in range(size) for x in range(size)
                 )
-                raw = encode_gray_png(size, size, px)
+                raw = encode_gray_png(
+                    size, size, px, interlaced=bool(int(doc_id) % 2)
+                )
                 if int(doc_id) % corrupt_mod == 7:
                     raw = raw[:16]
                 refs.append(f"img://{doc_id}")

@@ -378,17 +378,53 @@ def _png_unfilter(raw: bytes):
         raise ValueError("missing IHDR/IDAT")
     w, h = struct.unpack(">II", ihdr[:8])
     bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
-    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+    if bit_depth != 8 or interlace not in (0, 1) or color_type not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG (depth={bit_depth}, color={color_type})")
     ch = _PNG_CHANNELS[color_type]
-    stride = w * ch
     data = zlib.decompress(bytes(idat))
-    if len(data) < h * (stride + 1):
-        raise ValueError("short pixel data")
+    if interlace == 0:
+        out, consumed = _unfilter_region(data, 0, w, h, ch)
+        if consumed is None:
+            raise ValueError("short pixel data")
+        return w, h, color_type, plte, out
+    # Adam7: seven independently-filtered sub-images, scattered onto the
+    # full grid by the public pass geometry
+    out = bytearray(h * w * ch)
+    offset = 0
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub, consumed = _unfilter_region(data, offset, pw, ph, ch)
+        if consumed is None:
+            raise ValueError("short pixel data (interlaced pass)")
+        offset += consumed
+        for j in range(ph):
+            for i in range(pw):
+                src = (j * pw + i) * ch
+                dst = ((y0 + j * dy) * w + (x0 + i * dx)) * ch
+                out[dst : dst + ch] = sub[src : src + ch]
+    return w, h, color_type, plte, out
+
+
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter_region(data, start: int, w: int, h: int, ch: int):
+    """Unfilter one (sub-)image of ``h`` scanlines x ``w`` pixels from
+    ``data[start:]``; returns (samples, bytes_consumed) or (None, None)
+    when the stream is short."""
+    stride = w * ch
+    if len(data) - start < h * (stride + 1):
+        return None, None
     out = bytearray(h * stride)
     prev_off = -stride
     for y in range(h):
-        row_start = y * (stride + 1)
+        row_start = start + y * (stride + 1)
         ftype = data[row_start]
         line = data[row_start + 1 : row_start + 1 + stride]
         off = y * stride
@@ -415,7 +451,7 @@ def _png_unfilter(raw: bytes):
                 out[off + x] = (line[x] + _paeth(a, b, c)) & 0xFF
         else:
             raise ValueError(f"bad filter type {ftype}")
-    return w, h, color_type, plte, out
+    return out, h * (stride + 1)
 
 
 def decode_png_pixels(raw: bytes):

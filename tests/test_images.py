@@ -298,3 +298,24 @@ def test_bloom_dedup_tolerates_null_texts(spark):
         corpus, reference.select("doc_id", F.lit(None).cast("string").alias("text"))
     ).collect()
     assert len(all_null) == 50 and not any(r["in_reference"] for r in all_null)
+
+
+def test_adam7_interlaced_png_round_trip():
+    """Adam7 interlacing (r7): seven independently-filtered sub-images
+    scattered by the public pass geometry; interlaced and plain encodes
+    of the same pixels decode identically, tiny/edge dims included."""
+    import random
+
+    from nreadspark.ops.images import encode_gray_png
+    from nreadspark.ops.multimodal import png_luma_milli
+
+    random.seed(5)
+    for w, h in [(16, 16), (13, 9), (1, 1), (7, 3), (8, 1), (1, 8), (64, 64)]:
+        px = bytes(random.randrange(256) for _ in range(w * h))
+        assert png_luma_milli(encode_gray_png(w, h, px, interlaced=True)) == (
+            w, h, [v * 1000 for v in px]
+        ), (w, h)
+    px = bytes(random.randrange(256) for _ in range(256))
+    raw = encode_gray_png(16, 16, px, interlaced=True)
+    with pytest.raises(ValueError):
+        png_luma_milli(raw[: len(raw) // 2])
