@@ -949,15 +949,23 @@ def _enc_ac_refine(quantized, ss: int, se: int, al: int, act: _HuffTable) -> byt
             if t == 0:
                 r += 1
                 continue
-            if t > 1:
-                wtr.cur_bits.append(t & 1)
-                continue
-            # t == 1: newly nonzero this scan
+            # pending ZRLs flush at EVERY nonzero position (correction-only
+            # ones included), exactly as jcphuff does -- emitting them only
+            # at newly-nonzero positions desyncs the decoder whenever >=16
+            # zero-history positions precede a correction position: the
+            # decoder's ZRL advance consumes corrections for ITS span only,
+            # so later-flushed bits would be misread as the next symbol.
+            # (When j > eob there is no later new coefficient and the run
+            # legally rides into the EOB instead.)
             while r > 15 and j <= eob:
                 wtr.emit_eobrun()
                 wtr.symbol(0xF0)
                 r -= 16
                 wtr.flush_cur()
+            if t > 1:
+                wtr.cur_bits.append(t & 1)
+                continue
+            # t == 1: newly nonzero this scan
             wtr.emit_eobrun()
             wtr.symbol((r << 4) | 1)
             wtr.write(1 if int(blk[ss + j]) >= 0 else 0, 1)

@@ -255,3 +255,21 @@ def test_progressive_decode_equals_baseline_decode():
     assert decode_jpeg_luma_milli(
         encode_gray_jpeg_progressive(80, 56, smooth)
     ) == decode_jpeg_luma_milli(encode_gray_jpeg(80, 56, smooth))
+
+
+def test_progressive_exactness_on_gradient_formula_images():
+    """The shape that caught a real encoder desync (r7): >=16 consecutive
+    zero-history positions followed by a correction-only position inside
+    one refinement band -- pending ZRLs must flush at EVERY nonzero
+    position, not only at newly-nonzero ones.  The synthetic-formula
+    images hit it reliably; random images do not."""
+    from nreadspark.ops.images import synth_pixel
+    from nreadspark.ops.jpeg import encode_gray_jpeg_progressive
+
+    for base in (0, 1, 4, 23, 40, 77, 96):
+        px = bytes(
+            synth_pixel(base, x, y) for y in range(64) for x in range(64)
+        )
+        assert decode_jpeg_luma_milli(
+            encode_gray_jpeg_progressive(64, 64, px)
+        ) == decode_jpeg_luma_milli(encode_gray_jpeg(64, 64, px)), base
