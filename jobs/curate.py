@@ -113,11 +113,24 @@ def curate_resumable(
     decontam_eval=None,
     decontam_n: int = 13,
     pii: bool = False,
+    url_col: str | None = None,
+    blocked_domains=None,
+    max_docs_per_domain: int | None = None,
+    url_dedup: bool = False,
 ):
     """:func:`curate` with per-stage, per-bucket checkpointed lineage.
 
-    Two OPTIONAL stages complete the modern pipeline (both default off, so
+    OPTIONAL stages complete the modern pipeline (all default off, so
     the rule-based 4-stage shape is unchanged):
+
+    * **URL hygiene** (r7; stage ``url_hygiene``, FIRST -- the cheapest
+      drops happen before any text is touched): enabled when ``url_col``
+      is given together with any of ``blocked_domains`` (iterable or
+      single-column DataFrame; PSL registrable-domain broadcast
+      membership), ``max_docs_per_domain`` (anti-domination window cap),
+      ``url_dedup=True`` (canonical-URL keep-minimum-doc_id).  The
+      fingerprint carries the blocklist md5 / cap / dedup flag, so
+      changing any of them recomputes everything downstream.
 
     * ``quality_model`` (an ``ops.quality_model.QualityModel``): model
       scoring right after the rule filter -- drops docs with
@@ -206,7 +219,39 @@ def curate_resumable(
     else:
         model_fp = None
     eval_fp = _lineage.input_fingerprint(decontam_eval) if decontam_eval is not None else None
+    hygiene_enabled = url_col is not None and (
+        blocked_domains is not None
+        or max_docs_per_domain is not None
+        or url_dedup
+    )
+    uparams = None
+    if hygiene_enabled:
+        import hashlib as _hashlib
+
+        if blocked_domains is None:
+            bl_fp = None
+        elif hasattr(blocked_domains, "schema"):  # a DataFrame blocklist
+            bl_fp = _lineage.input_fingerprint(blocked_domains) or "df"
+        else:
+            bl_fp = _hashlib.md5(
+                "\n".join(sorted(str(d).lower() for d in blocked_domains)).encode()
+            ).hexdigest()
+        uparams = {
+            "url_col": url_col,
+            "blocklist": bl_fp,
+            "url_cap": max_docs_per_domain,
+            "url_dedup": int(url_dedup),
+        }
+        if input_fingerprint is not None:
+            uparams["input"] = input_fingerprint
     qparams = {"min_words": min_words, "text_col": text_col}
+    # hygiene params fold into EVERY downstream fingerprint only when the
+    # stage is enabled (same conditional-key rule as the other optional
+    # stages: disabled -> byte-identical to the historical chain)
+    if hygiene_enabled:
+        qparams["url_hygiene"] = {
+            k: uparams[k] for k in ("url_col", "blocklist", "url_cap", "url_dedup")
+        }
     # the input-identity key joins the chain ONLY when a fingerprint
     # exists: for lineage-less in-memory inputs the params stay
     # byte-identical to the pre-fingerprint era's, so genuinely
@@ -241,7 +286,8 @@ def curate_resumable(
     # (every final bucket manifest already exists, so nothing would be
     # written).  The final marker carries the full merged stats dict.
     stage_names = (
-        ["quality"]
+        (["url_hygiene"] if hygiene_enabled else [])
+        + ["quality"]
         + (["model_filter"] if quality_model is not None else [])
         + ["line_clean"]
         + (["decontam"] if decontam_eval is not None else [])
@@ -267,6 +313,58 @@ def curate_resumable(
     def _fail_hook(stage: str) -> None:
         if fail_after_stage == stage:
             raise RuntimeError(f"injected failure after stage {stage}")
+
+    # -- optional stage 0: URL hygiene (r7) -------------------------------
+    # the cheapest drops run FIRST, before any text-shaped work: blocklist
+    # membership is a broadcast join, the domain cap is one window over
+    # (domain, doc_id), URL dedup is one canonical-url aggregation -- all
+    # scan-stage string surgery on the (usually short) url column
+    if hygiene_enabled:
+        from nreadspark.ops.urls import (
+            cap_per_domain,
+            drop_blocked_domains,
+            keep_canonical_urls,
+        )
+
+        st = _read_stage(spark, output_path, "url_hygiene", n_buckets, uparams) if resume else None
+        if st is None:
+            __t0 = time.perf_counter()
+            pinned = []
+            cur = docs.select("doc_id", url_col, text_col).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            pinned.append(cur)
+            ustats = {"url_input_docs": cur.count()}
+            if blocked_domains is not None:
+                cur = drop_blocked_domains(cur, blocked_domains, url_col).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                pinned.append(cur)
+                ustats["after_blocklist"] = cur.count()
+            if max_docs_per_domain is not None:
+                cur = cap_per_domain(
+                    cur, max_docs_per_domain, url_col
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                pinned.append(cur)
+                ustats["after_domain_cap"] = cur.count()
+            if url_dedup:
+                cur = keep_canonical_urls(cur, url_col)
+                # the kept count folds into the commit's own row stat
+            _commit_stage(
+                spark, cur.select("doc_id", text_col), output_path,
+                "url_hygiene", n_buckets, ustats, resume, params=uparams,
+            )
+            for df_ in pinned:
+                df_.unpersist()
+            docs, ustats = _read_stage(spark, output_path, "url_hygiene", n_buckets, uparams)
+            stats.setdefault("stage_wall_s", {})["url_hygiene"] = round(
+                time.perf_counter() - __t0, 3
+            )
+        else:
+            docs, ustats = st
+            stats["resumed_stages"].append("url_hygiene")
+        stats.update(ustats)
+        _fail_hook("url_hygiene")
 
     # -- stage 1: quality filter ------------------------------------------
     st = _read_stage(spark, output_path, "quality", n_buckets, qparams) if resume else None
@@ -602,6 +700,23 @@ def main() -> None:
     )
     parser.add_argument("--decontam-n", type=int, default=13,
                         help="n-gram order for eval-set overlap")
+    parser.add_argument(
+        "--url-col", default=None,
+        help="URL column name; enables the url_hygiene stage together "
+        "with --blocked-domains-file / --max-docs-per-domain / --url-dedup",
+    )
+    parser.add_argument(
+        "--blocked-domains-file", default=None,
+        help="text file of registrable domains to drop (one per line)",
+    )
+    parser.add_argument(
+        "--max-docs-per-domain", type=int, default=None,
+        help="per-registrable-domain quota (anti-domination cap)",
+    )
+    parser.add_argument(
+        "--url-dedup", action="store_true",
+        help="keep only the minimum-doc_id row per canonical URL",
+    )
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -642,6 +757,10 @@ def main() -> None:
     decontam_eval = (
         spark.read.parquet(args.decontam_eval) if args.decontam_eval else None
     )
+    blocked_domains = None
+    if args.blocked_domains_file:
+        with open(args.blocked_domains_file, encoding="utf-8") as fh:
+            blocked_domains = [ln.strip() for ln in fh if ln.strip()]
 
     _surviving, stats = curate_resumable(
         spark,
@@ -661,6 +780,10 @@ def main() -> None:
         decontam_eval=decontam_eval,
         decontam_n=args.decontam_n,
         pii=args.pii_scrub,
+        url_col=args.url_col,
+        blocked_domains=blocked_domains,
+        max_docs_per_domain=args.max_docs_per_domain,
+        url_dedup=args.url_dedup,
     )
     print(json.dumps(stats))
     spark.stop()

@@ -265,3 +265,84 @@ def test_all_three_optional_stages_compose(spark, tmp_path):
         "quality", "model_filter", "line_clean", "decontam", "pii_scrub",
         "pairs", "final",
     ]
+
+
+def test_url_hygiene_stage(spark, tmp_path):
+    """r7 optional stage 0: blocklist + per-domain cap + canonical-URL
+    dedup run FIRST; stats per sub-step; resume skips it; toggling the
+    cap invalidates the whole chain (fingerprint folds downstream)."""
+    from curate import curate_resumable
+
+    texts = [
+        "the committee reviewed seventeen budget proposals, and most were rejected early.",
+        "a lighthouse keeper counts passing ships, logging weather and tides each evening.",
+        "volcanic soil grows excellent coffee, though harvests vary with altitude and rain.",
+        "the orchestra rehearsed the second movement, slowly, until the phrasing settled.",
+        "migratory cranes rest at the shallow lake, feeding before the long northern leg.",
+        "an old printing press still runs on market days, stamping posters and menus.",
+        "glacier melt feeds the valley river, powering two small turbines downstream.",
+        "the museum restored a merchant ship, plank by plank, over eleven patient years.",
+        "night markets sell grilled squid and paper lanterns, closing well after midnight.",
+        "a beekeeper splits strong hives in spring, selling nucleus colonies to neighbors.",
+        "desert truck routes follow ancient caravan wells, marked by whitewashed cairns.",
+    ]
+    it = iter(texts)
+    rows = []
+    # 6 docs on a mega-domain (cap 2 keeps the 2 lowest doc_ids)
+    for i in range(6):
+        rows.append((f"{i}", f"http://megacorp.com/p{i}", next(it)))
+    # 2 docs on a blocked domain
+    rows.append(("10", "http://spamfarm.biz/a", next(it)))
+    rows.append(("11", "http://sub.spamfarm.biz/b", next(it)))
+    # canonical-URL duplicates (tracking params + default port)
+    rows.append(("20", "http://ok.org/page?utm_source=x", next(it)))
+    rows.append(("21", "http://OK.org:80/page", next(it)))
+    # a plain survivor
+    rows.append(("30", "http://fine.net/x", next(it)))
+    docs = spark.createDataFrame(rows, "doc_id string, url string, text string")
+
+    out = str(tmp_path / "cur")
+    kept, stats = curate_resumable(
+        spark, docs, out,
+        n_buckets=4,
+        input_fingerprint="t:urlhygiene",
+        url_col="url",
+        blocked_domains=["spamfarm.biz"],
+        max_docs_per_domain=2,
+        url_dedup=True,
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    # blocked domain gone (incl. subdomain via registrable-domain match);
+    # megacorp capped to its 2 lowest ids; url dups collapsed to min id
+    assert ids == {"0", "1", "20", "30"}
+    assert stats["url_input_docs"] == 11
+    assert stats["after_blocklist"] == 9
+    assert stats["after_domain_cap"] == 5
+    assert "url_hygiene" in stats["stage_wall_s"]
+
+    # full resume: every stage incl. url_hygiene loads from checkpoint
+    kept2, stats2 = curate_resumable(
+        spark, docs, out,
+        n_buckets=4,
+        input_fingerprint="t:urlhygiene",
+        url_col="url",
+        blocked_domains=["spamfarm.biz"],
+        max_docs_per_domain=2,
+        url_dedup=True,
+        clean_stages=False,
+    )
+    assert {r["doc_id"] for r in kept2.collect()} == ids
+    assert "url_hygiene" in stats2["resumed_stages"]
+
+    # changing the cap is a different plan: nothing resumes
+    kept3, stats3 = curate_resumable(
+        spark, docs, out,
+        n_buckets=4,
+        input_fingerprint="t:urlhygiene",
+        url_col="url",
+        blocked_domains=["spamfarm.biz"],
+        max_docs_per_domain=3,
+        url_dedup=True,
+    )
+    assert stats3["resumed_stages"] == []
+    assert {r["doc_id"] for r in kept3.collect()} == ids | {"2"}
