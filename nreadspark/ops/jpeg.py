@@ -1025,3 +1025,81 @@ def encode_gray_jpeg_progressive(
         out += body
     out += b"\xff\xd9"
     return out
+
+
+def encode_blocky_jpeg_progressive_420(
+    w_blocks: int, h_blocks: int, block_vals: list[int]
+) -> bytes:
+    """DC-only PROGRESSIVE YCbCr 4:2:0 JPEG of constant blocks: an
+    interleaved DC-first scan (Al=1) + DC refinement + per-component
+    all-zero AC scans carried entirely by EOB runs -- the layout that
+    exercises the decoder's interleaved-progressive-DC path with
+    subsampling AND the wholesale skipping of chroma AC scans.  Flat
+    blocks keep the cross-decoder exactness contract."""
+    if w_blocks % 2 or h_blocks % 2:
+        raise ValueError("4:2:0 grid needs even block dimensions")
+    if len(block_vals) != w_blocks * h_blocks:
+        raise ValueError("block_vals does not match grid")
+    dct = _HuffTable(DC_LUMA_BITS, DC_LUMA_VALS)
+    act = _HuffTable(_PROG_AC_BITS, _PROG_AC_VALS)
+    w, h = 8 * w_blocks, 8 * h_blocks
+
+    def mcu_dcs():
+        for my in range(h_blocks // 2):
+            for mx in range(w_blocks // 2):
+                for by in range(2):
+                    for bx in range(2):
+                        v = block_vals[(my * 2 + by) * w_blocks + mx * 2 + bx]
+                        yield 1, 8 * (v - 128)
+                yield 2, 0
+                yield 3, 0
+
+    # scan 1: interleaved DC first, Al=1 (arithmetic point transform)
+    wtr = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for cid, dcval in mcu_dcs():
+        t = dcval >> 1
+        diff = t - preds[cid]
+        preds[cid] = t
+        s = _category(diff)
+        code, length = dct.encode[s]
+        wtr.write(code, length)
+        _write_coeff_bits(wtr, diff, s)
+    scan_dc1 = wtr.flush()
+    # scan 2: DC refinement to Al=0 -- one raw bit per block, MCU order
+    wtr = _BitWriter()
+    for _cid, dcval in mcu_dcs():
+        wtr.write(dcval & 1, 1)
+    scan_dc2 = wtr.flush()
+
+    def eob_scan(n_blocks: int) -> bytes:
+        sw = _ScanWriter(act)
+        left = n_blocks
+        while left > 0:
+            sw.eobrun = min(left, 0x7FFF)
+            left -= sw.eobrun
+            sw.emit_eobrun()
+        return sw.flush()
+
+    y_n = ((w + 7) // 8) * ((h + 7) // 8)
+    cw, chh = (w + 1) // 2, (h + 1) // 2
+    c_n = ((cw + 7) // 8) * ((chh + 7) // 8)
+
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += _seg(
+        0xC2,
+        bytes([8]) + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += _seg(0xC4, bytes([0x00] + DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _seg(0xC4, bytes([0x11] + _PROG_AC_BITS) + bytes(_PROG_AC_VALS))
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01]))
+    out += scan_dc1
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10]))
+    out += scan_dc2
+    for cid, n in ((1, y_n), (2, c_n), (3, c_n)):
+        out += _seg(0xDA, bytes([1, cid, 0x01, 1, 63, 0x00]))
+        out += eob_scan(n)
+    out += b"\xff\xd9"
+    return out

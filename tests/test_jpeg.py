@@ -273,3 +273,17 @@ def test_progressive_exactness_on_gradient_formula_images():
         assert decode_jpeg_luma_milli(
             encode_gray_jpeg_progressive(64, 64, px)
         ) == decode_jpeg_luma_milli(encode_gray_jpeg(64, 64, px)), base
+
+
+def test_color_progressive_420_interleaved_dc_and_chroma_skip():
+    """Progressive YCbCr 4:2:0: interleaved DC first+refinement scans
+    with subsampling, per-component AC scans where the chroma ones are
+    SKIPPED wholesale by the decoder -- flat blocks keep exactness."""
+    from nreadspark.ops.images import synth_pixel
+    from nreadspark.ops.jpeg import encode_blocky_jpeg_progressive_420
+
+    for base in (0, 5, 40, 96):
+        vals = [synth_pixel(base, bx, by) for by in range(8) for bx in range(8)]
+        prog = decode_jpeg_luma_milli(encode_blocky_jpeg_progressive_420(8, 8, vals))
+        plain = decode_jpeg_luma_milli(encode_blocky_jpeg(8, 8, vals, color_420=True))
+        assert prog == plain, base
