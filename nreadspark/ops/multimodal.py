@@ -787,9 +787,10 @@ def extract_media_features(
     """Arrow-batched feature/metadata extraction over binary payloads.
 
     Per payload: sizes + hashes always; then the decode tiers -- PIL pixel
-    decode when importable (``decoder='pil'``), else the vendored stdlib
-    PNG pixel decode for complete PNGs (``decoder='pixels:png'``, same
-    mean-luma feature as the PIL tier), else the stdlib header parse
+    decode when importable (``decoder='pil'``), else the vendored
+    pure-Python pixel decoders for complete PNGs / baseline+progressive
+    JPEGs / GIFs (``decoder='pixels:<codec>'``, same mean-luma feature as
+    the PIL tier), else the stdlib header parse
     (``decoder='header:<codec>'``), else the deterministic stub
     (``decoder='stub'``).  ``payload_md5`` is md5 of the lowercase hex of
     the bytes (SQL engines generally hash strings, not blobs).
@@ -840,14 +841,25 @@ def extract_media_features(
                         w = h = None
                 parsed = parse_image_header(raw) if w is None else None
                 png_capped = False
-                if w is None and parsed is not None and parsed[0] == "png":
-                    # vendored pure-stdlib pixel tier: O(w*h*channels)
-                    # per-pixel Python -- only below the pixel cap, sized
-                    # from the O(1) IHDR parse above
+                if w is None and parsed is not None and parsed[0] in (
+                    "png", "jpeg", "gif"
+                ):
+                    # vendored pure-Python pixel tiers (PNG unfilter, T.81
+                    # JPEG, GIF LZW) -- only below the pixel cap, sized
+                    # from the O(1) header parse above
                     if max_decode_pixels is None or parsed[1] * parsed[2] <= max_decode_pixels:
                         try:
-                            _, w, h, mean_pixel = decode_png_pixels(raw)
-                            decoder = "pixels:png"
+                            if parsed[0] == "png":
+                                _, w, h, mean_pixel = decode_png_pixels(raw)
+                            elif parsed[0] == "jpeg":
+                                from .jpeg import decode_jpeg_luma_milli
+
+                                w, h, lumas = decode_jpeg_luma_milli(raw)
+                                mean_pixel = sum(lumas) / 1000 / (w * h)
+                            else:
+                                w, h, lumas = gif_luma_milli(raw)
+                                mean_pixel = sum(lumas) / 1000 / (w * h)
+                            decoder = f"pixels:{parsed[0]}"
                             feats = [mean_pixel / 255.0] * 8
                         except Exception:
                             w = h = None

@@ -403,3 +403,37 @@ def test_png_pixel_tier_capped_by_pixel_count(spark):
     }
     assert out2["big"]["decoder"] == "pixels:png"
     assert out2["big"]["features"] == [0.0] * 8
+
+
+def test_media_features_jpeg_and_gif_pixel_tiers(spark):
+    """extract_media_features now shares the JPEG/GIF pixel decoders with
+    the hash tier: complete payloads get pixels:<codec> + real mean-luma
+    features; header-only prefixes keep the header tier."""
+    from pyspark.sql import Row
+    from nreadspark.ops.images import synth_pixel
+    from nreadspark.ops.jpeg import encode_blocky_jpeg
+    from nreadspark.ops.multimodal import encode_gif, extract_media_features
+
+    vals = [synth_pixel(4, bx, by) for by in range(8) for bx in range(8)]
+    jpg = encode_blocky_jpeg(8, 8, vals)
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    px = bytes(vals[(y // 8) * 8 + (x // 8)] for y in range(64) for x in range(64))
+    gif = encode_gif(64, 64, px, pal)
+    rows = [
+        Row(media_ref="j", media_kind="image", payload=jpg),
+        Row(media_ref="g", media_kind="image", payload=gif),
+        Row(media_ref="jh", media_kind="image", payload=jpg[:90]),  # SOI+DQT+SOF, no scan
+    ]
+    got = {
+        r["media_ref"]: r
+        for r in extract_media_features(
+            spark.createDataFrame(rows), allow_pil=False
+        ).collect()
+    }
+    mean = sum(px) / len(px) / 255.0
+    assert got["j"]["decoder"] == "pixels:jpeg"
+    assert got["g"]["decoder"] == "pixels:gif"
+    assert abs(got["j"]["features"][0] - mean) < 1e-9
+    assert abs(got["g"]["features"][0] - mean) < 1e-9
+    assert (got["j"]["decoded_width"], got["g"]["decoded_height"]) == (64, 64)
+    assert got["jh"]["decoder"] == "header:jpeg"
