@@ -405,7 +405,6 @@ def _decode_interleaved(st, sel, ss, se, ah, al, chunks, dc_tables, ac_tables, d
         if not st.progressive and ta not in ac_tables:
             raise ValueError("missing AC Huffman table")
     n_mcus = st.mcus_x * st.mcus_y
-    single = len(st.comps) == 1
     for m in range(n_mcus):
         src.step()
         r = src.reader
@@ -432,8 +431,6 @@ def _decode_interleaved(st, sel, ss, se, ah, al, chunks, dc_tables, ac_tables, d
                 if not st.progressive:
                     _baseline_ac(r, ac_tables[ta], blk)
         src.units += 1
-    # grayscale baseline frames are a single-component "interleaved" scan
-    del single
 
 
 def _baseline_ac(r, act, blk):
