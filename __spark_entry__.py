@@ -622,6 +622,34 @@ def _q_robots_xheader(spark, sf_dir):
     )
 
 
+def _q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt (r7): the edge between the
+    robots tier and the sitemap tier.  50 planted robots files with a
+    group-embedded Sitemap line, a second lowercase one on doc_id%3==0,
+    a commented-out decoy and a 'sitemapx:' field-name decoy; the
+    oracle states the surviving (domain, url) rows closed-form."""
+    from nreadspark.ops.robots import robots_sitemaps
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    n = F.col("doc_id").cast("string")
+    robots = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.lit("Sitemap: http://site"), n, F.lit(".com/sitemap.xml\n"),
+        F.lit("# Sitemap: http://site"), n, F.lit(".com/commented.xml\n"),
+        F.lit("sitemapx: http://site"), n, F.lit(".com/decoy.xml\n"),
+        F.when(
+            F.pmod("doc_id", F.lit(3)) == 0,
+            F.concat(F.lit("sitemap: http://site"), n, F.lit(".com/extra.xml\n")),
+        ).otherwise(F.lit("")),
+    )
+    return robots_sitemaps(
+        docs.select(
+            F.concat(F.lit("site"), n, F.lit(".com")).alias("domain"),
+            robots.alias("robots_txt"),
+        )
+    )
+
+
 def _q_robots_rules(spark, sf_dir):
     """robots.txt fetch-permission filter (r6): plant a 7-domain robots.txt
     zoo (group selection, exact-agent preference over *, wildcard + $
@@ -2318,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "robots_noindex": _q_robots_noindex,
         "robots_xheader": _q_robots_xheader,
+        "robots_sitemaps": _q_robots_sitemaps,
         "link_graph": _q_link_graph,
         "domain_pagerank": _q_domain_pagerank,
         "anchor_profile": _q_anchor_profile,
@@ -3018,6 +3047,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(doc_id % 6 AS INT) IN (0, 2, 5) AS noindex,
                    CAST(doc_id % 6 AS INT) IN (1, 2, 5) AS nofollow
             FROM documents
+        """,
+        # Sitemap discovery from robots.txt (r7): surviving lines
+        # closed-form; the commented and wrong-field decoys must not match
+        "robots_sitemaps": """
+            SELECT 'site' || CAST(doc_id AS VARCHAR) || '.com' AS domain,
+                   'http://site' || CAST(doc_id AS VARCHAR) || '.com/sitemap.xml' AS sitemap_url
+            FROM documents WHERE doc_id < 50
+            UNION ALL
+            SELECT 'site' || CAST(doc_id AS VARCHAR) || '.com' AS domain,
+                   'http://site' || CAST(doc_id AS VARCHAR) || '.com/extra.xml' AS sitemap_url
+            FROM documents WHERE doc_id < 50 AND doc_id % 3 = 0
         """,
         # X-Robots-Tag union semantics (r7): header residues 0 (plain
         # noindex), 1 (agent-scoped nofollow -- scoped counts,

@@ -180,6 +180,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "mixture_plan",
         "robots_noindex",
         "robots_xheader",
+        "robots_sitemaps",
         "link_graph",
         "domain_pagerank",
         "anchor_profile",

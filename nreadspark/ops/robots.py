@@ -177,6 +177,35 @@ def drop_noindex(df: DataFrame, html_col: str = "html") -> DataFrame:
 _RULE_FIELDS = ("allow", "disallow")
 
 
+def robots_sitemaps(
+    df: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(domain, sitemap_url): every ``Sitemap:`` directive in each
+    domain's robots.txt -- the DISCOVERY edge between the robots tier
+    and the sitemap tier (``nreadspark.sitemap``): robots.txt is where a
+    crawler learns which sitemap files exist, and their entries then
+    drive :func:`~nreadspark.sitemap.plan_refresh`.
+
+    Per RFC 9309 / sitemaps.org, ``Sitemap:`` lines are independent of
+    user-agent groups (valid anywhere in the file), which is what makes
+    this a pure line filter: ONE regexp per line, no group machinery.
+    Comments strip first; field name case-insensitive; values keep their
+    case (URLs).  Zero Python, zero shuffle; the frame is
+    robots-table-sized."""
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("__rb_raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("__rb_raw"), "#.*", ""))
+    url = F.regexp_extract(clean, r"(?i)^sitemap\s*:\s*(\S+)", 1)
+    return (
+        lines.select("domain", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+    )
+
+
 def parse_robots_rules(
     df: DataFrame,
     agent: str = "*",

@@ -170,3 +170,29 @@ def test_x_robots_header_flags_and_union(spark):
                  for r in robots_flags(df, headers_col=None).collect()}
     ref = {r["doc_id"]: (r["noindex"], r["nofollow"]) for r in robots_meta(df).collect()}
     assert meta_only == ref
+
+
+def test_robots_sitemaps_discovery(spark):
+    """Sitemap: lines are group-independent (RFC 9309): found inside any
+    group, any case; comments and wrong field names don't match; NULL
+    robots text yields nothing."""
+    from pyspark.sql import Row
+    from nreadspark.ops.robots import robots_sitemaps
+
+    txt = (
+        "# header comment\n"
+        "Sitemap: http://a.com/s1.xml\n"
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "SITEMAP:http://a.com/s2.xml  # trailing comment\n"
+        "sitemapx: http://a.com/decoy.xml\n"
+        "# Sitemap: http://a.com/commented.xml\n"
+    )
+    df = spark.createDataFrame(
+        [Row(domain="a.com", robots_txt=txt), Row(domain="b.com", robots_txt=None)]
+    )
+    got = {(r["domain"], r["sitemap_url"]) for r in robots_sitemaps(df).collect()}
+    assert got == {
+        ("a.com", "http://a.com/s1.xml"),
+        ("a.com", "http://a.com/s2.xml"),
+    }
