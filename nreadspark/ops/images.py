@@ -196,8 +196,14 @@ def image_hashes(
                         if dw is None and codec == "jpeg":
                             from .jpeg import decode_jpeg_luma_milli
 
+                            # cap passed THROUGH (defense in depth): the
+                            # header gate above reads the first SOFn, and
+                            # a corrupt payload could desync that from the
+                            # frame the decoder actually uses
                             try:
-                                dw, dh, lumas = decode_jpeg_luma_milli(raw)
+                                dw, dh, lumas = decode_jpeg_luma_milli(
+                                    raw, max_pixels=max_decode_pixels
+                                )
                                 tier = "pixels:jpeg"
                             except ValueError:
                                 dw = None
@@ -205,7 +211,9 @@ def image_hashes(
                             from .multimodal import gif_luma_milli
 
                             try:
-                                dw, dh, lumas = gif_luma_milli(raw)
+                                dw, dh, lumas = gif_luma_milli(
+                                    raw, max_pixels=max_decode_pixels
+                                )
                                 tier = "pixels:gif"
                             except ValueError:
                                 dw = None

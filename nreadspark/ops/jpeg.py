@@ -196,6 +196,13 @@ class _FrameState:
     grid), accumulated across however many scans the stream carries --
     one for baseline, several for progressive."""
 
+    # absolute allocation ceiling, independent of the caller's max_pixels:
+    # the coefficient store is Python lists, and a corrupt SOF claiming
+    # 65535x65535 would otherwise allocate ~67M blocks before any caller
+    # cap could fire.  64 MP is far past anything the pure-Python entropy
+    # loop could decode in reasonable time anyway.
+    MAX_BLOCKS = 1 << 20  # 1M 8x8 blocks = 64 MP
+
     def __init__(self, w, h, comps, progressive):
         if comps[0][1] != max(c[1] for c in comps) or comps[0][2] != max(
             c[2] for c in comps
@@ -218,6 +225,8 @@ class _FrameState:
         # can be NARROWER than the padded grid when w % mcu_width != 0
         self.nw = (w + 7) // 8
         self.nh = (h + 7) // 8
+        if self.bw * self.bh > self.MAX_BLOCKS:
+            raise ValueError("image too large for the vendored decoder")
         self.coefs = [[0] * 64 for _ in range(self.bw * self.bh)]
 
 
@@ -294,6 +303,8 @@ def decode_jpeg_luma_milli(raw: bytes, max_pixels: int | None = None):
                 (dc_tables if tc == 0 else ac_tables)[th] = _HuffTable(bits, vals)
                 j += 17 + cnt
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise ValueError("truncated SOF header")
             prec = body[0]
             h, w = struct.unpack(">HH", body[1:5])
             nc = body[5]
@@ -315,6 +326,8 @@ def decode_jpeg_luma_milli(raw: bytes, max_pixels: int | None = None):
         elif marker == 0xDA:  # SOS
             if st is None:
                 raise ValueError("SOS before SOF")
+            if not body or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("truncated SOS header")
             ns = body[0]
             sel = []
             for s in range(ns):

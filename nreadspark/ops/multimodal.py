@@ -381,7 +381,21 @@ def _png_unfilter(raw: bytes):
     if bit_depth != 8 or interlace not in (0, 1) or color_type not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG (depth={bit_depth}, color={color_type})")
     ch = _PNG_CHANNELS[color_type]
-    data = zlib.decompress(bytes(idat))
+    # absolute ceiling: corrupt IHDR dims would otherwise size the
+    # interlace scatter buffer (and the per-pixel Python work) unboundedly
+    if w * h > (1 << 26):
+        raise ValueError("image too large for the vendored decoder")
+    # bounded inflate: a legit stream is exactly the scanline total
+    # (interlaced passes sum to <= w*h*ch + 2h filter bytes); a zip-bomb
+    # IDAT stops at the bound instead of inflating to whatever it likes
+    bound = w * h * ch + 2 * h + 64
+    try:
+        data = zlib.decompressobj().decompress(bytes(idat), bound)
+    except zlib.error as exc:
+        # corrupt deflate must stay inside the ValueError containment
+        # contract -- a zlib.error would escape the tier logic and kill
+        # the task on one bad payload
+        raise ValueError(f"bad IDAT stream: {exc}") from exc
     if interlace == 0:
         out, consumed = _unfilter_region(data, 0, w, h, ch)
         if consumed is None:
@@ -599,7 +613,7 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[in
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def gif_luma_milli(raw: bytes):
+def gif_luma_milli(raw: bytes, max_pixels: int | None = None):
     """Decode the FIRST frame of a GIF to the integer scale-1000 luma
     matrix ``(w, h, lumas)`` -- the exact convention of
     :func:`png_luma_milli` (``r*299 + g*587 + b*114`` over the palette
@@ -629,6 +643,13 @@ def gif_luma_milli(raw: bytes):
             if pos + 10 > len(raw):
                 raise ValueError("truncated image descriptor")
             w, h = struct.unpack("<HH", raw[pos + 5 : pos + 9])
+            # caller cap + an absolute ceiling (corrupt descriptors could
+            # otherwise drive huge Python-list work before the short-data
+            # check fires); 64 MP is past any sane vendored-tier decode
+            if max_pixels is not None and w * h > max_pixels:
+                raise ValueError("image exceeds max_pixels")
+            if w * h > (1 << 26):
+                raise ValueError("image too large for the vendored decoder")
             iflags = raw[pos + 9]
             pos += 10
             ct = global_ct

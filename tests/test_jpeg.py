@@ -287,3 +287,46 @@ def test_color_progressive_420_interleaved_dc_and_chroma_skip():
         prog = decode_jpeg_luma_milli(encode_blocky_jpeg_progressive_420(8, 8, vals))
         plain = decode_jpeg_luma_milli(encode_blocky_jpeg(8, 8, vals, color_420=True))
         assert prog == plain, base
+
+
+def test_decoder_containment_fuzz():
+    """Seeded mutation fuzz over all three vendored decoders: every
+    corrupt payload must raise ValueError (the containment contract) or
+    decode -- never any other exception type, never unbounded work.
+    This caught two real escapes in r7: zlib.error through the PNG
+    inflate, and IndexErrors in truncated SOS/SOF headers."""
+    from nreadspark.ops.images import encode_gray_png
+    from nreadspark.ops.jpeg import encode_gray_jpeg_progressive
+    from nreadspark.ops.multimodal import encode_gif, gif_luma_milli, png_luma_milli
+
+    rng = random.Random(123)
+    px = bytes(rng.randrange(256) for _ in range(32 * 32))
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    targets = [
+        (decode_jpeg_luma_milli, encode_gray_jpeg(32, 32, px), {"max_pixels": 1 << 16}),
+        (decode_jpeg_luma_milli, encode_gray_jpeg_progressive(32, 32, px), {"max_pixels": 1 << 16}),
+        (decode_jpeg_luma_milli, encode_blocky_jpeg(4, 4, list(range(16)), color_420=True), {"max_pixels": 1 << 16}),
+        (gif_luma_milli, encode_gif(32, 32, px, pal), {"max_pixels": 1 << 16}),
+        (png_luma_milli, encode_gray_png(32, 32, px, interlaced=True), {}),
+        (png_luma_milli, encode_gray_png(32, 32, px), {}),
+    ]
+
+    def mutate(base):
+        raw = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            op = rng.randrange(3)
+            if op == 0 and raw:
+                raw[rng.randrange(len(raw))] = rng.randrange(256)
+            elif op == 1 and len(raw) > 4:
+                raw = raw[: rng.randrange(4, len(raw))]
+            else:
+                pos = rng.randrange(len(raw) + 1)
+                raw = raw[:pos] + bytearray([rng.randrange(256)]) + raw[pos:]
+        return bytes(raw)
+
+    for fn, base, kw in targets:
+        for _ in range(300):
+            try:
+                fn(mutate(base), **kw)
+            except ValueError:
+                pass
