@@ -432,3 +432,55 @@ def test_zero_row_files_still_commit_their_bucket(spark, tmp_path):
     s2 = run_warc_ingestion(spark, str(d), out, n_buckets=4)
     assert s2["buckets_computed"] == 0  # nothing re-streams
     assert s2["buckets_skipped"] == s1["buckets_computed"]
+
+
+def test_warc_parser_containment_fuzz():
+    """Seeded mutation fuzz: the WARC iterators and the HTTP splitter
+    must NEVER raise on corrupt bytes -- their contract is error rows /
+    best-effort fields, and one bad record must not kill a task."""
+    import io
+    import random
+
+    from nreadspark.warc import (
+        _gzip_member,
+        build_http_response,
+        build_warc_record,
+        iter_warc_records,
+        iter_warc_records_stream,
+        parse_http_response,
+    )
+
+    rng = random.Random(7)
+    rec = build_warc_record(
+        "response",
+        build_http_response(b"<html><p>hi</p></html>", "text/html"),
+        target_uri="http://a.com/x",
+    )
+    blob_plain = rec + build_warc_record(
+        "warcinfo", b"software: x\r\n", content_type="application/warc-fields"
+    )
+    blob_gz = _gzip_member(rec) + _gzip_member(
+        build_warc_record(
+            "response", build_http_response(b"y" * 50, "text/plain"),
+            target_uri="http://a.com/y",
+        )
+    )
+
+    def mutate(base):
+        raw = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            op = rng.randrange(3)
+            if op == 0 and raw:
+                raw[rng.randrange(len(raw))] = rng.randrange(256)
+            elif op == 1 and len(raw) > 4:
+                raw = raw[: rng.randrange(4, len(raw))]
+            else:
+                pos = rng.randrange(len(raw) + 1)
+                raw = raw[:pos] + bytearray([rng.randrange(256)]) + raw[pos:]
+        return bytes(raw)
+
+    for _ in range(400):
+        m = mutate(rng.choice([blob_plain, blob_gz]))
+        list(iter_warc_records(m))
+        list(iter_warc_records_stream(io.BytesIO(m)))
+        parse_http_response(mutate(build_http_response(b"<p>x</p>" * 5, "text/html")))
