@@ -1739,6 +1739,8 @@ def _q_multimodal_phash(spark, sf_dir):
         "ahash_lo",
         "ghash_hi",
         "ghash_lo",
+        "phash_hi",
+        "phash_lo",
         "decoder",
     )
 
@@ -1765,6 +1767,8 @@ def _q_multimodal_phash_jpeg(spark, sf_dir):
         "ahash_lo",
         "ghash_hi",
         "ghash_lo",
+        "phash_hi",
+        "phash_lo",
         "decoder",
     )
 
@@ -1787,6 +1791,36 @@ def _q_multimodal_phash_gif(spark, sf_dir):
         "ahash_lo",
         "ghash_hi",
         "ghash_lo",
+        "phash_hi",
+        "phash_lo",
+        "decoder",
+    )
+
+
+def _q_multimodal_keyframes(spark, sf_dir):
+    """MJPEG-in-MP4 keyframe hashes (r8, VERDICT r7 #5): structurally
+    valid BMFF containers whose mdat's first sample is the SAME
+    constant-block baseline JPEG as the jpg:// corpus; the Spark side
+    walks boxes, lifts the first SOI..EOI frame, and decodes it through
+    the vendored T.81 path, so video payloads join the image dedup
+    tiers.  Opaque-codec rows (%89==11, NAL-ish mdat) take the
+    'header:mp4' counted-not-dropped tier; %101==7 rows are truncated
+    (undecodable); even ids carry TWO identical samples (only the first
+    is hashed)."""
+    from nreadspark.ops.images import synthesize_mp4_corpus, video_keyframe_hashes
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = synthesize_mp4_corpus(docs.select("doc_id"))
+    return video_keyframe_hashes(media).select(
+        "media_ref",
+        "width",
+        "height",
+        "ahash_hi",
+        "ahash_lo",
+        "ghash_hi",
+        "ghash_lo",
+        "phash_hi",
+        "phash_lo",
         "decoder",
     )
 
@@ -2365,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash": _q_multimodal_phash,
         "dedup_image_phash": _q_dedup_image_phash,
         "multimodal_phash_jpeg": _q_multimodal_phash_jpeg,
+        "multimodal_keyframes": _q_multimodal_keyframes,
         "multimodal_phash_gif": _q_multimodal_phash_gif,
         "dedup_image_survivors": _q_dedup_image_survivors,
         "dedup_reference_bloom": _q_dedup_reference_bloom,
@@ -2754,29 +2789,262 @@ def _lang_id_oracle_sql() -> str:
     tie-break on language-code order; zero total hits -> 'und'."""
     from nreadspark.ops.textstats import LANG_MARKERS, lang_pattern
 
+    from nreadspark.ops.textstats import SCRIPT_RANGES
+
     langs = sorted(LANG_MARKERS)
+    fams = sorted(SCRIPT_RANGES)
     score_cols = ",\n                     ".join(
         f"CAST(COALESCE(length(regexp_extract_all(text, '{lang_pattern(lang)}')), 0) AS BIGINT) AS score_{lang}"
         for lang in langs
     )
+    # script family histogram (r8): counts over the RAW text equal the
+    # Spark side's staged counts (latin chars all survive into the
+    # word-run string; non-latin chars all survive ASCII condensation)
+    script_cols = ",\n                     ".join(
+        "CAST(COALESCE(length(text) - length(regexp_replace(text, "
+        f"'[{SCRIPT_RANGES[f]}]', '', 'g')), 0) AS BIGINT) AS sc_{f}"
+        for f in fams
+    )
     best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    sbest = "greatest(" + ", ".join(f"sc_{f}" for f in fams) + ")"
     cases = "\n                        ".join(
         f"WHEN score_{lang} = best_score THEN '{lang}'" for lang in langs[:-1]
+    )
+    scases = "\n                        ".join(
+        f"WHEN sc_{f} = sbest THEN '{f}'" for f in fams[:-1]
     )
     return f"""
             WITH scores AS (
               SELECT doc_id, lang AS actual_lang,
-                     {score_cols}
+                     {score_cols},
+                     {script_cols}
               FROM documents
             ), best AS (
-              SELECT *, {best} AS best_score FROM scores
+              SELECT *, {best} AS best_score, {sbest} AS sbest FROM scores
             )
             SELECT doc_id, actual_lang,
                    CASE WHEN best_score = 0 THEN 'und'
                         {cases}
                         ELSE '{langs[-1]}' END AS predicted_lang,
-                   CAST(best_score AS BIGINT) AS best_score
+                   CAST(best_score AS BIGINT) AS best_score,
+                   CASE WHEN sbest = 0 THEN 'und'
+                        {scases}
+                        ELSE '{fams[-1]}' END AS script
             FROM best
+        """
+
+
+def _phash_cte_sql(g_sql: str, div: int) -> str:
+    """CTE chain computing ``ph(doc_id, phash_hi, phash_lo)`` (r8) for a
+    synthetic corpus whose 32x32 resize is the closed form
+    ``pixel(x//div, y//div) * 1000``: the 16x16 PNG/GIF images resize to
+    nearest-neighbor 2x upsampling (div=2) and the 64x64 constant-block
+    JPEGs to exact 2x2-area means over constant pixels (div=4), so the
+    integer-mean resize never floors.  The DCT basis literals are
+    inlined FROM ``nreadspark.ops.images.PHASH_BASIS`` -- the kernel's
+    own table -- so both engines multiply identical integers; the two
+    separable stages mirror ``B @ P32 @ B.T``; the median is the lower
+    order stat (rank 32 of 64), tie-independent because rank addresses
+    the sorted multiset, not a particular row."""
+    from nreadspark.ops.images import PHASH_BASIS
+
+    basis_rows = ", ".join(
+        f"({u}, {x}, {b})"
+        for u, row in enumerate(PHASH_BASIS)
+        for x, b in enumerate(row)
+    )
+    return f"""
+            p32 AS (
+                SELECT g.doc_id, x.x AS x, y.y AS y,
+                       ((37*(g.doc_id % 97) + 13*(x.x//{div}) + 29*(y.y//{div})) % 256) * 1000 AS v
+                FROM ({g_sql}) g,
+                     generate_series(0, 31) AS x(x),
+                     generate_series(0, 31) AS y(y)
+            ),
+            pbasis(u, i, b) AS (VALUES {basis_rows}),
+            prow AS (
+                SELECT p.doc_id, bv.u AS v, p.y AS y,
+                       SUM(CAST(bv.b AS BIGINT) * p.v) AS rv
+                FROM p32 p JOIN pbasis bv ON bv.i = p.x
+                GROUP BY 1, 2, 3
+            ),
+            pcoef AS (
+                SELECT r.doc_id, bu.u AS u, r.v AS v,
+                       SUM(CAST(bu.b AS BIGINT) * r.rv) AS cv
+                FROM prow r JOIN pbasis bu ON bu.i = r.y
+                GROUP BY 1, 2, 3
+            ),
+            pmed AS (
+                SELECT doc_id, cv AS m FROM (
+                    SELECT doc_id, cv,
+                           row_number() OVER (PARTITION BY doc_id ORDER BY cv) AS rn
+                    FROM pcoef
+                ) WHERE rn = 32
+            ),
+            ph AS (
+                SELECT c.doc_id,
+                       CAST(SUM(CASE WHEN c.u*8 + c.v >= 32 AND c.cv > pmed.m
+                                THEN (1::BIGINT << (c.u*8 + c.v - 32)) ELSE 0 END) AS BIGINT) AS phash_hi,
+                       CAST(SUM(CASE WHEN c.u*8 + c.v < 32 AND c.cv > pmed.m
+                                THEN (1::BIGINT << (c.u*8 + c.v)) ELSE 0 END) AS BIGINT) AS phash_lo
+                FROM pcoef c JOIN pmed ON pmed.doc_id = c.doc_id
+                GROUP BY c.doc_id
+            )"""
+
+
+def _multimodal_phash_png_family_oracle(ref_prefix: str, decoder: str) -> str:
+    """Shared PNG/GIF oracle (lossless pixels, same generative formula),
+    extended with the r8 phash columns."""
+    phash_ctes = _phash_cte_sql("SELECT doc_id FROM d WHERE doc_id % 101 <> 7", 2)
+    return f"""
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            px AS (
+                SELECT g.doc_id, x.x AS x, y.y AS y,
+                       ((37*(g.doc_id % 97) + 13*x.x + 29*y.y) % 256) * 1000 AS luma
+                FROM (SELECT doc_id FROM d WHERE doc_id % 101 <> 7) g,
+                     generate_series(0, 15) AS x(x),
+                     generate_series(0, 15) AS y(y)
+            ),
+            blocks AS (
+                SELECT doc_id, (y//2)*8 + (x//2) AS j,
+                       SUM(luma) AS s, COUNT(*) AS c
+                FROM px GROUP BY 1, 2
+            ),
+            tot AS (SELECT doc_id, SUM(s) AS t, SUM(c) AS n FROM blocks GROUP BY doc_id),
+            nb AS (
+                SELECT b.doc_id, b.j, b.s, b.c, b2.s AS ns, b2.c AS nc
+                FROM blocks b JOIN blocks b2
+                  ON b2.doc_id = b.doc_id
+                 AND b2.j = (b.j//8)*8 + ((b.j%8)+1)%8
+            ),
+            hashes AS (
+                SELECT nb.doc_id,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.s * tot.n > tot.t * nb.c
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ahash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.s * tot.n > tot.t * nb.c
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ahash_lo,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.s * nb.nc > nb.ns * nb.c
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ghash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.s * nb.nc > nb.ns * nb.c
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ghash_lo
+                FROM nb JOIN tot ON tot.doc_id = nb.doc_id
+                GROUP BY nb.doc_id
+            ),{phash_ctes}
+            SELECT '{ref_prefix}' || CAST(d.doc_id AS VARCHAR) AS media_ref,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 16 END AS INT) AS width,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 16 END AS INT) AS height,
+                   h.ahash_hi, h.ahash_lo, h.ghash_hi, h.ghash_lo,
+                   ph.phash_hi, ph.phash_lo,
+                   CASE WHEN h.doc_id IS NULL THEN 'undecodable'
+                        ELSE '{decoder}' END AS decoder
+            FROM d LEFT JOIN hashes h ON h.doc_id = d.doc_id
+                   LEFT JOIN ph ON ph.doc_id = d.doc_id
+        """
+
+
+def _multimodal_phash_jpeg_oracle() -> str:
+    """The r7 constant-block JPEG oracle extended with phash (r8): each
+    hash-grid block of a 64x64 image is one constant JPEG block, so
+    ahash/ghash collapse to block-value comparisons and the 32x32
+    resize is exactly ``block(x//4, y//4) * 1000``."""
+    phash_ctes = _phash_cte_sql(
+        "SELECT doc_id FROM d WHERE doc_id % 89 <> 11 AND doc_id % 101 <> 7", 4
+    )
+    return f"""
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            b AS (
+                SELECT g.doc_id, by.by*8 + bx.bx AS j,
+                       (37*(g.doc_id % 97) + 13*bx.bx + 29*by.by) % 256 AS v
+                FROM (SELECT doc_id FROM d
+                      WHERE doc_id % 89 <> 11 AND doc_id % 101 <> 7) g,
+                     generate_series(0, 7) AS bx(bx),
+                     generate_series(0, 7) AS by(by)
+            ),
+            tot AS (SELECT doc_id, SUM(v) AS t FROM b GROUP BY doc_id),
+            nb AS (
+                SELECT b.doc_id, b.j, b.v, b2.v AS nv
+                FROM b JOIN b b2
+                  ON b2.doc_id = b.doc_id
+                 AND b2.j = (b.j//8)*8 + ((b.j%8)+1)%8
+            ),
+            hashes AS (
+                SELECT nb.doc_id,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.v * 64 > tot.t
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ahash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.v * 64 > tot.t
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ahash_lo,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.v > nb.nv
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ghash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.v > nb.nv
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ghash_lo
+                FROM nb JOIN tot ON tot.doc_id = nb.doc_id
+                GROUP BY nb.doc_id
+            ),{phash_ctes}
+            SELECT 'jpg://' || CAST(d.doc_id AS VARCHAR) AS media_ref,
+                   CAST(CASE WHEN d.doc_id % 89 = 11 THEN 64
+                             WHEN d.doc_id % 101 = 7 THEN NULL
+                             ELSE 64 END AS INT) AS width,
+                   CAST(CASE WHEN d.doc_id % 89 = 11 THEN 64
+                             WHEN d.doc_id % 101 = 7 THEN NULL
+                             ELSE 64 END AS INT) AS height,
+                   h.ahash_hi, h.ahash_lo, h.ghash_hi, h.ghash_lo,
+                   ph.phash_hi, ph.phash_lo,
+                   CASE WHEN d.doc_id % 89 = 11 THEN 'header:jpeg'
+                        WHEN d.doc_id % 101 = 7 THEN 'undecodable'
+                        ELSE 'pixels:jpeg' END AS decoder
+            FROM d LEFT JOIN hashes h ON h.doc_id = d.doc_id
+                   LEFT JOIN ph ON ph.doc_id = d.doc_id
+        """
+
+
+def _multimodal_keyframes_oracle() -> str:
+    """MJPEG-in-MP4 keyframe tier (r8): the embedded frame is the SAME
+    constant-block JPEG as the jpg:// corpus, so the whole closed-form
+    oracle transfers -- only the ref prefix, the decoder cases (opaque
+    mdat -> header:mp4), and the NULL dims for undecoded rows change."""
+    phash_ctes = _phash_cte_sql(
+        "SELECT doc_id FROM d WHERE doc_id % 89 <> 11 AND doc_id % 101 <> 7", 4
+    )
+    return f"""
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+            b AS (
+                SELECT g.doc_id, by.by*8 + bx.bx AS j,
+                       (37*(g.doc_id % 97) + 13*bx.bx + 29*by.by) % 256 AS v
+                FROM (SELECT doc_id FROM d
+                      WHERE doc_id % 89 <> 11 AND doc_id % 101 <> 7) g,
+                     generate_series(0, 7) AS bx(bx),
+                     generate_series(0, 7) AS by(by)
+            ),
+            tot AS (SELECT doc_id, SUM(v) AS t FROM b GROUP BY doc_id),
+            nb AS (
+                SELECT b.doc_id, b.j, b.v, b2.v AS nv
+                FROM b JOIN b b2
+                  ON b2.doc_id = b.doc_id
+                 AND b2.j = (b.j//8)*8 + ((b.j%8)+1)%8
+            ),
+            hashes AS (
+                SELECT nb.doc_id,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.v * 64 > tot.t
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ahash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.v * 64 > tot.t
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ahash_lo,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.v > nb.nv
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ghash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.v > nb.nv
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ghash_lo
+                FROM nb JOIN tot ON tot.doc_id = nb.doc_id
+                GROUP BY nb.doc_id
+            ),{phash_ctes}
+            SELECT 'vid://' || CAST(d.doc_id AS VARCHAR) AS media_ref,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 64 END AS INT) AS width,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 64 END AS INT) AS height,
+                   h.ahash_hi, h.ahash_lo, h.ghash_hi, h.ghash_lo,
+                   ph.phash_hi, ph.phash_lo,
+                   CASE WHEN d.doc_id % 101 = 7 THEN 'undecodable'
+                        WHEN d.doc_id % 89 = 11 THEN 'header:mp4'
+                        ELSE 'keyframe:jpeg' END AS decoder
+            FROM d LEFT JOIN hashes h ON h.doc_id = d.doc_id
+                   LEFT JOIN ph ON ph.doc_id = d.doc_id
         """
 
 
@@ -4004,93 +4272,11 @@ def oracle_sql() -> dict[str, str]:
         # cannot self-confirm.  Every mean comparison is cross-multiplied
         # integer arithmetic; the 64 bits pack into two int32-range
         # BIGINTs (hi = bits 32..63), sidestepping 64-bit sign traps.
-        "multimodal_phash": """
-            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
-            px AS (
-                SELECT g.doc_id, x.x AS x, y.y AS y,
-                       ((37*(g.doc_id % 97) + 13*x.x + 29*y.y) % 256) * 1000 AS luma
-                FROM (SELECT doc_id FROM d WHERE doc_id % 101 <> 7) g,
-                     generate_series(0, 15) AS x(x),
-                     generate_series(0, 15) AS y(y)
-            ),
-            blocks AS (
-                SELECT doc_id, (y//2)*8 + (x//2) AS j,
-                       SUM(luma) AS s, COUNT(*) AS c
-                FROM px GROUP BY 1, 2
-            ),
-            tot AS (SELECT doc_id, SUM(s) AS t, SUM(c) AS n FROM blocks GROUP BY doc_id),
-            nb AS (
-                SELECT b.doc_id, b.j, b.s, b.c, b2.s AS ns, b2.c AS nc
-                FROM blocks b JOIN blocks b2
-                  ON b2.doc_id = b.doc_id
-                 AND b2.j = (b.j//8)*8 + ((b.j%8)+1)%8
-            ),
-            hashes AS (
-                SELECT nb.doc_id,
-                       SUM(CASE WHEN nb.j >= 32 AND nb.s * tot.n > tot.t * nb.c
-                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ahash_hi,
-                       SUM(CASE WHEN nb.j < 32 AND nb.s * tot.n > tot.t * nb.c
-                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ahash_lo,
-                       SUM(CASE WHEN nb.j >= 32 AND nb.s * nb.nc > nb.ns * nb.c
-                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ghash_hi,
-                       SUM(CASE WHEN nb.j < 32 AND nb.s * nb.nc > nb.ns * nb.c
-                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ghash_lo
-                FROM nb JOIN tot ON tot.doc_id = nb.doc_id
-                GROUP BY nb.doc_id
-            )
-            SELECT 'img://' || CAST(d.doc_id AS VARCHAR) AS media_ref,
-                   CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 16 END AS INT) AS width,
-                   CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 16 END AS INT) AS height,
-                   h.ahash_hi, h.ahash_lo, h.ghash_hi, h.ghash_lo,
-                   CASE WHEN h.doc_id IS NULL THEN 'undecodable'
-                        ELSE 'pixels:png' END AS decoder
-            FROM d LEFT JOIN hashes h ON h.doc_id = d.doc_id
-        """,
+        "multimodal_phash": _multimodal_phash_png_family_oracle("img://", "pixels:png"),
         # GIF hashes (r7): lossless LZW round trip, so the PNG oracle
         # transfers verbatim (same pixel formula; grayscale palette makes
         # luma = i*1000); interlaced odd ids decode to the same pixels
-        "multimodal_phash_gif": """
-            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
-            px AS (
-                SELECT g.doc_id, x.x AS x, y.y AS y,
-                       ((37*(g.doc_id % 97) + 13*x.x + 29*y.y) % 256) * 1000 AS luma
-                FROM (SELECT doc_id FROM d WHERE doc_id % 101 <> 7) g,
-                     generate_series(0, 15) AS x(x),
-                     generate_series(0, 15) AS y(y)
-            ),
-            blocks AS (
-                SELECT doc_id, (y//2)*8 + (x//2) AS j,
-                       SUM(luma) AS s, COUNT(*) AS c
-                FROM px GROUP BY 1, 2
-            ),
-            tot AS (SELECT doc_id, SUM(s) AS t, SUM(c) AS n FROM blocks GROUP BY doc_id),
-            nb AS (
-                SELECT b.doc_id, b.j, b.s, b.c, b2.s AS ns, b2.c AS nc
-                FROM blocks b JOIN blocks b2
-                  ON b2.doc_id = b.doc_id
-                 AND b2.j = (b.j//8)*8 + ((b.j%8)+1)%8
-            ),
-            hashes AS (
-                SELECT nb.doc_id,
-                       SUM(CASE WHEN nb.j >= 32 AND nb.s * tot.n > tot.t * nb.c
-                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ahash_hi,
-                       SUM(CASE WHEN nb.j < 32 AND nb.s * tot.n > tot.t * nb.c
-                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ahash_lo,
-                       SUM(CASE WHEN nb.j >= 32 AND nb.s * nb.nc > nb.ns * nb.c
-                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ghash_hi,
-                       SUM(CASE WHEN nb.j < 32 AND nb.s * nb.nc > nb.ns * nb.c
-                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ghash_lo
-                FROM nb JOIN tot ON tot.doc_id = nb.doc_id
-                GROUP BY nb.doc_id
-            )
-            SELECT 'gif://' || CAST(d.doc_id AS VARCHAR) AS media_ref,
-                   CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 16 END AS INT) AS width,
-                   CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 16 END AS INT) AS height,
-                   h.ahash_hi, h.ahash_lo, h.ghash_hi, h.ghash_lo,
-                   CASE WHEN h.doc_id IS NULL THEN 'undecodable'
-                        ELSE 'pixels:gif' END AS decoder
-            FROM d LEFT JOIN hashes h ON h.doc_id = d.doc_id
-        """,
+        "multimodal_phash_gif": _multimodal_phash_png_family_oracle("gif://", "pixels:gif"),
         # baseline-JPEG hashes (r7): 64x64 images of CONSTANT 8x8 blocks,
         # block(bx,by) = (37*base + 13bx + 29by) % 256 -- DC-only blocks
         # decode exactly under ANY compliant IDCT, so the oracle works
@@ -4098,49 +4284,8 @@ def oracle_sql() -> dict[str, str]:
         # collapse (every block has 64 px): ahash bit = v*64 > sum(v),
         # ghash bit = v > right neighbor.  %89==11 -> progressive stub
         # (header:jpeg, dims kept, NULL hashes); %101==7 -> truncated.
-        "multimodal_phash_jpeg": """
-            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
-            b AS (
-                SELECT g.doc_id, by.by*8 + bx.bx AS j,
-                       (37*(g.doc_id % 97) + 13*bx.bx + 29*by.by) % 256 AS v
-                FROM (SELECT doc_id FROM d
-                      WHERE doc_id % 89 <> 11 AND doc_id % 101 <> 7) g,
-                     generate_series(0, 7) AS bx(bx),
-                     generate_series(0, 7) AS by(by)
-            ),
-            tot AS (SELECT doc_id, SUM(v) AS t FROM b GROUP BY doc_id),
-            nb AS (
-                SELECT b.doc_id, b.j, b.v, b2.v AS nv
-                FROM b JOIN b b2
-                  ON b2.doc_id = b.doc_id
-                 AND b2.j = (b.j//8)*8 + ((b.j%8)+1)%8
-            ),
-            hashes AS (
-                SELECT nb.doc_id,
-                       SUM(CASE WHEN nb.j >= 32 AND nb.v * 64 > tot.t
-                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ahash_hi,
-                       SUM(CASE WHEN nb.j < 32 AND nb.v * 64 > tot.t
-                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ahash_lo,
-                       SUM(CASE WHEN nb.j >= 32 AND nb.v > nb.nv
-                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ghash_hi,
-                       SUM(CASE WHEN nb.j < 32 AND nb.v > nb.nv
-                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ghash_lo
-                FROM nb JOIN tot ON tot.doc_id = nb.doc_id
-                GROUP BY nb.doc_id
-            )
-            SELECT 'jpg://' || CAST(d.doc_id AS VARCHAR) AS media_ref,
-                   CAST(CASE WHEN d.doc_id % 89 = 11 THEN 64
-                             WHEN d.doc_id % 101 = 7 THEN NULL
-                             ELSE 64 END AS INT) AS width,
-                   CAST(CASE WHEN d.doc_id % 89 = 11 THEN 64
-                             WHEN d.doc_id % 101 = 7 THEN NULL
-                             ELSE 64 END AS INT) AS height,
-                   h.ahash_hi, h.ahash_lo, h.ghash_hi, h.ghash_lo,
-                   CASE WHEN d.doc_id % 89 = 11 THEN 'header:jpeg'
-                        WHEN d.doc_id % 101 = 7 THEN 'undecodable'
-                        ELSE 'pixels:jpeg' END AS decoder
-            FROM d LEFT JOIN hashes h ON h.doc_id = d.doc_id
-        """,
+        "multimodal_phash_jpeg": _multimodal_phash_jpeg_oracle(),
+        "multimodal_keyframes": _multimodal_keyframes_oracle(),
         # image near-dup pairs (r6): the oracle does the quadratic join the
         # Spark side's 4x16-bit banding avoids (exact for hamming <= 3 by
         # pigeonhole)

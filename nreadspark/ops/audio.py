@@ -118,13 +118,42 @@ _MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160
 _MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
 
 
+def _mp3_frame_at(raw: bytes, i: int):
+    """Validate a Layer III frame header at offset ``i``: returns
+    ``(sample_rate, bitrate_kbps, n_channels, frame_len)`` or None.
+    ``frame_len`` is the ISO 11172-3 slot formula (144 x bitrate /
+    sample_rate for MPEG1, half the slot count for MPEG2/2.5, plus the
+    padding bit) -- what lets a caller demand the NEXT frame's sync."""
+    if i + 4 > len(raw) or raw[i] != 0xFF or (raw[i + 1] & 0xE0) != 0xE0:
+        return None
+    version = (raw[i + 1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    layer = (raw[i + 1] >> 1) & 0x3  # 1 = Layer III
+    br_idx = raw[i + 2] >> 4
+    sr_idx = (raw[i + 2] >> 2) & 0x3
+    if version == 1 or layer != 1 or not 0 < br_idx < 15 or sr_idx >= 3:
+        return None
+    rate = _MP3_RATES[version][sr_idx]
+    kbps = (_MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2)[br_idx]
+    padding = (raw[i + 2] >> 1) & 0x1
+    slots = 144000 if version == 3 else 72000
+    frame_len = slots * kbps // rate + padding
+    channels = 1 if ((raw[i + 3] >> 6) & 0x3) == 3 else 2
+    return rate, kbps, channels, frame_len
+
+
 def parse_mp3_header(raw: bytes):
     """(sample_rate, bitrate_kbps, n_channels) from the first MPEG Layer
     III frame sync in the payload (skipping a leading ID3v2 tag) --
     the counted-not-dropped metadata tier for the web's dominant
     compressed-audio format; full MP3 synthesis decoding is out of the
     vendored-stdlib scope (the native seam's job).  Returns ``None``
-    when no valid frame header is found in the first 4 KiB."""
+    when no valid frame header is found in the first 4 KiB.
+
+    A lone sync pattern is weak evidence (~6e-5 per offset -- ~20% of
+    random 4 KiB+ binaries contain one, ADVICE r7), so a match only
+    counts when the frame length computed FROM the header lands on a
+    second valid sync -- or exactly on end-of-payload (single-frame /
+    truncated-tail streams)."""
     i = 0
     if raw[:3] == b"ID3" and len(raw) >= 10:
         # syncsafe 28-bit tag size
@@ -137,21 +166,12 @@ def parse_mp3_header(raw: bytes):
         i = 10 + size
     end = min(len(raw) - 4, i + 4096)
     while i <= end:
-        if raw[i] == 0xFF and (raw[i + 1] & 0xE0) == 0xE0:
-            version = (raw[i + 1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
-            layer = (raw[i + 1] >> 1) & 0x3  # 1 = Layer III
-            br_idx = raw[i + 2] >> 4
-            sr_idx = (raw[i + 2] >> 2) & 0x3
-            if (
-                version != 1
-                and layer == 1
-                and 0 < br_idx < 15
-                and sr_idx < 3
-            ):
-                rates = _MP3_RATES[version]
-                bitrates = _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
-                channels = 1 if ((raw[i + 3] >> 6) & 0x3) == 3 else 2
-                return rates[sr_idx], bitrates[br_idx], channels
+        hit = _mp3_frame_at(raw, i)
+        if hit is not None:
+            rate, kbps, channels, frame_len = hit
+            nxt = i + frame_len
+            if nxt == len(raw) or _mp3_frame_at(raw, nxt) is not None:
+                return rate, kbps, channels
         i += 1
     return None
 

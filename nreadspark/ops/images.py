@@ -13,6 +13,18 @@ by the pHash project and Krawetz's average-hash writeups):
   variant of dHash: classic dHash compares a 9x8 resample's horizontal
   neighbors, which needs non-uniform resampling for widths not divisible
   by 9; the wraparound variant keeps every block an exact integer sum.
+* **pHash (DCT hash, r8)**: resize to 32x32, 2-D DCT-II, keep the 8x8
+  low-frequency corner, bit j = 1 where coefficient j exceeds the
+  median (lower order-stat #32 of the 64) -- the standard robustness
+  upgrade over aHash/gHash for brightness/contrast-shifted near-dups
+  (a global luma shift moves only the DC term; a contrast stretch
+  scales all coefficients positively, leaving >-vs-median bits mostly
+  intact).  Our variant is INTEGER-exact: the 8 needed DCT basis rows
+  are rounded to scale 2^14 (:data:`PHASH_BASIS` -- rounding the basis
+  only perturbs the transform below perceptual relevance, while making
+  every coefficient a bounded int64 any SQL engine reproduces bit for
+  bit), and the resize is the deterministic integer scheme of
+  :func:`_resize32`.
 
 Everything is INTEGER-EXACT by construction so an external SQL engine can
 replicate hashes bit for bit: luma is held at scale 1000 (``r*299 +
@@ -47,6 +59,7 @@ columns as first-class); the decode-tier strategy mirrors
 
 from __future__ import annotations
 
+import math
 import zlib
 import struct
 
@@ -73,8 +86,26 @@ HASH_SCHEMA = StructType(
         StructField("ahash_lo", LongType()),
         StructField("ghash_hi", LongType()),
         StructField("ghash_lo", LongType()),
+        StructField("phash_hi", LongType()),
+        StructField("phash_lo", LongType()),
         StructField("decoder", StringType()),
     ]
+)
+
+PHASH_SIZE = 32  # resize target; the DCT keeps the 8x8 low-freq corner
+PHASH_SCALE = 1 << 14
+
+# The 8 low-frequency rows of the 32-point DCT-II basis, rounded to
+# integer scale 2^14: B[u][x] = round(cos(pi*u*(2x+1)/64) * 2^14).
+# This table is the SINGLE source of truth -- the SQL oracle inlines
+# these very integers as literals, so kernel and oracle agree exactly
+# regardless of either engine's libm.
+PHASH_BASIS = tuple(
+    tuple(
+        int(round(math.cos(math.pi * u * (2 * x + 1) / 64) * PHASH_SCALE))
+        for x in range(PHASH_SIZE)
+    )
+    for u in range(GRID)
 )
 
 
@@ -122,6 +153,53 @@ def ghash64(w: int, h: int, lumas: list[int]) -> tuple[int, int]:
     return _pack(bits)
 
 
+def _resize32(w: int, h: int, lumas: list[int]):
+    """Deterministic integer 32x32 resize: cell x covers source columns
+    ``[x*w//32, max(x*w//32 + 1, (x+1)*w//32))`` (same for rows) -- the
+    floor-mapped AREA mean when the source is larger than 32 (every cell
+    gets >= 1 whole pixel), degrading to nearest-neighbor sampling when
+    smaller (ranges overlap) -- and the cell value is the floor-divided
+    integer mean of scale-1000 lumas.  One closed form both the numpy
+    kernel and the SQL oracle implement verbatim."""
+    import numpy as np
+
+    a = np.asarray(lumas, dtype=np.int64).reshape(h, w)
+    # integral image: cumulative sums with a zero row/col prepended
+    integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(a, axis=0), axis=1, out=integ[1:, 1:])
+    n = PHASH_SIZE
+    sx = np.array([x * w // n for x in range(n)])
+    ex = np.maximum(sx + 1, np.array([(x + 1) * w // n for x in range(n)]))
+    sy = np.array([y * h // n for y in range(n)])
+    ey = np.maximum(sy + 1, np.array([(y + 1) * h // n for y in range(n)]))
+    sums = (
+        integ[np.ix_(ey, ex)]
+        - integ[np.ix_(sy, ex)]
+        - integ[np.ix_(ey, sx)]
+        + integ[np.ix_(sy, sx)]
+    )
+    counts = (ey - sy)[:, None] * (ex - sx)[None, :]
+    return sums // counts  # P32[y][x], int64
+
+
+def phash64(w: int, h: int, lumas: list[int]) -> tuple[int, int]:
+    """DCT perceptual hash: 32x32 integer resize -> 8x8 low-frequency
+    corner of the 2-D DCT-II (integer basis :data:`PHASH_BASIS`) ->
+    bit ``j = u*8 + v`` set where ``C[u][v]`` exceeds the 64
+    coefficients' lower median (order stat #32).  Bound: |B| <= 2^14,
+    P32 <= 255000 < 2^18, so |C| <= 32^2 * 2^(14+14+18) ~ 2^56 --
+    int64-safe in numpy and BIGINT-safe in any oracle."""
+    import numpy as np
+
+    p32 = _resize32(w, h, lumas)
+    basis = np.asarray(PHASH_BASIS, dtype=np.int64)
+    coefs = basis @ p32 @ basis.T  # C[u][v], u = row (y) frequency
+    flat = coefs.reshape(-1)
+    med = int(np.sort(flat)[GRID * GRID // 2 - 1])
+    bits = [1 if int(flat[j]) > med else 0 for j in range(GRID * GRID)]
+    return _pack(bits)
+
+
 def image_hashes(
     media_df: DataFrame,
     ref_col: str = "media_ref",
@@ -129,8 +207,9 @@ def image_hashes(
     max_decode_pixels: int | None = 1 << 16,
     use_native: bool = False,
 ) -> DataFrame:
-    """(media_ref, width, height, ahash_hi/lo, ghash_hi/lo, decoder):
-    perceptual hashes per payload, ONE Arrow crossing, zero shuffles.
+    """(media_ref, width, height, ahash_hi/lo, ghash_hi/lo, phash_hi/lo,
+    decoder): perceptual hashes per payload, ONE Arrow crossing, zero
+    shuffles.
 
     Decode tiers per payload (mirrors ``extract_media_features``):
     ``native:<codec>`` when ``use_native`` and PIL imports (the
@@ -161,6 +240,8 @@ def image_hashes(
                 "ahash_lo": [],
                 "ghash_hi": [],
                 "ghash_lo": [],
+                "phash_hi": [],
+                "phash_lo": [],
                 "decoder": [],
             }
             for p in pdf[payload_col].tolist():
@@ -218,8 +299,10 @@ def image_hashes(
                             except ValueError:
                                 dw = None
                         if dw is not None:
-                            hashes = ahash64(dw, dh, lumas) + ghash64(
-                                dw, dh, lumas
+                            hashes = (
+                                ahash64(dw, dh, lumas)
+                                + ghash64(dw, dh, lumas)
+                                + phash64(dw, dh, lumas)
                             )
                             w, h, decoder = dw, dh, tier
                         else:
@@ -232,6 +315,8 @@ def image_hashes(
                 out["ahash_lo"].append(hashes[1] if hashes else None)
                 out["ghash_hi"].append(hashes[2] if hashes else None)
                 out["ghash_lo"].append(hashes[3] if hashes else None)
+                out["phash_hi"].append(hashes[4] if hashes else None)
+                out["phash_lo"].append(hashes[5] if hashes else None)
                 out["decoder"].append(decoder)
             yield pd.DataFrame(out)
 
@@ -262,6 +347,89 @@ def _native_luma_milli(raw: bytes):
         gray.height,
         [v * 1000 for v in gray.tobytes()],
     )
+
+
+def video_keyframe_hashes(
+    media_df: DataFrame,
+    ref_col: str = "media_ref",
+    payload_col: str = "payload",
+    max_decode_pixels: int | None = 1 << 16,
+) -> DataFrame:
+    """Perceptual hashes for VIDEO payloads via the first embedded JPEG
+    keyframe (r8): MJPEG tracks and cover-art atoms are pure ITU-T T.81
+    payloads the vendored decoder already handles, so those videos stop
+    being metadata-only and join the image dedup tiers (same
+    ``HASH_SCHEMA``, same banded pair join downstream).
+
+    Tiers per payload: ``keyframe:jpeg`` (embedded frame found and
+    decoded -- width/height are the FRAME's), ``capped`` (frame found,
+    dims over ``max_decode_pixels``), ``header:mp4`` (valid BMFF
+    container, no decodable embedded JPEG -- H.264-family codecs land
+    here, counted-not-dropped), ``undecodable`` (not BMFF).  ONE Arrow
+    crossing, zero shuffles; all decode work is bounded by the O(1)
+    header gate + the per-box scan cap in
+    :func:`..multimodal.extract_mp4_keyframe`."""
+    from .jpeg import decode_jpeg_luma_milli
+    from .multimodal import extract_mp4_keyframe, parse_image_header, parse_mp4_header
+
+    def batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            out = {
+                "media_ref": pdf[ref_col],
+                "width": [],
+                "height": [],
+                "ahash_hi": [],
+                "ahash_lo": [],
+                "ghash_hi": [],
+                "ghash_lo": [],
+                "phash_hi": [],
+                "phash_lo": [],
+                "decoder": [],
+            }
+            for p in pdf[payload_col].tolist():
+                raw = bytes(p) if p is not None else b""
+                w = h = None
+                hashes = None
+                decoder = "undecodable"
+                if parse_mp4_header(raw) is not None:
+                    decoder = "header:mp4"
+                    kf = extract_mp4_keyframe(raw)
+                    parsed = parse_image_header(kf) if kf is not None else None
+                    if parsed is not None and parsed[0] == "jpeg":
+                        _, cw, ch = parsed
+                        if (
+                            max_decode_pixels is not None
+                            and cw * ch > max_decode_pixels
+                        ):
+                            w, h, decoder = cw, ch, "capped"
+                        elif cw >= GRID and ch >= GRID:
+                            try:
+                                dw, dh, lumas = decode_jpeg_luma_milli(
+                                    kf, max_pixels=max_decode_pixels
+                                )
+                            except ValueError:
+                                dw = None  # stays header:mp4
+                            if dw is not None:
+                                hashes = (
+                                    ahash64(dw, dh, lumas)
+                                    + ghash64(dw, dh, lumas)
+                                    + phash64(dw, dh, lumas)
+                                )
+                                w, h, decoder = dw, dh, "keyframe:jpeg"
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash_hi"].append(hashes[0] if hashes else None)
+                out["ahash_lo"].append(hashes[1] if hashes else None)
+                out["ghash_hi"].append(hashes[2] if hashes else None)
+                out["ghash_lo"].append(hashes[3] if hashes else None)
+                out["phash_hi"].append(hashes[4] if hashes else None)
+                out["phash_lo"].append(hashes[5] if hashes else None)
+                out["decoder"].append(decoder)
+            yield pd.DataFrame(out)
+
+    return media_df.select(ref_col, payload_col).mapInPandas(batches, HASH_SCHEMA)
 
 
 def near_dup_image_pairs(
@@ -556,6 +724,74 @@ def synthesize_jpeg_corpus(
                     if d % corrupt_mod == 7:
                         raw = raw[:16]
                 refs.append(f"jpg://{d}")
+                payloads.append(raw)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_ref": refs, "payload": payloads}
+            )
+
+    schema = StructType(
+        [
+            docs_df.schema["doc_id"],
+            StructField("media_ref", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs_df.select("doc_id").mapInPandas(batches, schema)
+
+
+def synthesize_mp4_corpus(
+    docs_df: DataFrame,
+    n_bases: int = 97,
+    corrupt_mod: int = 101,
+    opaque_mod: int = 89,
+) -> DataFrame:
+    """(doc_id, media_ref, payload): deterministic MJPEG-in-MP4 videos
+    (r8) -- a structurally valid ISO BMFF container (ftyp + moov[mvhd
+    v0, timescale 1000] + mdat) whose mdat's first sample is the SAME
+    64x64 constant-block baseline JPEG as
+    :func:`synthesize_jpeg_corpus` (``block(bx,by) = (37*(doc_id %
+    n_bases) + 13bx + 29by) % 256``), so the closed-form JPEG oracle
+    transfers verbatim to the keyframe tier and a vid://X keyframe
+    hashes identically to jpg://X (cross-container dedup).  Even
+    doc_ids carry a second identical JPEG sample (only the FIRST may be
+    hashed); ``% opaque_mod == 11`` rows carry an opaque non-JPEG mdat
+    (the H.264-family stand-in -- ``header:mp4`` tier); ``% corrupt_mod
+    == 7`` rows are truncated to 10 bytes (``undecodable``)."""
+    from .jpeg import encode_blocky_jpeg
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    def batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            refs, payloads = [], []
+            for doc_id in pdf["doc_id"].tolist():
+                d = int(doc_id)
+                base = d % n_bases
+                vals = [
+                    synth_pixel(base, bx, by)
+                    for by in range(GRID)
+                    for bx in range(GRID)
+                ]
+                if d % opaque_mod == 11:
+                    # opaque codec stand-in: NAL-ish bytes, no SOI
+                    mdat = bytes([0, 0, 0, 1, 0x65]) + bytes(64)
+                else:
+                    jpeg = encode_blocky_jpeg(GRID, GRID, vals)
+                    mdat = jpeg * 2 if d % 2 == 0 else jpeg
+                mvhd_body = bytes(12) + (1000).to_bytes(4, "big") + (
+                    4000
+                ).to_bytes(4, "big") + bytes(80)
+                raw = (
+                    box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+                    + box(b"moov", box(b"mvhd", mvhd_body))
+                    + box(b"mdat", mdat)
+                )
+                if d % corrupt_mod == 7:
+                    raw = raw[:10]
+                refs.append(f"vid://{d}")
                 payloads.append(raw)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "media_ref": refs, "payload": payloads}

@@ -383,14 +383,22 @@ def _decode_sos(st, sel, ss, se, ah, al, chunks, dc_tables, ac_tables, dri):
     if not st.progressive and (ss, se, ah, al) != (0, 63, 0, 0):
         raise ValueError("invalid sequential scan parameters")
 
-    if len(sel) == 1 and sel[0][0] != st.luma_id and st.progressive:
-        return  # chroma-only scan: entropy segment already skipped
+    if len(sel) == 1 and sel[0][0] != st.luma_id:
+        # chroma-only scan: every scan's entropy-coded segment is
+        # self-contained (already skipped to the next marker), so a
+        # non-luma Ns=1 scan -- baseline or progressive -- costs nothing
+        return
 
-    if len(sel) > 1 or not st.progressive:
+    if len(sel) > 1 or (not st.progressive and len(st.comps) == 1):
         # multi-component MCU scan (baseline full band / progressive DC),
         # or the baseline single-component frame (full band, MCU == block)
         _decode_interleaved(st, sel, ss, se, ah, al, chunks, dc_tables, ac_tables, dri)
     else:
+        # Ns=1 scan of a multi-component frame: per T.81 A.2 this is
+        # NON-interleaved -- raster order over the component's own block
+        # grid, not the frame MCU grid (ADVICE r7: routing baseline here
+        # through the MCU walk scrambled luma silently when the dims
+        # were MCU-aligned).  Applies to baseline and progressive alike.
         _decode_single(st, sel[0], ss, se, ah, al, chunks, dc_tables, ac_tables, dri)
 
 
@@ -466,9 +474,13 @@ def _baseline_ac(r, act, blk):
 
 
 def _decode_single(st, one, ss, se, ah, al, chunks, dc_tables, ac_tables, dri):
-    """Single-component progressive scan over the luma's non-interleaved
-    block grid (raster order; may be narrower than the padded grid)."""
+    """Single-component (Ns=1, non-interleaved) scan over the luma's own
+    block grid (raster order; may be narrower than the padded grid).
+    Progressive bands (DC-only / AC band, first or refinement) and the
+    baseline full 0..63 band (T.81 A.2, DC + AC per block) both land
+    here."""
     cs, td, ta = one
+    baseline_full = not st.progressive  # _decode_sos enforced (0,63,0,0)
     state = {"pred": 0, "eobrun": 0}
 
     def on_restart():
@@ -476,18 +488,23 @@ def _decode_single(st, one, ss, se, ah, al, chunks, dc_tables, ac_tables, dri):
         state["eobrun"] = 0
 
     src = _ChunkReader(chunks, dri if dri else 0, on_restart)
-    if ss == 0:  # DC-only non-interleaved scan
+    if ss == 0:  # DC present (DC-only progressive band or baseline full)
         if ah == 0 and td not in dc_tables:
             raise ValueError("missing DC Huffman table")
-    elif ah == 0 or st.progressive:
-        if ta not in ac_tables and ss > 0:
-            raise ValueError("missing AC Huffman table")
+    if (ss > 0 or baseline_full) and ta not in ac_tables:
+        raise ValueError("missing AC Huffman table")
     for by in range(st.nh):
         for bx in range(st.nw):
             src.step()
             r = src.reader
             blk = st.coefs[by * st.bw + bx]
-            if ss == 0:
+            if baseline_full:
+                s = _decode_symbol(r, dc_tables[td])
+                diff = _extend(r.receive(s), s) if s else 0
+                state["pred"] += diff
+                blk[0] = state["pred"]
+                _baseline_ac(r, ac_tables[ta], blk)
+            elif ss == 0:
                 if ah == 0:
                     s = _decode_symbol(r, dc_tables[td])
                     diff = _extend(r.receive(s), s) if s else 0

@@ -295,6 +295,65 @@ def parse_mp4_header(raw: bytes):
     return (major_brand, timescale, duration_ms, n_tracks)
 
 
+def extract_mp4_keyframe(raw: bytes, max_scan: int = 1 << 22) -> bytes | None:
+    """First embedded JPEG frame of an ISO BMFF payload, or None.
+
+    Two box-aware sources (ISO 14496-12 walk, same containment contract
+    as :func:`parse_mp4_header`): ``mdat`` bodies -- an MJPEG track's
+    samples are raw ITU-T T.81 frames, so the first SOI..EOI run IS the
+    first keyframe -- and ``moov/udta/meta/ilst/covr`` ``data`` bodies
+    (cover art).  Inside valid entropy-coded data ``FFD9`` can only be
+    the real EOI (FF is always stuffed as FF00 or a marker), so the
+    first EOI after the SOI bounds the frame.  Scanning stops after
+    ``max_scan`` bytes per box -- a keyframe lives at the FRONT of its
+    box, and an unbounded scan of a multi-GB H.264 mdat for a SOI that
+    is not there would be pure waste.  Codecs without embedded JPEG
+    (H.264/5, VP9, AV1...) return None -- the caller keeps those on the
+    ``header:mp4`` counted-not-dropped tier."""
+    if len(raw) < 12 or raw[4:8] != b"ftyp":
+        return None
+
+    def scan_jpeg(body: bytes):
+        j = body.find(b"\xff\xd8\xff")
+        if j < 0:
+            return None
+        k = body.find(b"\xff\xd9", j + 3)
+        if k < 0:
+            return None
+        return body[j : k + 2]
+
+    found: list[bytes] = []
+
+    def walk(start: int, end: int, depth: int) -> None:
+        i = start
+        while i + 8 <= end and not found:
+            size = int.from_bytes(raw[i : i + 4], "big")
+            btype = raw[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(raw[i + 8 : i + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = end - i
+            if size < hdr or i + size > end:
+                return
+            if btype == b"mdat" or (btype == b"data" and depth > 0):
+                hit = scan_jpeg(raw[i + hdr : min(i + size, i + hdr + max_scan)])
+                if hit is not None:
+                    found.append(hit)
+            elif btype in (b"moov", b"udta", b"ilst", b"covr") and depth < 6:
+                walk(i + hdr, i + size, depth + 1)
+            elif btype == b"meta" and depth < 6:
+                # FullBox: 4 bytes of version+flags precede the children
+                walk(i + hdr + 4, i + size, depth + 1)
+            i += size
+
+    walk(0, len(raw), 0)
+    return found[0] if found else None
+
+
 def parse_wav_header(raw: bytes):
     """Spec-compliant stdlib RIFF/WAVE metadata parse: chunk walk reading
     the fmt chunk (channels, sample rate, bits) and the data chunk size,

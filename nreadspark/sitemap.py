@@ -24,7 +24,6 @@ Sibling of ``nreadspark/cdx.py`` (capture side) and ``ops/robots.py``
 
 from __future__ import annotations
 
-import functools
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -178,9 +177,27 @@ def sitemap_entries(
     )
 
 
-@functools.lru_cache(maxsize=32)
+# keyed on the ACTIVE SparkContext's applicationId, not process-wide: a
+# plain lru_cache would keep handing out Columns whose py4j refs point
+# into a stopped JVM gateway after a SparkContext relaunch in a
+# long-lived driver (ADVICE r7); stale-context entries are evicted on
+# the next build.
+_XML_UNESCAPE_MEMO: dict = {}
+
+
 def _xml_unescape_cached(colname: str) -> Column:
-    return xml_unescape_col(F.col(colname))
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:  # no gateway to cache against; build fresh
+        return xml_unescape_col(F.col(colname))
+    key = (sc.applicationId, colname)
+    hit = _XML_UNESCAPE_MEMO.get(key)
+    if hit is None:
+        for stale in [k for k in _XML_UNESCAPE_MEMO if k[0] != key[0]]:
+            del _XML_UNESCAPE_MEMO[stale]
+        hit = _XML_UNESCAPE_MEMO[key] = xml_unescape_col(F.col(colname))
+    return hit
 
 
 def lastmod_ts_col(lastmod) -> Column:

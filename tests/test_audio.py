@@ -2,6 +2,8 @@
 integer-exact hash math vs brute force, Spark kernel parity + containment,
 and the shared banded-hamming pair join over fingerprint tables."""
 
+import random
+
 import pytest
 
 from nreadspark.ops.audio import (
@@ -220,15 +222,27 @@ def test_mp3_header_tier(spark):
     from pyspark.sql import Row
     from nreadspark.ops.audio import audio_fingerprints, parse_mp3_header
 
-    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(100)  # MPEG1 L3 128k 44.1k stereo
+    # MPEG1 L3 128k 44.1k stereo: frame_len = 144000*128//44100 = 417
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    frame = hdr + bytes(413)  # one COMPLETE frame (sync @ end-of-payload)
     assert parse_mp3_header(frame) == (44100, 128, 2)
-    id3 = b"ID3" + bytes([3, 0, 0, 0, 0, 0, 10]) + bytes(10) + frame
+    two = frame + hdr + bytes(413)  # second sync validates the first
+    assert parse_mp3_header(two) == (44100, 128, 2)
+    id3 = b"ID3" + bytes([3, 0, 0, 0, 0, 0, 10]) + bytes(10) + two
     assert parse_mp3_header(id3) == (44100, 128, 2)
-    mono_v2 = bytes([0xFF, 0xF3, 0x22, 0xC0]) + bytes(40)  # MPEG2 L3, mono
+    # MPEG2 L3 16k 22.05k mono, padded: frame_len = 72000*16//22050+1 = 53
+    mono_v2 = bytes([0xFF, 0xF3, 0x22, 0xC0]) + bytes(49)
     assert parse_mp3_header(mono_v2) == (22050, 16, 1)
     assert parse_mp3_header(b"\xff\xfb") is None  # too short
     assert parse_mp3_header(bytes(64)) is None
     assert parse_mp3_header(b"RIFF" + bytes(40)) is None
+    # a lone sync followed by junk of the wrong length is REJECTED
+    # (ADVICE r7: ~20% of random 4KiB+ binaries carry one sync pattern)
+    assert parse_mp3_header(hdr + bytes(100)) is None
+    random.seed(3)
+    for _ in range(20):
+        blob = bytes(random.randrange(256) for _ in range(8192))
+        assert parse_mp3_header(blob) is None
 
     rows = [
         Row(media_ref="a", payload=id3),

@@ -319,3 +319,82 @@ def test_adam7_interlaced_png_round_trip():
     raw = encode_gray_png(16, 16, px, interlaced=True)
     with pytest.raises(ValueError):
         png_luma_milli(raw[: len(raw) // 2])
+
+
+def test_phash_matches_brute_force_and_bounds():
+    """phash64 == an independent pure-Python recomputation of the
+    definition (closed-form resize -> integer-basis DCT -> lower-median
+    comparison), including odd sizes on both the up- and down-sampling
+    sides of the 32x32 resize; halves stay int32-range."""
+    import random
+
+    from nreadspark.ops.images import PHASH_BASIS, PHASH_SIZE, phash64
+
+    def brute(w, h, lumas):
+        n = PHASH_SIZE
+
+        def cell(x, y):
+            sx, ex = x * w // n, max(x * w // n + 1, (x + 1) * w // n)
+            sy, ey = y * h // n, max(y * h // n + 1, (y + 1) * h // n)
+            s = sum(
+                lumas[yy * w + xx] for yy in range(sy, ey) for xx in range(sx, ex)
+            )
+            return s // ((ex - sx) * (ey - sy))
+
+        p = [[cell(x, y) for x in range(n)] for y in range(n)]
+        coefs = [
+            sum(
+                PHASH_BASIS[u][yy] * PHASH_BASIS[v][xx] * p[yy][xx]
+                for yy in range(n)
+                for xx in range(n)
+            )
+            for u in range(8)
+            for v in range(8)
+        ]
+        med = sorted(coefs)[31]
+        bits = [1 if c > med else 0 for c in coefs]
+        lo = sum(1 << j for j in range(32) if bits[j])
+        hi = sum(1 << (j - 32) for j in range(32, 64) if bits[j])
+        return hi, lo
+
+    random.seed(5)
+    for w, h in [(16, 16), (64, 64), (13, 9), (40, 31), (33, 64)]:
+        lumas = [random.randrange(256) * 1000 for _ in range(w * h)]
+        got = phash64(w, h, lumas)
+        assert got == brute(w, h, lumas), (w, h)
+        assert 0 <= got[0] < 1 << 32 and 0 <= got[1] < 1 << 32
+
+
+def test_phash_rides_the_banded_pair_join(spark):
+    """near_dup_image_pairs is hash-generic: which='phash' surfaces the
+    planted same-base duplicate clusters at hamming 0, and the PNG/GIF
+    cross-codec rows hash identically (lossless pixels, same formula)."""
+    from nreadspark.ops.images import (
+        image_hashes,
+        near_dup_image_pairs,
+        synthesize_gif_corpus,
+        synthesize_png_corpus,
+    )
+
+    docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    png = image_hashes(synthesize_png_corpus(docs, n_bases=12, corrupt_mod=7))
+    pairs = {
+        (r["ref_a"], r["ref_b"]): r["hamming"]
+        for r in near_dup_image_pairs(png, max_hamming=0, which="phash").collect()
+    }
+    # doc 13 and doc 1 share base 1 (13 % 12); both odd -> interlaced
+    assert pairs[("img://1", "img://13")] == 0
+    gif = {
+        r["media_ref"]: (r["phash_hi"], r["phash_lo"])
+        for r in image_hashes(
+            synthesize_gif_corpus(docs, n_bases=12, corrupt_mod=7)
+        ).collect()
+        if r["phash_hi"] is not None
+    }
+    png_rows = {
+        r["media_ref"]: (r["phash_hi"], r["phash_lo"])
+        for r in png.collect()
+        if r["phash_hi"] is not None
+    }
+    for ref, hv in gif.items():
+        assert png_rows["img://" + ref.split("//")[1]] == hv

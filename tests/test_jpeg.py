@@ -330,3 +330,140 @@ def test_decoder_containment_fuzz():
                 fn(mutate(base), **kw)
             except ValueError:
                 pass
+
+
+def test_baseline_ns1_multicomponent_noninterleaved():
+    """Baseline frames may carry one Ns=1 scan PER component instead of
+    one interleaved scan; per T.81 A.2 such a scan rasters the
+    component's OWN block grid, not the frame MCU grid (ADVICE r7: the
+    MCU walk silently scrambled luma when dims were MCU-aligned).  Build
+    a 4:2:0 frame whose luma scan is non-interleaved and check the
+    decode equals the grayscale encoding of the same plane; 32x16 makes
+    raster order differ from MCU order (2 MCUs of 2x2 luma blocks)."""
+    import struct
+
+    from nreadspark.ops.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _BitWriter,
+        _encode_block,
+        _HuffTable,
+        _quantize_gray,
+        _seg,
+    )
+
+    w, h = 32, 16
+    random.seed(11)
+    px = bytes(random.randrange(256) for _ in range(w * h))
+    quant = 1
+    dct = _HuffTable(DC_LUMA_BITS, DC_LUMA_VALS)
+    act = _HuffTable(AC_LUMA_BITS, AC_LUMA_VALS)
+    bw, bh, quantized = _quantize_gray(w, h, px, quant)
+
+    def ns1_scan(comp_id, blocks):
+        wtr = _BitWriter()
+        pred = 0
+        for blk in blocks:
+            pred = _encode_block(wtr, blk, pred, dct, act)
+        return _seg(0xDA, bytes([1, comp_id, 0x00, 0, 63, 0])) + wtr.flush()
+
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
+    # SOF0: 3 components, luma 2x2 (full res), chroma 1x1 -> 4:2:0
+    out += _seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += _seg(0xC4, bytes([0x00] + DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _seg(0xC4, bytes([0x10] + AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    # luma scan: NON-interleaved raster over the 4x2 luma block grid
+    out += ns1_scan(1, [quantized[i].tolist() for i in range(bw * bh)])
+    # chroma scans: one 8x8 zero block each (half-res plane of 32x16)
+    zero = [0] * 64
+    out += ns1_scan(2, [zero] * 2)
+    out += ns1_scan(3, [zero] * 2)
+    out += b"\xff\xd9"
+
+    got = decode_jpeg_luma_milli(out)
+    want = decode_jpeg_luma_milli(encode_gray_jpeg(w, h, px, quant=quant))
+    assert got == want
+
+
+def test_mp4_keyframe_extraction_and_containment():
+    """extract_mp4_keyframe lifts the first SOI..EOI frame from mdat
+    bodies and covr/data atoms, refuses non-BMFF and opaque-codec
+    payloads, and never raises on mutated containers."""
+    from nreadspark.ops.images import synth_pixel
+    from nreadspark.ops.jpeg import encode_blocky_jpeg
+    from nreadspark.ops.multimodal import extract_mp4_keyframe, parse_mp4_header
+
+    def box(t, body):
+        return (8 + len(body)).to_bytes(4, "big") + t + body
+
+    vals = [synth_pixel(3, bx, by) for by in range(8) for bx in range(8)]
+    jpeg = encode_blocky_jpeg(8, 8, vals)
+    ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    mvhd = bytes(12) + (1000).to_bytes(4, "big") + (4000).to_bytes(4, "big") + bytes(80)
+    moov = box(b"moov", box(b"mvhd", mvhd))
+    # two samples: only the FIRST frame is lifted
+    mp4 = ftyp + moov + box(b"mdat", jpeg * 2)
+    assert extract_mp4_keyframe(mp4) == jpeg
+    # cover art path: moov/udta/meta(FullBox)/ilst/covr/data
+    cov = box(
+        b"moov",
+        box(b"udta", box(b"meta", bytes(4) + box(b"ilst", box(b"covr", box(b"data", bytes(8) + jpeg))))),
+    )
+    assert extract_mp4_keyframe(ftyp + cov) == jpeg
+    # opaque codec (no SOI) -> None; container still parses
+    opaque = ftyp + moov + box(b"mdat", bytes([0, 0, 0, 1, 0x65]) + bytes(64))
+    assert extract_mp4_keyframe(opaque) is None
+    assert parse_mp4_header(opaque) is not None
+    # SOI with no EOI -> None (truncated frame never escapes the box)
+    assert extract_mp4_keyframe(ftyp + box(b"mdat", jpeg[:-2])) is None
+    assert extract_mp4_keyframe(b"\x89PNG\r\n\x1a\n" + bytes(16)) is None
+    # mutation fuzz: byte flips + truncations must never raise
+    random.seed(13)
+    for _ in range(300):
+        buf = bytearray(mp4)
+        for _ in range(random.randrange(1, 4)):
+            buf[random.randrange(len(buf))] = random.randrange(256)
+        extract_mp4_keyframe(bytes(buf))
+        extract_mp4_keyframe(bytes(buf[: random.randrange(len(buf))]))
+
+
+def test_video_keyframe_hashes_cross_container_dedup(spark):
+    """vid://X's keyframe hashes equal jpg://X's image hashes (same
+    embedded frame), opaque codecs land on header:mp4, truncated rows
+    undecodable -- video payloads join the image dedup tiers."""
+    from nreadspark.ops.images import (
+        image_hashes,
+        synthesize_jpeg_corpus,
+        synthesize_mp4_corpus,
+        video_keyframe_hashes,
+    )
+
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    vid = {
+        r["media_ref"]: r
+        for r in video_keyframe_hashes(
+            synthesize_mp4_corpus(docs, n_bases=10, corrupt_mod=29, opaque_mod=23)
+        ).collect()
+    }
+    jpg = {
+        r["media_ref"]: r
+        for r in image_hashes(
+            synthesize_jpeg_corpus(docs, n_bases=10, corrupt_mod=997, progressive_mod=997)
+        ).collect()
+    }
+    assert vid["vid://7"]["decoder"] == "undecodable"  # 7 % 29 == 7
+    assert vid["vid://11"]["decoder"] == "header:mp4"  # 11 % 23 == 11
+    assert vid["vid://11"]["ahash_hi"] is None
+    for d in (0, 1, 2, 3, 5):
+        v, j = vid[f"vid://{d}"], jpg[f"jpg://{d}"]
+        assert v["decoder"] == "keyframe:jpeg"
+        for c in ("ahash_hi", "ahash_lo", "ghash_hi", "ghash_lo", "phash_hi", "phash_lo"):
+            assert v[c] == j[c], (d, c)

@@ -218,7 +218,9 @@ def test_eval_join_shapes_and_agreement(spark):
         F.udf(lambda i: truth[i])("doc_id"),
     )
     ev = lang_id_eval(labeled)
-    assert ev.columns == ["doc_id", "actual_lang", "predicted_lang", "best_score"]
+    assert ev.columns == [
+            "doc_id", "actual_lang", "predicted_lang", "best_score", "script"
+        ]
     evp = {r["doc_id"]: r["predicted_lang"] for r in ev.collect()}
     pp = {r["doc_id"]: r["predicted_lang"] for r in lang_id(df).collect()}
     assert evp == pp
@@ -369,3 +371,30 @@ def test_split_scan_path_equals_per_language_regex(spark):
             got[r["doc_id"]],
             (pred, best),
         )
+
+
+def test_script_family_histogram(spark):
+    """The r8 script column: dominant Unicode family per doc, computed by
+    removal arithmetic -- out-of-marker-set languages stop being an
+    opaque 'und' (e.g. Vietnamese -> latin, Ukrainian -> cyrillic), ties
+    break on family name, letter-free docs stay 'und'."""
+    from nreadspark.ops.textstats import lang_id
+
+    rows = [
+        (0, "Xin chào các bạn hôm nay trời đẹp"),      # Vietnamese: latin
+        (1, "Привіт усім як справи сьогодні"),          # Ukrainian: cyrillic
+        (2, "שלום לכולם מה שלומכם היום"),               # Hebrew
+        (3, "こんにちは皆さん元気ですか"),                 # kana + han mix
+        (4, "1234 ... !!!"),                            # no letters -> und
+        (5, "hello κόσμος"),                            # latin 5 vs greek 6
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["script"] for r in lang_id(df).collect()}
+    assert out[0] == "latin"
+    assert out[1] == "cyrillic"
+    assert out[2] == "hebrew"
+    assert out[3] in ("kana", "han")
+    assert out[4] == "und"
+    assert out[5] == "greek"   # 6 greek letters beat 5 latin
+    assert out[6] == "und"

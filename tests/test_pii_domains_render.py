@@ -335,6 +335,11 @@ PSL_CASES = [
     ("http://foo.chuo.kawasaki.jp/", "foo.chuo.kawasaki.jp"),  # wildcard path
     # a host that IS a public suffix passes through (documented divergence)
     ("http://co.uk/", "co.uk"),
+    # ...including 3+-label suffixes (ADVICE r7: used to yield last-2)
+    ("http://k12.ca.us/", "k12.ca.us"),
+    # ...and a host that IS a wildcard suffix (chuo.kawasaki.jp under
+    # *.kawasaki.jp)
+    ("http://chuo.kawasaki.jp/", "chuo.kawasaki.jp"),
 ]
 
 
@@ -354,6 +359,53 @@ def test_registrable_domain_psl_rules(spark):
     got = {r["doc_id"]: r["domain"] for r in with_registrable_domain(df).collect()}
     for i, (u, want) in enumerate(PSL_CASES):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_registrable_domain_full_psl_scale(spark, monkeypatch):
+    """The full-list proof (r8): a synthetic ~10k-rule PSL must still
+    plan and execute -- impossible in the old literal-CASE form, which
+    blew the JVM 64 KB codegen ceiling at 254 rules.  The join form's
+    expression size is O(distinct rule lengths), independent of rule
+    count, and the rule tables ride BROADCAST hash joins (no corpus
+    shuffle)."""
+    from nreadspark.ops import urls
+
+    exact = {
+        2: frozenset(f"r{i}.zz" for i in range(6000)),
+        3: frozenset(f"s{i}.r{i % 100}.zz" for i in range(3000)),
+        4: frozenset(f"t{i}.s{i}.r{i}.zz" for i in range(800)),
+    }
+    wild = {2: frozenset(f"w{i}.zz" for i in range(150))}
+    exc = {3: frozenset(f"ok{i}.w{i}.zz" for i in range(50))}
+    monkeypatch.setattr(urls, "load_psl", lambda include_private=True: (exact, wild, exc))
+    urls._PSL_FRAME_CACHE.clear()
+    try:
+        rows = [
+            (0, "http://a.r17.zz/"),            # 2-label exact -> 3 labels
+            (1, "http://x.s42.r42.zz/"),        # 3-label exact wins over r42.zz
+            (2, "http://a.t5.s5.r5.zz/"),       # 4-label exact
+            (3, "http://a.b.w9.zz/"),           # wildcard *.w9.zz -> 4 labels
+            (4, "http://sub.ok3.w3.zz/"),       # exception beats wildcard
+            (5, "http://r17.zz/"),              # host IS a suffix: pass-through
+            (6, "http://plain.example.com/"),   # default rule
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = urls.with_registrable_domain(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        got = {r["doc_id"]: r["domain"] for r in out.collect()}
+        assert got == {
+            0: "a.r17.zz",
+            1: "x.s42.r42.zz",
+            2: "a.t5.s5.r5.zz",
+            3: "a.b.w9.zz",
+            4: "ok3.w3.zz",
+            5: "r17.zz",
+            6: "example.com",
+        }
+    finally:
+        urls._PSL_FRAME_CACHE.clear()
 
 
 def test_registrable_domain_extra_suffixes_hook(spark):
