@@ -394,6 +394,7 @@ def _lastk_col(labels: Column, k: int) -> Column:
 # gateway never gets served stale py4j references (ADVICE r7), and
 # entries owned by dead contexts are evicted on the next build.
 _PSL_FRAME_CACHE: dict = {}
+_PSL_BUNDLE_CACHE: dict = {}
 
 
 def _psl_rule_frames(spark, extra_suffixes=(), include_private: bool = True):
@@ -470,25 +471,57 @@ def with_registrable_domain(
     are BroadcastHashJoins fused into the same whole-stage-codegen
     pipeline -- the corpus never shuffles, identical to before."""
     spark = df.sparkSession
-    frames = _psl_rule_frames(
+    renamed, key_cols, decision, ks = _psl_join_bundle(
         spark, tuple(sorted({s.lower() for s in extra_suffixes})), include_private
     )
-    host = F.col("__rd_host")
-    labels = F.col("__rd_labels")
-    n = F.size(labels)
     d = df.withColumn("__rd_host", host_col(url_col)).withColumn(
         "__rd_labels", F.split("__rd_host", r"\.")
     )
-    ks = sorted(frames)
-    d = d.withColumns({f"__rd_sfx{k}": _lastk_col(labels, k) for k in ks})
+    d = d.withColumns(key_cols)
     for k in ks:
-        rules_k = frames[k].select(
-            F.col("suffix").alias(f"__rd_sfx{k}"),
-            F.col("exact").alias(f"__rd_x{k}"),
-            F.col("wild").alias(f"__rd_w{k}"),
-            F.col("exc").alias(f"__rd_e{k}"),
+        d = d.join(renamed[k], f"__rd_sfx{k}", "left")
+    drop = (
+        ["__rd_host", "__rd_labels"]
+        + [f"__rd_sfx{k}" for k in ks]
+        + [f"__rd_{c}{k}" for k in ks for c in ("x", "w", "e")]
+    )
+    return d.withColumn(out_col, decision).drop(*drop)
+
+
+def _psl_join_bundle(spark, extra_suffixes: tuple, include_private: bool = True):
+    """The per-call-invariant pieces of :func:`with_registrable_domain`,
+    memoized per SparkContext alongside the rule frames: the
+    broadcast-marked renamed rule frames, the staged last-k key
+    expressions, and the prevailing-rule decision Column.  Building the
+    decision is a few hundred driver-side py4j round trips -- paying it
+    once per context instead of once per call is the difference between
+    a ~0.1 s and a ~1 s `domain_cap` at sf0.1 (the r7 CASE was memoized
+    for the same reason; Column objects are immutable unresolved
+    expressions over FIXED staged names, shareable across DataFrames)."""
+    app = spark.sparkContext.applicationId
+    key = (app, extra_suffixes, include_private)
+    hit = _PSL_BUNDLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for stale in [k for k in _PSL_BUNDLE_CACHE if k[0] != app]:
+        del _PSL_BUNDLE_CACHE[stale]
+    frames = _psl_rule_frames(spark, extra_suffixes, include_private)
+    ks = sorted(frames)
+    renamed = {
+        k: F.broadcast(
+            frames[k].select(
+                F.col("suffix").alias(f"__rd_sfx{k}"),
+                F.col("exact").alias(f"__rd_x{k}"),
+                F.col("wild").alias(f"__rd_w{k}"),
+                F.col("exc").alias(f"__rd_e{k}"),
+            )
         )
-        d = d.join(F.broadcast(rules_k), f"__rd_sfx{k}", "left")
+        for k in ks
+    }
+    host = F.col("__rd_host")
+    labels = F.col("__rd_labels")
+    n = F.size(labels)
+    key_cols = {f"__rd_sfx{k}": _lastk_col(labels, k) for k in ks}
     cands = []
     for k in ks:
         x, w, e = F.col(f"__rd_x{k}"), F.col(f"__rd_w{k}"), F.col(f"__rd_e{k}")
@@ -515,12 +548,9 @@ def with_registrable_domain(
         host.isNotNull(),
         F.when(is_ip, host).otherwise(F.coalesce(best.getField("d"), default)),
     )
-    drop = (
-        ["__rd_host", "__rd_labels"]
-        + [f"__rd_sfx{k}" for k in ks]
-        + [f"__rd_{c}{k}" for k in ks for c in ("x", "w", "e")]
-    )
-    return d.withColumn(out_col, decision).drop(*drop)
+    bundle = (renamed, key_cols, decision, ks)
+    _PSL_BUNDLE_CACHE[key] = bundle
+    return bundle
 
 
 def tag_blocked_domains(

@@ -379,6 +379,7 @@ def test_registrable_domain_full_psl_scale(spark, monkeypatch):
     exc = {3: frozenset(f"ok{i}.w{i}.zz" for i in range(50))}
     monkeypatch.setattr(urls, "load_psl", lambda include_private=True: (exact, wild, exc))
     urls._PSL_FRAME_CACHE.clear()
+    urls._PSL_BUNDLE_CACHE.clear()
     try:
         rows = [
             (0, "http://a.r17.zz/"),            # 2-label exact -> 3 labels
@@ -406,6 +407,7 @@ def test_registrable_domain_full_psl_scale(spark, monkeypatch):
         }
     finally:
         urls._PSL_FRAME_CACHE.clear()
+        urls._PSL_BUNDLE_CACHE.clear()
 
 
 def test_registrable_domain_extra_suffixes_hook(spark):
