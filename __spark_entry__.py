@@ -1825,6 +1825,30 @@ def _q_multimodal_keyframes(spark, sf_dir):
     )
 
 
+def _q_dedup_cross_container(spark, sf_dir):
+    """Cross-container media dedup (r8): the same frame reaching the
+    corpus as a standalone baseline JPEG (jpg://) and as an MJPEG-in-MP4
+    keyframe (vid://) must dedup together -- union the two hash tables
+    and run the banded pair join at hamming 0 on the DCT pHash.  The
+    oracle computes pHash from the shared block formula once and does
+    the quadratic equality join the banding avoids (exact at hamming 0:
+    equal hashes always share all 4 bands)."""
+    from nreadspark.ops.images import (
+        image_hashes,
+        near_dup_image_pairs,
+        synthesize_jpeg_corpus,
+        synthesize_mp4_corpus,
+        video_keyframe_hashes,
+    )
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id"
+    )
+    jh = image_hashes(synthesize_jpeg_corpus(docs))
+    vh = video_keyframe_hashes(synthesize_mp4_corpus(docs))
+    return near_dup_image_pairs(jh.unionByName(vh), max_hamming=0, which="phash")
+
+
 def _q_dedup_image_phash(spark, sf_dir):
     """Image near-duplicate pairs (r6) within hamming<=3 on the average
     hash: banded 4x16-bit self-join (pigeonhole-exact at <=3 bits) +
@@ -2400,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_image_phash": _q_dedup_image_phash,
         "multimodal_phash_jpeg": _q_multimodal_phash_jpeg,
         "multimodal_keyframes": _q_multimodal_keyframes,
+        "dedup_cross_container": _q_dedup_cross_container,
         "multimodal_phash_gif": _q_multimodal_phash_gif,
         "dedup_image_survivors": _q_dedup_image_survivors,
         "dedup_reference_bloom": _q_dedup_reference_bloom,
@@ -2994,6 +3019,31 @@ def _multimodal_phash_jpeg_oracle() -> str:
                         ELSE 'pixels:jpeg' END AS decoder
             FROM d LEFT JOIN hashes h ON h.doc_id = d.doc_id
                    LEFT JOIN ph ON ph.doc_id = d.doc_id
+        """
+
+
+def _dedup_cross_container_oracle() -> str:
+    """pHash once from the shared constant-block formula (both corpora
+    embed the SAME frame per doc_id), refs doubled across the two
+    container prefixes, quadratic equality self-join."""
+    phash_ctes = _phash_cte_sql("SELECT doc_id FROM d", 4)
+    return f"""
+            WITH d AS (SELECT doc_id FROM documents
+                       WHERE doc_id < 300
+                         AND doc_id % 89 <> 11 AND doc_id % 101 <> 7),{phash_ctes},
+            refs AS (
+                SELECT 'jpg://' || CAST(doc_id AS VARCHAR) AS ref,
+                       phash_hi, phash_lo
+                FROM ph
+                UNION ALL
+                SELECT 'vid://' || CAST(doc_id AS VARCHAR) AS ref,
+                       phash_hi, phash_lo
+                FROM ph
+            )
+            SELECT a.ref AS ref_a, b.ref AS ref_b, CAST(0 AS INT) AS hamming
+            FROM refs a JOIN refs b
+              ON a.phash_hi = b.phash_hi AND a.phash_lo = b.phash_lo
+             AND a.ref < b.ref
         """
 
 
@@ -4286,6 +4336,7 @@ def oracle_sql() -> dict[str, str]:
         # (header:jpeg, dims kept, NULL hashes); %101==7 -> truncated.
         "multimodal_phash_jpeg": _multimodal_phash_jpeg_oracle(),
         "multimodal_keyframes": _multimodal_keyframes_oracle(),
+        "dedup_cross_container": _dedup_cross_container_oracle(),
         # image near-dup pairs (r6): the oracle does the quadratic join the
         # Spark side's 4x16-bit banding avoids (exact for hamming <= 3 by
         # pigeonhole)

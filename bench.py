@@ -191,6 +191,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "multimodal_phash_jpeg",
         "multimodal_phash_gif",
         "multimodal_keyframes",
+        "dedup_cross_container",
         "dedup_image_phash",
         "dedup_image_survivors",
         "dedup_reference_bloom",

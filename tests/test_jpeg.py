@@ -467,3 +467,34 @@ def test_video_keyframe_hashes_cross_container_dedup(spark):
         assert v["decoder"] == "keyframe:jpeg"
         for c in ("ahash_hi", "ahash_lo", "ghash_hi", "ghash_lo", "phash_hi", "phash_lo"):
             assert v[c] == j[c], (d, c)
+
+
+def test_dedup_cross_container_pairs(spark):
+    """The banded phash pair join over the UNION of image and video hash
+    tables surfaces jpg://X ~ vid://X at hamming 0 (same embedded
+    frame), and excluded tiers (corrupt/opaque/header) never pair."""
+    from nreadspark.ops.images import (
+        image_hashes,
+        near_dup_image_pairs,
+        synthesize_jpeg_corpus,
+        synthesize_mp4_corpus,
+        video_keyframe_hashes,
+    )
+
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    jh = image_hashes(
+        synthesize_jpeg_corpus(docs, n_bases=50, corrupt_mod=29, progressive_mod=23)
+    )
+    vh = video_keyframe_hashes(
+        synthesize_mp4_corpus(docs, n_bases=50, corrupt_mod=29, opaque_mod=23)
+    )
+    pairs = {
+        (r["ref_a"], r["ref_b"])
+        for r in near_dup_image_pairs(
+            jh.unionByName(vh), max_hamming=0, which="phash"
+        ).collect()
+    }
+    # every non-excluded doc pairs across containers (distinct bases)
+    for d in range(20):
+        expected = d != 7 and d != 11  # 7%29==7 corrupt; 11%23==11 stub/opaque
+        assert ((f"jpg://{d}", f"vid://{d}") in pairs) == expected, d
