@@ -1501,6 +1501,64 @@ def _q_embedding_quantize(spark, sf_dir):
     )
 
 
+def _q_pdf_images(spark, sf_dir):
+    """PDF embedded-image hashes (r8): deterministic 1-page PDFs whose
+    'Fig1' XObject is the SAME constant-block baseline JPEG as the
+    jpg:// corpus carried as a /DCTDecode stream (ISO 32000-1: a
+    DCTDecode stream IS a complete T.81 file), plus the 1x1 gray
+    placeholder 'Im1' -- so figures inside PDFs join the image dedup
+    tiers and a pdf://d/Fig1 hashes identically to jpg://d.  %101==7
+    rows are truncated PDFs (object walk finds nothing -> one
+    'no-images' accounting row); the placeholder rows exercise the
+    too-small tier."""
+    import pyarrow as pa
+
+    from nreadspark.ops.images import pdf_image_hashes, synth_pixel
+    from nreadspark.ops.jpeg import encode_blocky_jpeg
+    from nreadspark.pdf import make_pdf
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    src = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+
+    def synth(it):
+        for batch in it:
+            names = batch.schema.names
+            ids = batch.column(names.index("doc_id")).to_pylist()
+            texts = batch.column(names.index("text")).to_pylist()
+            pdfs = []
+            for i, t in zip(ids, texts):
+                d = int(i)
+                vals = [
+                    synth_pixel(d % 97, bx, by) for by in range(8) for bx in range(8)
+                ]
+                raw = make_pdf(
+                    f"Doc {i}",
+                    [[("text", (t or "")[:80]), ("image", "Fig1"), ("image", "Im1")]],
+                    images={"Fig1": encode_blocky_jpeg(8, 8, vals)},
+                )
+                if d % 101 == 7:
+                    raw = raw[:40]
+                pdfs.append(raw)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()), pa.array(pdfs, pa.binary())],
+                names=["doc_id", "pdf"],
+            )
+
+    pdf_df = src.mapInArrow(synth, "doc_id string, pdf binary")
+    return pdf_image_hashes(pdf_df).select(
+        "media_ref",
+        "width",
+        "height",
+        "ahash_hi",
+        "ahash_lo",
+        "ghash_hi",
+        "ghash_lo",
+        "phash_hi",
+        "phash_lo",
+        "decoder",
+    )
+
+
 def _q_pdf_extract(spark, sf_dir):
     """PDF/layout extraction tier (north rule: 'HTML boilerplate strip,
     PDF/layout parse, DOM heuristics').  Synthesizes deterministic 2-page
@@ -2364,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multipage_extract": _q_multipage_extract,
         "debug_html": _q_debug_html,
         "pdf_extract": _q_pdf_extract,
+        "pdf_images": _q_pdf_images,
         "line_dedup": _q_line_dedup,
         "text_chunking": _q_text_chunking,
         "text_chunking_tokens": _q_text_chunking_tokens,
@@ -3019,6 +3078,59 @@ def _multimodal_phash_jpeg_oracle() -> str:
                         ELSE 'pixels:jpeg' END AS decoder
             FROM d LEFT JOIN hashes h ON h.doc_id = d.doc_id
                    LEFT JOIN ph ON ph.doc_id = d.doc_id
+        """
+
+
+def _pdf_images_oracle() -> str:
+    """Two rows per intact doc (the 64x64 DCTDecode figure with the
+    constant-block hashes + the 1x1 too-small placeholder), one
+    'no-images' accounting row per truncated doc."""
+    phash_ctes = _phash_cte_sql("SELECT doc_id FROM d WHERE doc_id % 101 <> 7", 4)
+    return f"""
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+            b AS (
+                SELECT g.doc_id, by.by*8 + bx.bx AS j,
+                       (37*(g.doc_id % 97) + 13*bx.bx + 29*by.by) % 256 AS v
+                FROM (SELECT doc_id FROM d WHERE doc_id % 101 <> 7) g,
+                     generate_series(0, 7) AS bx(bx),
+                     generate_series(0, 7) AS by(by)
+            ),
+            tot AS (SELECT doc_id, SUM(v) AS t FROM b GROUP BY doc_id),
+            nb AS (
+                SELECT b.doc_id, b.j, b.v, b2.v AS nv
+                FROM b JOIN b b2
+                  ON b2.doc_id = b.doc_id
+                 AND b2.j = (b.j//8)*8 + ((b.j%8)+1)%8
+            ),
+            hashes AS (
+                SELECT nb.doc_id,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.v * 64 > tot.t
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ahash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.v * 64 > tot.t
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ahash_lo,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.v > nb.nv
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ghash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.v > nb.nv
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ghash_lo
+                FROM nb JOIN tot ON tot.doc_id = nb.doc_id
+                GROUP BY nb.doc_id
+            ),{phash_ctes}
+            SELECT 'pdf://' || CAST(h.doc_id AS VARCHAR) || '/Fig1' AS media_ref,
+                   CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+                   h.ahash_hi, h.ahash_lo, h.ghash_hi, h.ghash_lo,
+                   ph.phash_hi, ph.phash_lo,
+                   'pdfimg:jpeg' AS decoder
+            FROM hashes h JOIN ph ON ph.doc_id = h.doc_id
+            UNION ALL
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR) || '/Im1',
+                   CAST(1 AS INT), CAST(1 AS INT),
+                   NULL, NULL, NULL, NULL, NULL, NULL, 'too-small'
+            FROM d WHERE doc_id % 101 <> 7
+            UNION ALL
+            SELECT 'pdf://' || CAST(doc_id AS VARCHAR),
+                   CAST(NULL AS INT), CAST(NULL AS INT),
+                   NULL, NULL, NULL, NULL, NULL, NULL, 'no-images'
+            FROM d WHERE doc_id % 101 = 7
         """
 
 
@@ -4337,6 +4449,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_phash_jpeg": _multimodal_phash_jpeg_oracle(),
         "multimodal_keyframes": _multimodal_keyframes_oracle(),
         "dedup_cross_container": _dedup_cross_container_oracle(),
+        "pdf_images": _pdf_images_oracle(),
         # image near-dup pairs (r6): the oracle does the quadratic join the
         # Spark side's 4x16-bit banding avoids (exact for hamming <= 3 by
         # pigeonhole)

@@ -192,6 +192,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "multimodal_phash_gif",
         "multimodal_keyframes",
         "dedup_cross_container",
+        "pdf_images",
         "dedup_image_phash",
         "dedup_image_survivors",
         "dedup_reference_bloom",

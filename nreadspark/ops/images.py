@@ -432,6 +432,110 @@ def video_keyframe_hashes(
     return media_df.select(ref_col, payload_col).mapInPandas(batches, HASH_SCHEMA)
 
 
+def pdf_image_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    pdf_col: str = "pdf",
+    max_decode_pixels: int | None = 1 << 16,
+) -> DataFrame:
+    """Perceptual hashes for the images EMBEDDED in PDF documents (r8):
+    one output row per ``/Subtype /Image`` XObject, ``media_ref =
+    pdf://<doc_id>/<name>`` -- so figures inside PDFs join the same
+    dedup tiers as standalone crawl images (a paper hosted as HTML and
+    as PDF dedups on its figures).
+
+    Tiers: ``pdfimg:jpeg`` (DCTDecode stream -- a complete T.81 payload
+    -- decoded by the vendored decoder), ``pdfimg:gray`` (uncompressed /
+    Flate 8-bit DeviceGray samples hashed directly), ``capped`` /
+    ``too-small`` (header-gated), ``header:pdfimg`` (recognized image
+    object, pixels not decodable -- counted, never dropped).  A document
+    whose walk raises emits ONE ``pdf://<doc_id>`` row tagged
+    ``undecodable``; a document with no image objects at all (including
+    truncated payloads whose object walk finds nothing) emits one
+    ``no-images`` row, so every input document is accounted for.  ONE
+    Arrow crossing, zero shuffles."""
+    from ..pdf import extract_pdf_images
+    from .jpeg import decode_jpeg_luma_milli
+    from .multimodal import parse_image_header
+
+    def batches(iterator):
+        import pandas as pd
+
+        for pdf_batch in iterator:
+            out = {k: [] for k in (
+                "media_ref", "width", "height", "ahash_hi", "ahash_lo",
+                "ghash_hi", "ghash_lo", "phash_hi", "phash_lo", "decoder",
+            )}
+
+            def emit(ref, w, h, hashes, decoder):
+                out["media_ref"].append(ref)
+                out["width"].append(w)
+                out["height"].append(h)
+                for i, c in enumerate(
+                    ("ahash_hi", "ahash_lo", "ghash_hi", "ghash_lo", "phash_hi", "phash_lo")
+                ):
+                    out[c].append(hashes[i] if hashes else None)
+                out["decoder"].append(decoder)
+
+            for doc_id, payload in zip(
+                pdf_batch[id_col].tolist(), pdf_batch[pdf_col].tolist()
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    imgs = extract_pdf_images(raw)
+                except ValueError:
+                    emit(f"pdf://{doc_id}", None, None, None, "undecodable")
+                    continue
+                if not imgs:
+                    # truncated/object-less documents land here too: the
+                    # object walk finds nothing rather than raising
+                    emit(f"pdf://{doc_id}", None, None, None, "no-images")
+                    continue
+                for nm, data, filt, w, h, gray, bpc in imgs:
+                    ref = f"pdf://{doc_id}/{nm}"
+                    dims_known = w is not None and h is not None
+                    if dims_known and max_decode_pixels is not None and w * h > max_decode_pixels:
+                        emit(ref, w, h, None, "capped")
+                        continue
+                    if dims_known and (w < GRID or h < GRID):
+                        emit(ref, w, h, None, "too-small")
+                        continue
+                    dw = dh = lumas = None
+                    tier = None
+                    if data is not None and filt == "DCTDecode":
+                        parsed = parse_image_header(data)
+                        if parsed is not None and parsed[0] == "jpeg":
+                            try:
+                                dw, dh, lumas = decode_jpeg_luma_milli(
+                                    data, max_pixels=max_decode_pixels
+                                )
+                                tier = "pdfimg:jpeg"
+                            except ValueError:
+                                dw = None
+                    elif (
+                        data is not None
+                        and gray
+                        and bpc == 8
+                        and dims_known
+                        and len(data) >= w * h
+                    ):
+                        dw, dh = w, h
+                        lumas = [b * 1000 for b in data[: w * h]]
+                        tier = "pdfimg:gray"
+                    if dw is not None:
+                        hashes = (
+                            ahash64(dw, dh, lumas)
+                            + ghash64(dw, dh, lumas)
+                            + phash64(dw, dh, lumas)
+                        )
+                        emit(ref, dw, dh, hashes, tier)
+                    else:
+                        emit(ref, w, h, None, "header:pdfimg")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, pdf_col).mapInPandas(batches, HASH_SCHEMA)
+
+
 def near_dup_image_pairs(
     hash_df: DataFrame,
     max_hamming: int = 3,

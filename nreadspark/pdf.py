@@ -432,6 +432,54 @@ def _image_xobject_names(page_body: bytes, objs: dict[int, bytes]) -> set[str]:
     return names
 
 
+def extract_pdf_images(data: bytes):
+    """Every ``/Subtype /Image`` XObject of the document, in
+    object-number order:
+    ``[(name, payload, pdf_filter, width, height, is_gray, bpc)]``.
+
+    ``payload`` is the stream AFTER FlateDecode (raw samples) but
+    VERBATIM for ``/Filter /DCTDecode`` -- a DCTDecode stream IS a
+    complete ITU-T T.81 JPEG file (ISO 32000-1 7.4.8), which is exactly
+    what the vendored decoder consumes; this is the bridge that lets
+    figures inside PDFs join the image dedup tiers.  ``name`` is the
+    first resource-dictionary name referencing the object (stable for
+    single-alias documents; ``objN`` fallback otherwise).  Unsupported
+    filters return their raw stream with the filter tag for the caller
+    to tier as header-only.  Raises ValueError (incl. FlateBombError)
+    on malformed documents -- same containment contract as
+    :func:`parse_pdf_spans`."""
+    objs = _scan_objects(data)
+    names: dict[int, str] = {}
+    for body in objs.values():
+        m = re.search(rb"/XObject\s*<<(.*?)>>", body, re.DOTALL)
+        if not m:
+            continue
+        for nm, ref in re.findall(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", m.group(1)):
+            names.setdefault(int(ref), nm.decode("latin-1"))
+    out = []
+    for num in sorted(objs):
+        body = objs[num]
+        if not re.search(rb"/Subtype\s*/Image\b", body):
+            continue
+        fm = re.search(rb"/Filter\s*\[?\s*/(\w+)", body)
+        filt = fm.group(1).decode("latin-1") if fm else "none"
+        wm = re.search(rb"/Width\s+(\d+)", body)
+        hm = re.search(rb"/Height\s+(\d+)", body)
+        bm = re.search(rb"/BitsPerComponent\s+(\d+)", body)
+        out.append(
+            (
+                names.get(num, f"obj{num}"),
+                _stream_bytes(body),  # Flate inflated; DCTDecode verbatim
+                filt,
+                int(wm.group(1)) if wm else None,
+                int(hm.group(1)) if hm else None,
+                re.search(rb"/ColorSpace\s*/DeviceGray\b", body) is not None,
+                int(bm.group(1)) if bm else None,
+            )
+        )
+    return out
+
+
 def _doc_title(objs: dict[int, bytes], data: bytes) -> str | None:
     info = None
     m = re.search(rb"/Info\s+(\d+)\s+\d+\s+R", data)
@@ -613,6 +661,7 @@ def make_pdf(
     title: str,
     pages: list[list[tuple]],
     compress: bool = True,
+    images: dict[str, bytes] | None = None,
 ) -> bytes:
     """Build a small deterministic PDF.
 
@@ -620,7 +669,14 @@ def make_pdf(
     ``("text", paragraph)`` / ``("image", name)`` tuples.  Every text tuple
     becomes one positioned line (own Td), every image an ``/XObject Do``.
     ``compress=True`` Flate-encodes content streams (exercises the reader's
-    FlateDecode path)."""
+    FlateDecode path).
+
+    ``images`` (r8) maps an image NAME to a complete JPEG payload: that
+    name's XObject is written ``/Filter /DCTDecode`` with the JPEG bytes
+    verbatim as its stream (ISO 32000-1 7.4.8) and real /Width /Height
+    read from the SOF header -- the write-side twin of
+    :func:`extract_pdf_images`.  Names not in ``images`` keep the shared
+    1x1 gray placeholder."""
     objs: list[bytes] = []  # 1-indexed bodies, object number = index+1
 
     def add(body: bytes) -> int:
@@ -635,6 +691,19 @@ def make_pdf(
         b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>\n"
         b"stream\n" + img_data + b"\nendstream"
     )
+    image_objs: dict[str, int] = {}
+    for nm, payload in (images or {}).items():
+        from .ops.multimodal import parse_image_header
+
+        parsed = parse_image_header(payload)
+        iw, ih = (parsed[1], parsed[2]) if parsed is not None else (0, 0)
+        image_objs[nm] = add(
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
+            b"/Length %d >>\nstream\n" % (iw, ih, len(payload))
+            + payload
+            + b"\nendstream"
+        )
 
     page_nums: list[int] = []
     content_nums: list[tuple[int, int]] = []  # (page obj placeholder idx, content num)
@@ -669,7 +738,10 @@ def make_pdf(
         if img_names:
             xobj = (
                 b"/XObject << "
-                + b" ".join(b"/%s %d 0 R" % (n.encode("latin-1"), image) for n in img_names)
+                + b" ".join(
+                    b"/%s %d 0 R" % (n.encode("latin-1"), image_objs.get(n, image))
+                    for n in img_names
+                )
                 + b" >> "
             )
         page_nums.append(

@@ -233,3 +233,80 @@ def test_indirect_length_ref_is_not_misread_as_direct():
     )
     spans, n_pages, _ = parse_pdf_spans(pdf)
     assert [t for _, t, _ in spans] == ["indirect ok"]
+
+
+def test_extract_pdf_images_round_trip():
+    """make_pdf(images=...) writes a /DCTDecode XObject whose stream is
+    the JPEG verbatim; extract_pdf_images returns it byte-identical with
+    real dims, alongside the 1x1 gray placeholder."""
+    from nreadspark.ops.images import synth_pixel
+    from nreadspark.ops.jpeg import encode_blocky_jpeg
+    from nreadspark.pdf import extract_pdf_images, make_pdf
+
+    vals = [synth_pixel(5, bx, by) for by in range(8) for bx in range(8)]
+    jpeg = encode_blocky_jpeg(8, 8, vals)
+    raw = make_pdf(
+        "T", [[("text", "hello"), ("image", "Fig1"), ("image", "Im1")]],
+        images={"Fig1": jpeg},
+    )
+    imgs = {nm: rest for nm, *rest in extract_pdf_images(raw)}
+    payload, filt, w, h, gray, bpc = imgs["Fig1"]
+    assert payload == jpeg and filt == "DCTDecode" and (w, h) == (64, 64)
+    p2, f2, w2, h2, g2, b2 = imgs["Im1"]
+    assert p2 == b"\x80" and f2 == "none" and (w2, h2) == (1, 1) and g2 and b2 == 8
+    # truncated payload: object walk finds nothing, no exception
+    assert extract_pdf_images(raw[:40]) == []
+
+
+def test_pdf_image_hashes_tiers_and_cross_format_dedup(spark):
+    """pdf://d/Fig1 hashes equal jpg://d's (same embedded frame: a paper
+    as PDF dedups against its figures on the web); placeholders take
+    too-small; truncated docs take the no-images accounting row."""
+    import pyarrow as pa
+
+    from nreadspark.ops.images import (
+        image_hashes,
+        pdf_image_hashes,
+        synth_pixel,
+        synthesize_jpeg_corpus,
+    )
+    from nreadspark.ops.jpeg import encode_blocky_jpeg
+    from nreadspark.pdf import make_pdf
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+
+    def synth(it):
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            pdfs = []
+            for d in ids:
+                vals = [synth_pixel(int(d) % 10, bx, by) for by in range(8) for bx in range(8)]
+                raw = make_pdf(
+                    f"D{d}", [[("image", "Fig1"), ("image", "Im1")]],
+                    images={"Fig1": encode_blocky_jpeg(8, 8, vals)},
+                )
+                pdfs.append(raw[:40] if int(d) == 3 else raw)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([str(i) for i in ids], pa.string()),
+                 pa.array(pdfs, pa.binary())],
+                names=["doc_id", "pdf"],
+            )
+
+    pdf_df = docs.mapInArrow(synth, "doc_id string, pdf binary")
+    got = {r["media_ref"]: r for r in pdf_image_hashes(pdf_df).collect()}
+    jpg = {
+        r["media_ref"]: r
+        for r in image_hashes(
+            synthesize_jpeg_corpus(docs, n_bases=10, corrupt_mod=5, progressive_mod=6)
+        ).collect()
+    }
+    assert got["pdf://3"]["decoder"] == "no-images"
+    for d in range(12):
+        if d == 3:
+            continue
+        fig = got[f"pdf://{d}/Fig1"]
+        assert fig["decoder"] == "pdfimg:jpeg" and (fig["width"], fig["height"]) == (64, 64)
+        j = jpg[f"jpg://{d}"]
+        for c in ("ahash_hi", "ahash_lo", "ghash_hi", "ghash_lo", "phash_hi", "phash_lo"):
+            assert fig[c] == j[c], (d, c)
+        assert got[f"pdf://{d}/Im1"]["decoder"] == "too-small"
