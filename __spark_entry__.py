@@ -1883,6 +1883,33 @@ def _q_multimodal_keyframes(spark, sf_dir):
     )
 
 
+def _q_audio_cover_art(spark, sf_dir):
+    """ID3v2 cover-art hashes (r8): music files embed their artwork as
+    an APIC picture inside the tag (id3.org 4.14) -- lift it and hash
+    through the image tiers so an album's cover dedups across tracks
+    and against the crawl image corpus.  The embedded JPEG is the same
+    constant-block frame as jpg://, so the closed-form oracle
+    transfers; v2.3/v2.4 syncsafe framing and UTF-16 descriptions
+    rotate through the corpus; %101==7 rows have a tag but no APIC
+    (no-cover), %89==11 rows are WAVs (no-id3)."""
+    from nreadspark.ops.audio import audio_cover_hashes, synthesize_id3_corpus
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = synthesize_id3_corpus(docs.select("doc_id"))
+    return audio_cover_hashes(media).select(
+        "media_ref",
+        "width",
+        "height",
+        "ahash_hi",
+        "ahash_lo",
+        "ghash_hi",
+        "ghash_lo",
+        "phash_hi",
+        "phash_lo",
+        "decoder",
+    )
+
+
 def _q_dedup_cross_container(spark, sf_dir):
     """Cross-container media dedup (r8): the same frame reaching the
     corpus as a standalone baseline JPEG (jpg://) and as an MJPEG-in-MP4
@@ -2484,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash_jpeg": _q_multimodal_phash_jpeg,
         "multimodal_keyframes": _q_multimodal_keyframes,
         "dedup_cross_container": _q_dedup_cross_container,
+        "audio_cover_art": _q_audio_cover_art,
         "multimodal_phash_gif": _q_multimodal_phash_gif,
         "dedup_image_survivors": _q_dedup_image_survivors,
         "dedup_reference_bloom": _q_dedup_reference_bloom,
@@ -3131,6 +3159,55 @@ def _pdf_images_oracle() -> str:
                    CAST(NULL AS INT), CAST(NULL AS INT),
                    NULL, NULL, NULL, NULL, NULL, NULL, 'no-images'
             FROM d WHERE doc_id % 101 = 7
+        """
+
+
+def _audio_cover_art_oracle() -> str:
+    """Same constant-block hash CTEs keyed to the aud:// corpus's tier
+    cases (no-cover at %101==7, no-id3 WAVs at %89==11)."""
+    phash_ctes = _phash_cte_sql(
+        "SELECT doc_id FROM d WHERE doc_id % 101 <> 7 AND doc_id % 89 <> 11", 4
+    )
+    return f"""
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+            b AS (
+                SELECT g.doc_id, by.by*8 + bx.bx AS j,
+                       (37*(g.doc_id % 97) + 13*bx.bx + 29*by.by) % 256 AS v
+                FROM (SELECT doc_id FROM d
+                      WHERE doc_id % 101 <> 7 AND doc_id % 89 <> 11) g,
+                     generate_series(0, 7) AS bx(bx),
+                     generate_series(0, 7) AS by(by)
+            ),
+            tot AS (SELECT doc_id, SUM(v) AS t FROM b GROUP BY doc_id),
+            nb AS (
+                SELECT b.doc_id, b.j, b.v, b2.v AS nv
+                FROM b JOIN b b2
+                  ON b2.doc_id = b.doc_id
+                 AND b2.j = (b.j//8)*8 + ((b.j%8)+1)%8
+            ),
+            hashes AS (
+                SELECT nb.doc_id,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.v * 64 > tot.t
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ahash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.v * 64 > tot.t
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ahash_lo,
+                       SUM(CASE WHEN nb.j >= 32 AND nb.v > nb.nv
+                                THEN (1::BIGINT << (nb.j-32)) ELSE 0 END) AS ghash_hi,
+                       SUM(CASE WHEN nb.j < 32 AND nb.v > nb.nv
+                                THEN (1::BIGINT << nb.j) ELSE 0 END) AS ghash_lo
+                FROM nb JOIN tot ON tot.doc_id = nb.doc_id
+                GROUP BY nb.doc_id
+            ),{phash_ctes}
+            SELECT 'aud://' || CAST(d.doc_id AS VARCHAR) AS media_ref,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 64 END AS INT) AS width,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN NULL ELSE 64 END AS INT) AS height,
+                   h.ahash_hi, h.ahash_lo, h.ghash_hi, h.ghash_lo,
+                   ph.phash_hi, ph.phash_lo,
+                   CASE WHEN d.doc_id % 89 = 11 THEN 'no-id3'
+                        WHEN d.doc_id % 101 = 7 THEN 'no-cover'
+                        ELSE 'cover:jpeg' END AS decoder
+            FROM d LEFT JOIN hashes h ON h.doc_id = d.doc_id
+                   LEFT JOIN ph ON ph.doc_id = d.doc_id
         """
 
 
@@ -4450,6 +4527,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_keyframes": _multimodal_keyframes_oracle(),
         "dedup_cross_container": _dedup_cross_container_oracle(),
         "pdf_images": _pdf_images_oracle(),
+        "audio_cover_art": _audio_cover_art_oracle(),
         # image near-dup pairs (r6): the oracle does the quadratic join the
         # Spark side's 4x16-bit banding avoids (exact for hamming <= 3 by
         # pigeonhole)

@@ -377,3 +377,228 @@ def synthesize_wav_corpus(
         ]
     )
     return docs_df.select("doc_id").mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 attached pictures (cover art): the image hiding inside audio files
+# ---------------------------------------------------------------------------
+
+
+def _syncsafe(b: bytes) -> int:
+    return (b[0] & 0x7F) << 21 | (b[1] & 0x7F) << 14 | (b[2] & 0x7F) << 7 | (b[3] & 0x7F)
+
+
+def extract_id3_cover(raw: bytes) -> bytes | None:
+    """First APIC (attached picture) payload of an ID3v2.3/2.4 tag, or
+    None -- music files routinely embed their cover art as a JPEG/PNG
+    inside the tag (id3.org 4.14), so audio payloads carry a hashable
+    image the cross-modality dedup tiers should see.
+
+    Frame sizes are syncsafe in v2.4 and plain big-endian in v2.3; the
+    APIC body is ``encoding byte | MIME (NUL-terminated latin1) |
+    picture type | description (encoding-terminated) | image data``.
+    UTF-16 encodings (1/2) terminate the description with a DOUBLE NUL
+    on a 2-byte boundary.  Bounded entirely by the tag's declared size;
+    malformed structures return None, never raise."""
+    if raw[:3] != b"ID3" or len(raw) < 10:
+        return None
+    ver = raw[3]
+    flags = raw[5]
+    end = min(len(raw), 10 + _syncsafe(raw[6:10]))
+    i = 10
+    if flags & 0x40 and i + 4 <= end:  # extended header
+        if ver >= 4:
+            i += _syncsafe(raw[i : i + 4])  # size INCLUDES itself (v2.4)
+        else:
+            i += 4 + int.from_bytes(raw[i : i + 4], "big")  # excludes (v2.3)
+    while i + 10 <= end:
+        fid = raw[i : i + 4]
+        if fid == b"\x00\x00\x00\x00":  # padding reached
+            break
+        fsize = (
+            _syncsafe(raw[i + 4 : i + 8])
+            if ver >= 4
+            else int.from_bytes(raw[i + 4 : i + 8], "big")
+        )
+        if fsize <= 0 or i + 10 + fsize > end:
+            break
+        if fid == b"APIC":
+            body = raw[i + 10 : i + 10 + fsize]
+            if not body:
+                return None
+            enc = body[0]
+            j = body.find(b"\x00", 1)  # MIME terminator
+            if j < 0 or j + 2 > len(body):
+                return None
+            j += 2  # past NUL + picture-type byte
+            if enc in (0, 3):  # latin1 / utf-8
+                k = body.find(b"\x00", j)
+                if k < 0:
+                    return None
+                k += 1
+            else:  # utf-16 variants: double NUL on a 2-byte boundary
+                k = j
+                while k + 1 < len(body) and body[k : k + 2] != b"\x00\x00":
+                    k += 2
+                if k + 1 >= len(body):
+                    return None
+                k += 2
+            return body[k:] or None
+        i += 10 + fsize
+    return None
+
+
+def audio_cover_hashes(
+    media_df: DataFrame,
+    ref_col: str = "media_ref",
+    payload_col: str = "payload",
+    max_decode_pixels: int | None = 1 << 16,
+) -> DataFrame:
+    """Perceptual hashes of the COVER ART embedded in audio payloads
+    (r8): lift the first ID3v2 APIC picture and decode it through the
+    image tiers, so an album's artwork dedups across its tracks and
+    against the standalone crawl image corpus (same ``HASH_SCHEMA``,
+    same banded pair join).
+
+    Tiers: ``cover:jpeg`` / ``cover:png`` (decoded), ``capped`` /
+    ``too-small`` (header-gated), ``header:<codec>`` (recognized image,
+    undecodable pixels), ``no-cover`` (an ID3 tag without an APIC
+    frame), ``no-id3`` (payloads without an ID3v2 tag at all -- WAVs
+    land here), ``undecodable`` (an APIC whose picture no header parser
+    recognizes) -- every audio row is accounted for."""
+    from .images import HASH_SCHEMA, ahash64, ghash64, phash64
+    from .jpeg import decode_jpeg_luma_milli
+    from .multimodal import parse_image_header, png_luma_milli
+
+    def batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            out = {k: [] for k in (
+                "media_ref", "width", "height", "ahash_hi", "ahash_lo",
+                "ghash_hi", "ghash_lo", "phash_hi", "phash_lo", "decoder",
+            )}
+            for ref, p in zip(pdf[ref_col], pdf[payload_col].tolist()):
+                raw = bytes(p) if p is not None else b""
+                w = h = None
+                hashes = None
+                if raw[:3] != b"ID3":
+                    decoder = "no-id3"
+                else:
+                    cover = extract_id3_cover(raw)
+                    if cover is None:
+                        decoder = "no-cover"
+                    else:
+                        decoder = "undecodable"
+                        parsed = parse_image_header(cover)
+                        if parsed is not None:
+                            codec, w, h = parsed
+                            if (
+                                max_decode_pixels is not None
+                                and w * h > max_decode_pixels
+                            ):
+                                decoder = "capped"
+                            elif w < GRID or h < GRID:
+                                decoder = "too-small"
+                            else:
+                                dw = lumas = None
+                                try:
+                                    if codec == "jpeg":
+                                        dw, dh, lumas = decode_jpeg_luma_milli(
+                                            cover, max_pixels=max_decode_pixels
+                                        )
+                                    elif codec == "png":
+                                        dw, dh, lumas = png_luma_milli(cover)
+                                except ValueError:
+                                    dw = None
+                                if dw is not None:
+                                    hashes = (
+                                        ahash64(dw, dh, lumas)
+                                        + ghash64(dw, dh, lumas)
+                                        + phash64(dw, dh, lumas)
+                                    )
+                                    w, h, decoder = dw, dh, f"cover:{codec}"
+                                else:
+                                    decoder = f"header:{codec}"
+                out["media_ref"].append(ref)
+                out["width"].append(w)
+                out["height"].append(h)
+                for i, c in enumerate(
+                    ("ahash_hi", "ahash_lo", "ghash_hi", "ghash_lo", "phash_hi", "phash_lo")
+                ):
+                    out[c].append(hashes[i] if hashes else None)
+                out["decoder"].append(decoder)
+            yield pd.DataFrame(out)
+
+    return media_df.select(ref_col, payload_col).mapInPandas(batches, HASH_SCHEMA)
+
+
+def synthesize_id3_corpus(
+    docs_df: DataFrame,
+    n_bases: int = 97,
+    nocover_mod: int = 101,
+    wav_mod: int = 89,
+) -> DataFrame:
+    """(doc_id, media_ref, payload): deterministic MP3-shaped payloads --
+    an ID3v2 tag (v2.3 on even ids, v2.4 syncsafe frames on odd; every
+    third intact id a UTF-16 description) whose APIC cover is the SAME
+    64x64 constant-block baseline JPEG as :func:`..images.
+    synthesize_jpeg_corpus`, followed by one complete MPEG1 Layer III
+    frame -- so the closed-form JPEG oracle transfers to the cover tier
+    and aud://X's cover hashes equal jpg://X's (cross-modality dedup).
+    ``% nocover_mod == 7`` rows carry a tag WITHOUT an APIC (no-cover);
+    ``% wav_mod == 11`` rows are plain WAVs (no-id3)."""
+    from pyspark.sql.types import BinaryType, StringType, StructField, StructType
+
+    from .images import synth_pixel
+    from .jpeg import encode_blocky_jpeg
+
+    def ss(n: int) -> bytes:
+        return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+    mp3_frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413)
+
+    def batches(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            refs, payloads = [], []
+            for doc_id in pdf["doc_id"].tolist():
+                d = int(doc_id)
+                if d % wav_mod == 11:
+                    raw = encode_pcm8_wav(bytes(128 for _ in range(64)))
+                else:
+                    ver = 4 if d % 2 else 3
+                    if d % nocover_mod == 7:
+                        body = bytes(16)  # padding only: tag, no APIC
+                    else:
+                        vals = [
+                            synth_pixel(d % n_bases, bx, by)
+                            for by in range(GRID)
+                            for bx in range(GRID)
+                        ]
+                        jpeg = encode_blocky_jpeg(GRID, GRID, vals)
+                        if d % 3 == 0:
+                            desc = bytes([1]) + "cover".encode("utf-16-le") + b"\x00\x00"
+                        else:
+                            desc = bytes([0]) + b"cover\x00"
+                        apic = (
+                            desc[:1] + b"image/jpeg\x00" + bytes([3]) + desc[1:] + jpeg
+                        )
+                        fsize = ss(len(apic)) if ver >= 4 else len(apic).to_bytes(4, "big")
+                        body = b"APIC" + fsize + b"\x00\x00" + apic + bytes(8)
+                    raw = b"ID3" + bytes([ver, 0, 0]) + ss(len(body)) + body + mp3_frame
+                refs.append(f"aud://{d}")
+                payloads.append(raw)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_ref": refs, "payload": payloads}
+            )
+
+    schema = StructType(
+        [
+            docs_df.schema["doc_id"],
+            StructField("media_ref", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs_df.select("doc_id").mapInPandas(batches, schema)

@@ -466,10 +466,18 @@ def extract_pdf_images(data: bytes):
         wm = re.search(rb"/Width\s+(\d+)", body)
         hm = re.search(rb"/Height\s+(\d+)", body)
         bm = re.search(rb"/BitsPerComponent\s+(\d+)", body)
+        try:
+            # Flate inflated; DCTDecode verbatim.  A corrupt Flate stream
+            # (zlib.error, incl. the bomb cap) degrades THIS image to the
+            # header-only tier instead of poisoning the whole document --
+            # the other figures still hash.
+            payload = _stream_bytes(body)
+        except (zlib.error, ValueError):
+            payload = None
         out.append(
             (
                 names.get(num, f"obj{num}"),
-                _stream_bytes(body),  # Flate inflated; DCTDecode verbatim
+                payload,
                 filt,
                 int(wm.group(1)) if wm else None,
                 int(hm.group(1)) if hm else None,

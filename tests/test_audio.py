@@ -255,3 +255,79 @@ def test_mp3_header_tier(spark):
     assert got["a"]["decoder"] == "header:mp3"
     assert got["a"]["sample_rate"] == 44100 and got["a"]["ehash_hi"] is None
     assert got["b"]["decoder"] == "undecodable"
+
+
+def _id3_tag(apic_body: bytes | None, ver: int = 3) -> bytes:
+    def ss(n):
+        return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+    body = b""
+    if apic_body is not None:
+        fsize = ss(len(apic_body)) if ver >= 4 else len(apic_body).to_bytes(4, "big")
+        body = b"APIC" + fsize + b"\x00\x00" + apic_body
+    body += bytes(12)
+    return b"ID3" + bytes([ver, 0, 0]) + ss(len(body)) + body
+
+
+def test_extract_id3_cover_matrix():
+    """APIC extraction: v2.3/v2.4 framing, latin1/utf-8/utf-16
+    descriptions, no-APIC tags, non-ID3 payloads, and mutation fuzz
+    containment (returns None, never raises)."""
+    from nreadspark.ops.audio import extract_id3_cover
+    from nreadspark.ops.images import synth_pixel
+    from nreadspark.ops.jpeg import encode_blocky_jpeg
+
+    vals = [synth_pixel(2, bx, by) for by in range(8) for bx in range(8)]
+    jpeg = encode_blocky_jpeg(8, 8, vals)
+    latin = bytes([0]) + b"image/jpeg\x00" + bytes([3]) + b"cover\x00" + jpeg
+    utf16 = (
+        bytes([1]) + b"image/jpeg\x00" + bytes([3])
+        + "cover".encode("utf-16-le") + b"\x00\x00" + jpeg
+    )
+    utf8 = bytes([3]) + b"image/jpeg\x00" + bytes([3]) + b"c\x00" + jpeg
+    assert extract_id3_cover(_id3_tag(latin, 3)) == jpeg
+    assert extract_id3_cover(_id3_tag(latin, 4)) == jpeg
+    assert extract_id3_cover(_id3_tag(utf16, 3)) == jpeg
+    assert extract_id3_cover(_id3_tag(utf8, 4)) == jpeg
+    assert extract_id3_cover(_id3_tag(None)) is None
+    assert extract_id3_cover(b"RIFF" + bytes(40)) is None
+    assert extract_id3_cover(b"ID3" + bytes(3)) is None
+    base = _id3_tag(latin, 3)
+    random.seed(17)
+    for _ in range(300):
+        buf = bytearray(base)
+        for _ in range(random.randrange(1, 4)):
+            buf[random.randrange(len(buf))] = random.randrange(256)
+        got = extract_id3_cover(bytes(buf))
+        assert got is None or isinstance(got, bytes)
+        extract_id3_cover(bytes(buf[: random.randrange(len(buf))]))
+
+
+def test_audio_cover_hashes_cross_modality(spark):
+    """aud://X's cover hashes equal jpg://X's image hashes (same
+    embedded artwork); no-cover/no-id3 tiers account for the rest."""
+    from nreadspark.ops.audio import audio_cover_hashes, synthesize_id3_corpus
+    from nreadspark.ops.images import image_hashes, synthesize_jpeg_corpus
+
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    aud = {
+        r["media_ref"]: r
+        for r in audio_cover_hashes(
+            synthesize_id3_corpus(docs, n_bases=10, nocover_mod=29, wav_mod=23)
+        ).collect()
+    }
+    jpg = {
+        r["media_ref"]: r
+        for r in image_hashes(
+            synthesize_jpeg_corpus(docs, n_bases=10, corrupt_mod=5, progressive_mod=6)
+        ).collect()
+    }
+    assert aud["aud://7"]["decoder"] == "no-cover"   # 7 % 29 == 7
+    assert aud["aud://11"]["decoder"] == "no-id3"    # 11 % 23 == 11
+    for d in range(20):
+        if d in (7, 11):
+            continue
+        a, j = aud[f"aud://{d}"], jpg[f"jpg://{d}"]
+        assert a["decoder"] == "cover:jpeg", d
+        for c in ("ahash_hi", "ahash_lo", "ghash_hi", "ghash_lo", "phash_hi", "phash_lo"):
+            assert a[c] == j[c], (d, c)

@@ -310,3 +310,32 @@ def test_pdf_image_hashes_tiers_and_cross_format_dedup(spark):
         for c in ("ahash_hi", "ahash_lo", "ghash_hi", "ghash_lo", "phash_hi", "phash_lo"):
             assert fig[c] == j[c], (d, c)
         assert got[f"pdf://{d}/Im1"]["decoder"] == "too-small"
+
+
+def test_extract_pdf_images_mutation_fuzz():
+    """Byte flips and truncations over a real PDF with an embedded JPEG:
+    extract_pdf_images must return a list or raise ValueError -- no
+    other exception type escapes (the parse_pdf_spans containment
+    contract)."""
+    import random
+
+    from nreadspark.ops.images import synth_pixel
+    from nreadspark.ops.jpeg import encode_blocky_jpeg
+    from nreadspark.pdf import extract_pdf_images, make_pdf
+
+    vals = [synth_pixel(5, bx, by) for by in range(8) for bx in range(8)]
+    raw = make_pdf(
+        "T", [[("text", "x"), ("image", "Fig1")]],
+        images={"Fig1": encode_blocky_jpeg(8, 8, vals)},
+    )
+    random.seed(19)
+    for _ in range(400):
+        buf = bytearray(raw)
+        for _ in range(random.randrange(1, 5)):
+            buf[random.randrange(len(buf))] = random.randrange(256)
+        for payload in (bytes(buf), bytes(buf[: random.randrange(len(buf))])):
+            try:
+                out = extract_pdf_images(payload)
+                assert isinstance(out, list)
+            except ValueError:
+                pass
