@@ -466,7 +466,7 @@ def audio_cover_hashes(
     frame), ``no-id3`` (payloads without an ID3v2 tag at all -- WAVs
     land here), ``undecodable`` (an APIC whose picture no header parser
     recognizes) -- every audio row is accounted for."""
-    from .images import HASH_SCHEMA, ahash64, ghash64, phash64
+    from .images import HASH_SCHEMA, hash_six
     from .jpeg import decode_jpeg_luma_milli
     from .multimodal import parse_image_header, png_luma_milli
 
@@ -512,11 +512,7 @@ def audio_cover_hashes(
                                 except ValueError:
                                     dw = None
                                 if dw is not None:
-                                    hashes = (
-                                        ahash64(dw, dh, lumas)
-                                        + ghash64(dw, dh, lumas)
-                                        + phash64(dw, dh, lumas)
-                                    )
+                                    hashes = hash_six(dw, dh, lumas)
                                     w, h, decoder = dw, dh, f"cover:{codec}"
                                 else:
                                     decoder = f"header:{codec}"

@@ -111,18 +111,42 @@ PHASH_BASIS = tuple(
 
 def _block_sums(w: int, h: int, lumas: list[int]):
     """(sums, counts) over the GRID x GRID floor-mapped blocks, row-major
-    j = by*GRID + bx with bx = x*GRID // w -- exact integer arithmetic."""
-    sums = [0] * (GRID * GRID)
-    counts = [0] * (GRID * GRID)
-    for y in range(h):
-        by = y * GRID // h
-        row = by * GRID
-        base = y * w
-        for x in range(w):
-            j = row + x * GRID // w
-            sums[j] += lumas[base + x]
-            counts[j] += 1
-    return sums, counts
+    j = by*GRID + bx with bx = x*GRID // w -- exact integer arithmetic.
+
+    Vectorized (r8): ``x*G//w == b`` iff ``ceil(b*w/G) <= x <
+    ceil((b+1)*w/G)``, so the floor mapping partitions rows/columns at
+    fixed boundaries and block sums fall out of ONE int64 integral
+    image -- measured 0.45 ms -> ~0.02 ms per 64x64 image, which is the
+    bulk of the hash cost on the lossless (PNG/GIF) pixel paths.  The
+    per-pixel loop is kept for sub-grid images (callers normally gate
+    those as too-small)."""
+    if w < GRID or h < GRID:
+        sums = [0] * (GRID * GRID)
+        counts = [0] * (GRID * GRID)
+        for y in range(h):
+            by = y * GRID // h
+            row = by * GRID
+            base = y * w
+            for x in range(w):
+                j = row + x * GRID // w
+                sums[j] += lumas[base + x]
+                counts[j] += 1
+        return sums, counts
+    import numpy as np
+
+    a = np.asarray(lumas, dtype=np.int64).reshape(h, w)
+    integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(a, axis=0), axis=1, out=integ[1:, 1:])
+    xb = np.array([-(-b * w // GRID) for b in range(GRID + 1)])
+    yb = np.array([-(-b * h // GRID) for b in range(GRID + 1)])
+    sums = (
+        integ[np.ix_(yb[1:], xb[1:])]
+        - integ[np.ix_(yb[:-1], xb[1:])]
+        - integ[np.ix_(yb[1:], xb[:-1])]
+        + integ[np.ix_(yb[:-1], xb[:-1])]
+    )
+    counts = (yb[1:] - yb[:-1])[:, None] * (xb[1:] - xb[:-1])[None, :]
+    return sums.reshape(-1).tolist(), counts.reshape(-1).tolist()
 
 
 def _pack(bits: list[int]) -> tuple[int, int]:
@@ -198,6 +222,56 @@ def phash64(w: int, h: int, lumas: list[int]) -> tuple[int, int]:
     med = int(np.sort(flat)[GRID * GRID // 2 - 1])
     bits = [1 if int(flat[j]) > med else 0 for j in range(GRID * GRID)]
     return _pack(bits)
+
+
+def hash_six(w: int, h: int, lumas: list[int]) -> tuple[int, int, int, int, int, int]:
+    """(ahash_hi, ahash_lo, ghash_hi, ghash_lo, phash_hi, phash_lo) --
+    bit-identical to calling the three hash functions separately (pinned
+    by test), but the int64 integral image is built ONCE and shared by
+    the block sums and the 32x32 resize (each standalone call rebuilds
+    it; the hash kernels call this instead)."""
+    import numpy as np
+
+    # the int64 cross-multiplies bound as 255000 * (w*h)^2 <= 2^63, i.e.
+    # w*h <= ~6M px; past 4M (far above every decode cap) fall back to
+    # the Python-int paths, which are arbitrary-precision
+    if w < GRID or h < GRID or w * h > 4_000_000:
+        return ahash64(w, h, lumas) + ghash64(w, h, lumas) + phash64(w, h, lumas)
+    a = np.asarray(lumas, dtype=np.int64).reshape(h, w)
+    integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(a, axis=0), axis=1, out=integ[1:, 1:])
+
+    def cells(xs, xe, ys, ye):
+        return (
+            integ[np.ix_(ye, xe)]
+            - integ[np.ix_(ys, xe)]
+            - integ[np.ix_(ye, xs)]
+            + integ[np.ix_(ys, xs)]
+        )
+
+    # aHash / gHash over the GRID x GRID floor-mapped blocks
+    xb = np.array([-(-b * w // GRID) for b in range(GRID + 1)])
+    yb = np.array([-(-b * h // GRID) for b in range(GRID + 1)])
+    sums = cells(xb[:-1], xb[1:], yb[:-1], yb[1:]).reshape(-1)
+    counts = ((yb[1:] - yb[:-1])[:, None] * (xb[1:] - xb[:-1])[None, :]).reshape(-1)
+    total, n = int(sums.sum()), w * h
+    abits = (sums * n > total * counts).astype(np.int64)
+    nj = np.array([(j // GRID) * GRID + ((j % GRID) + 1) % GRID for j in range(GRID * GRID)])
+    gbits = (sums * counts[nj] > sums[nj] * counts).astype(np.int64)
+    # pHash over the 32x32 resize from the SAME integral
+    npx = PHASH_SIZE
+    sx = np.array([x * w // npx for x in range(npx)])
+    ex = np.maximum(sx + 1, np.array([(x + 1) * w // npx for x in range(npx)]))
+    sy = np.array([y * h // npx for y in range(npx)])
+    ey = np.maximum(sy + 1, np.array([(y + 1) * h // npx for y in range(npx)]))
+    p32 = cells(sx, ex, sy, ey) // ((ey - sy)[:, None] * (ex - sx)[None, :])
+    basis = np.asarray(PHASH_BASIS, dtype=np.int64)
+    flat = (basis @ p32 @ basis.T).reshape(-1)
+    med = int(np.sort(flat)[GRID * GRID // 2 - 1])
+    pbits = (flat > med).astype(np.int64)
+    return (
+        _pack(abits.tolist()) + _pack(gbits.tolist()) + _pack(pbits.tolist())
+    )
 
 
 def image_hashes(
@@ -299,11 +373,7 @@ def image_hashes(
                             except ValueError:
                                 dw = None
                         if dw is not None:
-                            hashes = (
-                                ahash64(dw, dh, lumas)
-                                + ghash64(dw, dh, lumas)
-                                + phash64(dw, dh, lumas)
-                            )
+                            hashes = hash_six(dw, dh, lumas)
                             w, h, decoder = dw, dh, tier
                         else:
                             # recognized container, undecodable pixels:
@@ -412,11 +482,7 @@ def video_keyframe_hashes(
                             except ValueError:
                                 dw = None  # stays header:mp4
                             if dw is not None:
-                                hashes = (
-                                    ahash64(dw, dh, lumas)
-                                    + ghash64(dw, dh, lumas)
-                                    + phash64(dw, dh, lumas)
-                                )
+                                hashes = hash_six(dw, dh, lumas)
                                 w, h, decoder = dw, dh, "keyframe:jpeg"
                 out["width"].append(w)
                 out["height"].append(h)
@@ -523,11 +589,7 @@ def pdf_image_hashes(
                         lumas = [b * 1000 for b in data[: w * h]]
                         tier = "pdfimg:gray"
                     if dw is not None:
-                        hashes = (
-                            ahash64(dw, dh, lumas)
-                            + ghash64(dw, dh, lumas)
-                            + phash64(dw, dh, lumas)
-                        )
+                        hashes = hash_six(dw, dh, lumas)
                         emit(ref, dw, dh, hashes, tier)
                     else:
                         emit(ref, w, h, None, "header:pdfimg")

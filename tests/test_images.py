@@ -398,3 +398,19 @@ def test_phash_rides_the_banded_pair_join(spark):
     }
     for ref, hv in gif.items():
         assert png_rows["img://" + ref.split("//")[1]] == hv
+
+
+def test_hash_six_bit_parity():
+    """hash_six (shared-integral fast path used by every hash kernel)
+    is bit-identical to the three standalone hash functions, across
+    square/odd/up-sampled dims and the sub-grid fallback."""
+    import random
+
+    from nreadspark.ops.images import ahash64, ghash64, hash_six, phash64
+
+    random.seed(11)
+    for w, h in [(16, 16), (64, 64), (13, 9), (40, 31), (9, 64), (8, 8), (5, 5)]:
+        lumas = [random.randrange(256) * 1000 for _ in range(w * h)]
+        assert hash_six(w, h, lumas) == (
+            ahash64(w, h, lumas) + ghash64(w, h, lumas) + phash64(w, h, lumas)
+        ), (w, h)
