@@ -215,6 +215,66 @@ def dedup_stream(
     )
 
 
+def dedup_media_stream(
+    stream_df: DataFrame,
+    which: str = "phash",
+    ref_col: str = "media_ref",
+    ttl_minutes: int | None = None,
+    emit_suppressed: bool = False,
+) -> DataFrame:
+    """Streaming first-wins dedup on a 64-bit perceptual hash (r8): the
+    media twin of :func:`dedup_stream` over any hash table the batch
+    tiers emit (``image_hashes`` / ``video_keyframe_hashes`` /
+    ``pdf_image_hashes`` / ``audio_cover_hashes`` -- all one schema).
+    Ingest-time semantics are hamming-0 (exact hash): the state store is
+    KEYED, and a <=3-bit neighborhood of a 64-bit key has ~43k members,
+    so near-dup radii stay a batch job (the banded join); streaming
+    exact-hash suppression still removes the re-crawl/mirror bulk before
+    anything is stored.
+
+    Output: ``(hash_key, media_ref, n_prior)``.  Rows with NULL hashes
+    (undecodable/capped payloads) are EXCLUDED -- they carry no identity
+    to dedup on; union them back downstream if the pipeline keeps them.
+    Same state-store guidance as :func:`dedup_stream`
+    (:data:`ROCKSDB_STATE_STORE_CONF`, TTL for unbounded streams)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if ttl_minutes is not None and ttl_minutes <= 0:
+        raise ValueError(
+            f"ttl_minutes must be positive (got {ttl_minutes}); pass None "
+            "to keep state forever"
+        )
+    hi, lo = f"{which}_hi", f"{which}_lo"
+    hashed = (
+        stream_df.filter(F.col(hi).isNotNull() & F.col(lo).isNotNull())
+        .withColumn(
+            "__text_hash",
+            F.concat_ws(":", F.lit(which), F.col(hi).cast("string"), F.col(lo).cast("string")),
+        )
+        .withColumn("doc_id", F.col(ref_col))
+    )
+    # the kernel's column names are its contract -- rename AFTER the
+    # stateful operator rather than risking name-vs-position drift
+    out_schema = "text_hash string, doc_id string, n_prior bigint"
+    state_schema = "n_seen bigint"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    ttl_ms = int((ttl_minutes or 0) * 60_000)
+    out = hashed.groupBy("__text_hash").applyInPandasWithState(
+        _make_dedup_fn(emit_suppressed, ttl_ms), out_schema, state_schema,
+        "update", timeout,
+    )
+    return out.select(
+        F.col("text_hash").alias("hash_key"),
+        F.col("doc_id").alias(ref_col),
+        "n_prior",
+    )
+
+
 def _make_dedup_fn(emit_suppressed: bool, ttl_ms: int):
     """The applyInPandasWithState kernel of :func:`dedup_stream`, factored
     out so the timeout branch -- which an in-process test cannot reach

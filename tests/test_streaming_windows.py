@@ -240,3 +240,49 @@ def test_dedup_stream_rejects_non_positive_ttl(spark):
     # None (keep-forever) and positive TTLs still build a plan
     assert dedup_stream(df, ttl_minutes=None) is not None
     assert dedup_stream(df, ttl_minutes=10) is not None
+
+
+def test_dedup_media_stream_cross_batch(spark, tmp_path):
+    """Streaming media dedup (r8): the same perceptual hash arriving in a
+    later micro-batch is suppressed; NULL-hash (undecodable) rows never
+    enter the state store."""
+    from nreadspark.streaming import dedup_media_stream
+
+    src_dir = tmp_path / "media_src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "media_ckpt")
+    schema = "media_ref string, phash_hi long, phash_lo long"
+
+    b1 = spark.createDataFrame(
+        [("img://1", 10, 20), ("img://2", 30, 40), ("img://bad", None, None)],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [("vid://9", 10, 20), ("pdf://5/Fig1", 50, 60), ("aud://bad2", None, None)],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(str(src_dir / "f1"))
+    b2.coalesce(1).write.parquet(str(src_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir) + "/f*")
+    )
+    q = (
+        dedup_media_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_media_stream_test")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dedup_media_stream_test").collect()
+    emitted = {r["media_ref"] for r in rows}
+    # vid://9 carries img://1's hash (cross-container dup) -> suppressed;
+    # NULL-hash rows excluded entirely
+    assert emitted == {"img://1", "img://2", "pdf://5/Fig1"}
+    assert all(r["n_prior"] == 0 for r in rows)
+    assert all(r["hash_key"].startswith("phash:") for r in rows)
