@@ -1934,6 +1934,40 @@ def _q_dedup_cross_container(spark, sf_dir):
     return near_dup_image_pairs(jh.unionByName(vh), max_hamming=0, which="phash")
 
 
+def _q_dedup_media_survivors(spark, sf_dir):
+    """Cross-modality dedup terminal stage (r8): union the image and
+    video-keyframe hash tables, pair at hamming 0 on the DCT pHash,
+    connected components, canonical survivors -- one surviving ref per
+    duplicate cluster REGARDLESS of container (the jpg/vid twins of a
+    base collapse to the lexically-first ref).  Undecodable / opaque /
+    stub rows never pair and survive untouched.  Oracle: recursive-CTE
+    transitive closure over the shared-formula pairs."""
+    from nreadspark.ops.dedup import keep_canonical
+    from nreadspark.ops.images import (
+        image_hashes,
+        near_dup_image_pairs,
+        synthesize_jpeg_corpus,
+        synthesize_mp4_corpus,
+        video_keyframe_hashes,
+    )
+
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id"
+    )
+    # eager localCheckpoint for the same reason as dedup_image_survivors:
+    # the frame feeds both the pair join and the node set
+    hdf = (
+        image_hashes(synthesize_jpeg_corpus(docs))
+        .unionByName(video_keyframe_hashes(synthesize_mp4_corpus(docs)))
+        .localCheckpoint(eager=True)
+    )
+    pairs = near_dup_image_pairs(hdf, max_hamming=0, which="phash")
+    return keep_canonical(
+        hdf.select("media_ref"), pairs,
+        id_col="media_ref", src_col="ref_a", dst_col="ref_b",
+    )
+
+
 def _q_dedup_image_phash(spark, sf_dir):
     """Image near-duplicate pairs (r6) within hamming<=3 on the average
     hash: banded 4x16-bit self-join (pigeonhole-exact at <=3 bits) +
@@ -2511,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash_jpeg": _q_multimodal_phash_jpeg,
         "multimodal_keyframes": _q_multimodal_keyframes,
         "dedup_cross_container": _q_dedup_cross_container,
+        "dedup_media_survivors": _q_dedup_media_survivors,
         "audio_cover_art": _q_audio_cover_art,
         "multimodal_phash_gif": _q_multimodal_phash_gif,
         "dedup_image_survivors": _q_dedup_image_survivors,
@@ -3233,6 +3268,49 @@ def _dedup_cross_container_oracle() -> str:
             FROM refs a JOIN refs b
               ON a.phash_hi = b.phash_hi AND a.phash_lo = b.phash_lo
              AND a.ref < b.ref
+        """
+
+
+def _dedup_media_survivors_oracle() -> str:
+    """pHash from the shared block formula, refs doubled across the two
+    containers, hamming-0 pairs (hash equality), recursive transitive
+    closure, min-ref survivor per component -- excluded-tier rows (both
+    corpora exclude the SAME doc_ids: %89==11 and %101==7) appear only
+    as isolated nodes and survive."""
+    phash_ctes = _phash_cte_sql(
+        "SELECT doc_id FROM d WHERE doc_id % 89 <> 11 AND doc_id % 101 <> 7", 4
+    )
+    return f"""
+            WITH RECURSIVE d AS (SELECT doc_id FROM documents WHERE doc_id < 300),{phash_ctes},
+            refs AS (
+                SELECT 'jpg://' || CAST(doc_id AS VARCHAR) AS ref,
+                       phash_hi, phash_lo FROM ph
+                UNION ALL
+                SELECT 'vid://' || CAST(doc_id AS VARCHAR), phash_hi, phash_lo
+                FROM ph
+            ),
+            pairs AS (
+                SELECT a.ref AS ra, b.ref AS rb
+                FROM refs a JOIN refs b
+                  ON a.phash_hi = b.phash_hi AND a.phash_lo = b.phash_lo
+                 AND a.ref < b.ref
+            ),
+            nodes AS (
+                SELECT 'jpg://' || CAST(doc_id AS VARCHAR) AS id FROM d
+                UNION ALL
+                SELECT 'vid://' || CAST(doc_id AS VARCHAR) FROM d
+            ),
+            bidir AS (
+                SELECT ra AS src, rb AS dst FROM pairs
+                UNION SELECT rb, ra FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT b.dst, reach.r FROM reach JOIN bidir b ON b.src = reach.id
+            )
+            SELECT id AS media_ref FROM reach
+            GROUP BY id HAVING id = min(r)
         """
 
 
@@ -4526,6 +4604,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_phash_jpeg": _multimodal_phash_jpeg_oracle(),
         "multimodal_keyframes": _multimodal_keyframes_oracle(),
         "dedup_cross_container": _dedup_cross_container_oracle(),
+        "dedup_media_survivors": _dedup_media_survivors_oracle(),
         "pdf_images": _pdf_images_oracle(),
         "audio_cover_art": _audio_cover_art_oracle(),
         # image near-dup pairs (r6): the oracle does the quadratic join the

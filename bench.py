@@ -194,6 +194,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "dedup_cross_container",
         "pdf_images",
         "audio_cover_art",
+        "dedup_media_survivors",
         "dedup_image_phash",
         "dedup_image_survivors",
         "dedup_reference_bloom",
