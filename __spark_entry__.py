@@ -2483,7 +2483,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multipage_extract": _q_multipage_extract,
         "debug_html": _q_debug_html,
         "pdf_extract": _q_pdf_extract,
-        "pdf_images": _q_pdf_images,
         "line_dedup": _q_line_dedup,
         "text_chunking": _q_text_chunking,
         "text_chunking_tokens": _q_text_chunking_tokens,
@@ -2544,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_image_phash": _q_dedup_image_phash,
         "multimodal_phash_jpeg": _q_multimodal_phash_jpeg,
         "multimodal_keyframes": _q_multimodal_keyframes,
+        "pdf_images": _q_pdf_images,
         "dedup_cross_container": _q_dedup_cross_container,
         "dedup_media_survivors": _q_dedup_media_survivors,
         "audio_cover_art": _q_audio_cover_art,
