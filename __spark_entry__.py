@@ -29,6 +29,22 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _par(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Scale-adaptive parallelism floor (opt guide §2.5/§6.1) for the
+    CPU-bound per-row kernels (extraction, media decode, per-doc scoring):
+    each sf table is ONE small parquet file whose single row group arrives
+    as ONE scan split, so without this the kernel runs on a single core.
+    Repartition only when the scan yields fewer splits than the cluster
+    has cores -- at production scale inputs already carry >= cores splits
+    and this inserts nothing (no shuffle, no plan change).  Applied
+    selectively (not in ``_table``): pure-aggregation queries gain nothing
+    from the extra exchange (measured: it costs them ~0.1-0.4 s each)."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
 def _interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically wrap the plain-text documents table into the
     north-rule interleaved span shape (doc_id, spans) -- JVM-side only."""
