@@ -29,18 +29,28 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _par(df: DataFrame, spark: SparkSession) -> DataFrame:
+def _par(
+    df: DataFrame, spark: SparkSession, rows: int | None = None, per_task: int = 40
+) -> DataFrame:
     """Scale-adaptive parallelism floor (opt guide §2.5/§6.1) for the
     CPU-bound per-row kernels (extraction, media decode, per-doc scoring):
     each sf table is ONE small parquet file whose single row group arrives
     as ONE scan split, so without this the kernel runs on a single core.
-    Repartition only when the scan yields fewer splits than the cluster
-    has cores -- at production scale inputs already carry >= cores splits
-    and this inserts nothing (no shuffle, no plan change).  Applied
-    selectively (not in ``_table``): pure-aggregation queries gain nothing
-    from the extra exchange (measured: it costs them ~0.1-0.4 s each)."""
-    n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    Repartition only when the scan yields fewer splits than the target --
+    at production scale inputs already carry >= cores splits and this
+    inserts nothing (no shuffle, no plan change).
+
+    ``rows`` (when the query caps the input, e.g. ``doc_id < 500``) bounds
+    the target so tasks keep >= ``per_task`` rows: over-fragmenting a
+    chained mapInPandas pipeline into 32 near-empty tasks costs more in
+    task dispatch + per-task Python/Arrow setup than the parallelism buys
+    (measured: the 300-row media-pair queries run fastest near 8
+    partitions; 32 is ~2x slower).  Applied selectively (not in
+    ``_table``): pure-aggregation queries gain nothing from the extra
+    exchange (measured: it costs them ~0.1-0.4 s each)."""
+    n_cores = spark.sparkContext.defaultParallelism
+    n = n_cores if rows is None else max(1, min(n_cores, rows // per_task))
+    if n > 1 and df.rdd.getNumPartitions() < n:
         df = df.repartition(n)
     return df
 
@@ -97,7 +107,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _q_extract_interleaved(spark, sf_dir):
     from nreadspark.pipeline import extract
 
-    df = _interleaved_docs(spark, sf_dir)
+    df = _par(_interleaved_docs(spark, sf_dir), spark)
     out = extract(df)
     return out.select(
         "doc_id",
@@ -433,7 +443,7 @@ def _q_text_nfc(spark, sf_dir):
     nothing is shared but the spec."""
     from nreadspark.ops.normalize import nfc_normalize_text
 
-    docs = _table(spark, sf_dir, "documents")
+    docs = _par(_table(spark, sf_dir, "documents"), spark)
     extra = (
         F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit(_NFC_PLANT[0]))
         .when(F.pmod("doc_id", F.lit(4)) == 1, F.lit(_NFC_PLANT[1]))
@@ -505,7 +515,7 @@ def _link_docs(spark, sf_dir):
     URL family as the page's own URL, markup with one cross-domain link to
     host{(doc_id+7)%20}.com, a hub link from every third doc, and a
     relative link that must stay OUT of the domain graph."""
-    docs = _table(spark, sf_dir, "documents")
+    docs = _par(_table(spark, sf_dir, "documents"), spark)
     tld = (
         F.when(F.pmod("doc_id", F.lit(4)) == 0, ".co.uk")
         .when(F.pmod("doc_id", F.lit(4)) == 1, ".com")
@@ -552,7 +562,8 @@ def _q_domain_pagerank(spark, sf_dir):
     from nreadspark.ops.links import domain_link_graph, domain_pagerank
 
     edges = domain_link_graph(_link_docs(spark, sf_dir))
-    return domain_pagerank(edges, n_iter=2)
+    # the link graph is grouped by (src, dst), so edges are already unique
+    return domain_pagerank(edges, n_iter=2, unique_edges=True)
 
 
 def _q_anchor_profile(spark, sf_dir):
@@ -769,7 +780,12 @@ def _q_multipage_extract(spark, sf_dir):
     the DOM merge kernel is not SQL-expressible)."""
     from nreadspark.multipage import extract_multipage
 
-    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 90)
+    docs = _par(
+        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 90),
+        spark,
+        rows=90,
+        per_task=30,
+    )
     chain = (F.col("doc_id") / 3).cast("bigint")
     page = F.pmod(F.col("doc_id"), F.lit(3))
     url = F.concat(F.lit("http://ex.com/s"), chain, F.lit("?page="), page)
@@ -824,7 +840,11 @@ def _q_debug_html(spark, sf_dir):
     """
     from nreadspark.serialize import transcode_to_html_column
 
-    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = _par(
+        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+        spark,
+        rows=200,
+    )
     html = F.concat(
         F.lit("<html><head><title>Doc "),
         F.col("doc_id"),
@@ -1103,8 +1123,12 @@ def _q_mixed_pipeline(spark, sf_dir):
     route = F.pmod(F.col("doc_id").cast("bigint"), F.lit(3))
 
     # route 0: interleaved spans -> pipeline.extract
-    spans_in = _interleaved_docs(spark, sf_dir).filter(
-        (F.col("doc_id").cast("bigint") < 300) & (route == 0)
+    spans_in = _par(
+        _interleaved_docs(spark, sf_dir).filter(
+            (F.col("doc_id").cast("bigint") < 300) & (route == 0)
+        ),
+        spark,
+        rows=100,
     )
     out0 = extract(spans_in).select(
         "doc_id",
@@ -1119,10 +1143,12 @@ def _q_mixed_pipeline(spark, sf_dir):
 
     # route 1: the SAME page content as route 0's span reassembly, shipped
     # as gzip'd latin-1 bytes with a meta-charset tag
-    docs1 = (
+    docs1 = _par(
         _table(spark, sf_dir, "documents")
         .filter((F.col("doc_id") < 300) & (route == 1))
-        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
+        spark,
+        rows=100,
     )
     page = F.concat(
         F.lit("<html><head>"),
@@ -1165,10 +1191,12 @@ def _q_mixed_pipeline(spark, sf_dir):
     )
 
     # route 2: binary PDFs (pdf_extract page shape)
-    docs2 = (
+    docs2 = _par(
         _table(spark, sf_dir, "documents")
         .filter((F.col("doc_id") < 300) & (route == 2))
-        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
+        spark,
+        rows=100,
     )
 
     def to_pdf(it):
@@ -1217,10 +1245,12 @@ def _q_warc_extract(spark, sf_dir):
 
     from nreadspark.warc import build_warc, extract_warc
 
-    docs = (
+    docs = _par(
         _table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
-        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
+        spark,
+        rows=300,
     )
     page = F.concat(
         F.lit("<html><head><title>Doc "),
@@ -1409,7 +1439,7 @@ def _q_extract_byte_budget(spark, sf_dir):
     is fully checkable without running the kernel."""
     from nreadspark.pipeline import extract
 
-    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _par(_table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     spans_df = docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.array(
@@ -1533,7 +1563,11 @@ def _q_pdf_images(spark, sf_dir):
     from nreadspark.ops.jpeg import encode_blocky_jpeg
     from nreadspark.pdf import make_pdf
 
-    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = _par(
+        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300),
+        spark,
+        rows=300,
+    )
     src = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
 
     def synth(it):
@@ -1587,7 +1621,11 @@ def _q_pdf_extract(spark, sf_dir):
 
     from nreadspark.pdf import extract_pdf, make_pdf
 
-    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = _par(
+        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+        spark,
+        rows=200,
+    )
     src = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
 
     def synth(it):
@@ -1803,7 +1841,11 @@ def _q_multimodal_phash(spark, sf_dir):
     truncated payloads exercising the containment tier."""
     from nreadspark.ops.images import image_hashes, synthesize_png_corpus
 
-    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    docs = _par(
+        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500),
+        spark,
+        rows=500,
+    )
     media = synthesize_png_corpus(docs.select("doc_id"))
     return image_hashes(media).select(
         "media_ref",
@@ -1831,7 +1873,11 @@ def _q_multimodal_phash_jpeg(spark, sf_dir):
     the header:jpeg counted-not-dropped tier."""
     from nreadspark.ops.images import image_hashes, synthesize_jpeg_corpus
 
-    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    docs = _par(
+        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500),
+        spark,
+        rows=500,
+    )
     media = synthesize_jpeg_corpus(docs.select("doc_id"))
     return image_hashes(media).select(
         "media_ref",
@@ -1855,7 +1901,11 @@ def _q_multimodal_phash_gif(spark, sf_dir):
     hashes equal img://X's, the cross-codec dedup property."""
     from nreadspark.ops.images import image_hashes, synthesize_gif_corpus
 
-    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    docs = _par(
+        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500),
+        spark,
+        rows=500,
+    )
     media = synthesize_gif_corpus(docs.select("doc_id"))
     return image_hashes(media).select(
         "media_ref",
@@ -1883,7 +1933,11 @@ def _q_multimodal_keyframes(spark, sf_dir):
     is hashed)."""
     from nreadspark.ops.images import synthesize_mp4_corpus, video_keyframe_hashes
 
-    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    docs = _par(
+        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500),
+        spark,
+        rows=500,
+    )
     media = synthesize_mp4_corpus(docs.select("doc_id"))
     return video_keyframe_hashes(media).select(
         "media_ref",
@@ -1910,7 +1964,11 @@ def _q_audio_cover_art(spark, sf_dir):
     (no-cover), %89==11 rows are WAVs (no-id3)."""
     from nreadspark.ops.audio import audio_cover_hashes, synthesize_id3_corpus
 
-    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    docs = _par(
+        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300),
+        spark,
+        rows=300,
+    )
     media = synthesize_id3_corpus(docs.select("doc_id"))
     return audio_cover_hashes(media).select(
         "media_ref",
@@ -1942,12 +2000,21 @@ def _q_dedup_cross_container(spark, sf_dir):
         video_keyframe_hashes,
     )
 
-    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
-        "doc_id"
+    docs = _par(
+        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300),
+        spark,
+        rows=300,
+    ).select("doc_id")
+    # eager localCheckpoint: the banded pair join consumes the hash frame
+    # on BOTH sides of its self-join, and exchange reuse does not kick in
+    # across the AQE stage boundary -- without this the synth + decode
+    # pipeline runs twice (measured as ~half this query's cost)
+    hdf = (
+        image_hashes(synthesize_jpeg_corpus(docs))
+        .unionByName(video_keyframe_hashes(synthesize_mp4_corpus(docs)))
+        .localCheckpoint(eager=True)
     )
-    jh = image_hashes(synthesize_jpeg_corpus(docs))
-    vh = video_keyframe_hashes(synthesize_mp4_corpus(docs))
-    return near_dup_image_pairs(jh.unionByName(vh), max_hamming=0, which="phash")
+    return near_dup_image_pairs(hdf, max_hamming=0, which="phash")
 
 
 def _q_dedup_media_survivors(spark, sf_dir):
@@ -1967,9 +2034,11 @@ def _q_dedup_media_survivors(spark, sf_dir):
         video_keyframe_hashes,
     )
 
-    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
-        "doc_id"
-    )
+    docs = _par(
+        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300),
+        spark,
+        rows=300,
+    ).select("doc_id")
     # eager localCheckpoint for the same reason as dedup_image_survivors:
     # the frame feeds both the pair join and the node set
     hdf = (
@@ -1996,8 +2065,17 @@ def _q_dedup_image_phash(spark, sf_dir):
         synthesize_png_corpus,
     )
 
-    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    hdf = image_hashes(synthesize_png_corpus(docs.select("doc_id")))
+    docs = _par(
+        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500),
+        spark,
+        rows=500,
+    )
+    # eager localCheckpoint: the banded self-join would otherwise run the
+    # synth + PNG decode pipeline once per join side (no exchange reuse
+    # across the AQE stage boundary)
+    hdf = image_hashes(synthesize_png_corpus(docs.select("doc_id"))).localCheckpoint(
+        eager=True
+    )
     return near_dup_image_pairs(hdf, max_hamming=3).select(
         "ref_a", "ref_b", F.col("hamming").cast("int").alias("hamming")
     )
@@ -2017,7 +2095,11 @@ def _q_dedup_image_survivors(spark, sf_dir):
         synthesize_png_corpus,
     )
 
-    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    docs = _par(
+        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500),
+        spark,
+        rows=500,
+    )
     # eager localCheckpoint: hdf feeds BOTH the pair join and the node set;
     # without it the node-set branch re-runs the synth + PNG decode (two
     # mapInPandas crossings -- measured as ~half this query's cost, the
@@ -2057,7 +2139,11 @@ def _q_multimodal_afp(spark, sf_dir):
     truncated payloads exercising containment."""
     from nreadspark.ops.audio import audio_fingerprints, synthesize_wav_corpus
 
-    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    docs = _par(
+        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500),
+        spark,
+        rows=500,
+    )
     media = synthesize_wav_corpus(docs.select("doc_id"))
     return audio_fingerprints(media).select(
         "media_ref",
@@ -2079,7 +2165,11 @@ def _q_multimodal_afp16(spark, sf_dir):
     struct-unpack decode path is verified against ground truth."""
     from nreadspark.ops.audio import audio_fingerprints, synthesize_wav_corpus
 
-    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    docs = _par(
+        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500),
+        spark,
+        rows=500,
+    )
     media = synthesize_wav_corpus(docs.select("doc_id"), bits=16)
     return audio_fingerprints(media).select(
         "media_ref",
@@ -2101,8 +2191,16 @@ def _q_dedup_audio_afp(spark, sf_dir):
     from nreadspark.ops.audio import audio_fingerprints, synthesize_wav_corpus
     from nreadspark.ops.images import near_dup_image_pairs
 
-    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    fdf = audio_fingerprints(synthesize_wav_corpus(docs.select("doc_id")))
+    docs = _par(
+        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500),
+        spark,
+        rows=500,
+    )
+    # eager localCheckpoint: the banded self-join would otherwise run the
+    # WAV synth + PCM decode pipeline once per join side
+    fdf = audio_fingerprints(
+        synthesize_wav_corpus(docs.select("doc_id"))
+    ).localCheckpoint(eager=True)
     return near_dup_image_pairs(fdf, max_hamming=3, which="ehash").select(
         "ref_a", "ref_b", F.col("hamming").cast("int").alias("hamming")
     )
@@ -2119,10 +2217,12 @@ def _q_wet_text(spark, sf_dir):
 
     from nreadspark.warc import build_warc_record, wet_text
 
-    docs = (
+    docs = _par(
         _table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 400)
-        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
+        spark,
+        rows=400,
     )
 
     def to_wet(it):

@@ -130,6 +130,7 @@ def domain_pagerank(
     n_iter: int = 3,
     damping_pct: int = 85,
     checkpoint: bool = True,
+    unique_edges: bool = False,
 ) -> DataFrame:
     """(domain, rank_scaled): fixed-point PageRank over the domain graph.
     ``rank_scaled`` is the rank multiplied by :data:`PAGERANK_SCALE`
@@ -157,13 +158,16 @@ def domain_pagerank(
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
-    simple = (
-        edges.filter(
-            F.col("src_domain").isNotNull() & F.col("dst_domain").isNotNull()
-        )
-        .select("src_domain", "dst_domain")
-        .distinct()
-    )
+    simple = edges.filter(
+        F.col("src_domain").isNotNull() & F.col("dst_domain").isNotNull()
+    ).select("src_domain", "dst_domain")
+    # ``unique_edges=True`` lets a producer that already aggregated by
+    # (src, dst) -- ``domain_link_graph`` groups on exactly that pair --
+    # skip the de-multiplicity shuffle over the full edge frame (r9): the
+    # optimizer cannot see through the projection that the pair is a
+    # grouping key, so the distinct would re-shuffle the whole graph.
+    if not unique_edges:
+        simple = simple.distinct()
     # checkpoint the edge set FIRST, then derive nodes from the
     # checkpointed frame: deriving both from the raw plan would recompute
     # the (possibly corpus-scan-expensive) upstream twice -- at crawl
@@ -176,10 +180,20 @@ def domain_pagerank(
         .distinct()
     )
     if checkpoint:
-        nodes = nodes.localCheckpoint(eager=True)
-    outdeg = simple.groupBy(F.col("src_domain").alias("domain")).agg(
-        F.count("*").alias("__outdeg")
-    )
+        # lazy: first materialization computes it once off the simple
+        # checkpoint and caches the blocks; no standalone eager job
+        nodes = nodes.localCheckpoint(eager=False)
+    # attach the out-degree to the edge frame ONCE (r9, opt guide §2.4):
+    # it is loop-invariant, and joining it per iteration cost one extra
+    # shuffle round every pass (3 joins/iter -> 2 joins/iter)
+    edges_deg = simple.join(
+        simple.groupBy(F.col("src_domain").alias("__deg_src")).agg(
+            F.count("*").alias("__outdeg")
+        ),
+        simple["src_domain"] == F.col("__deg_src"),
+    ).select("src_domain", "dst_domain", "__outdeg")
+    if checkpoint:
+        edges_deg = edges_deg.localCheckpoint(eager=False)
     base = (100 - damping_pct) * PAGERANK_SCALE // 100
     ranks = nodes.withColumn("rank_scaled", F.lit(PAGERANK_SCALE))
     for _ in range(n_iter):
@@ -189,13 +203,11 @@ def domain_pagerank(
         # FIRST, so the product stays under 2^63 for any realistic hub
         # (sum of incoming scaled ranks < ~1.1e19/pct); the <=99-unit
         # truncation is noise at SCALE=10^12 and, crucially, deterministic.
-        contribs = (
-            ranks.join(outdeg, "domain")
-            .join(simple, ranks["domain"] == simple["src_domain"])
-            .select(
-                F.col("dst_domain").alias("domain"),
-                F.expr("rank_scaled div __outdeg").alias("__c"),
-            )
+        contribs = ranks.join(
+            edges_deg, ranks["domain"] == edges_deg["src_domain"]
+        ).select(
+            F.col("dst_domain").alias("domain"),
+            F.expr("rank_scaled div __outdeg").alias("__c"),
         )
         summed = contribs.groupBy("domain").agg(F.sum("__c").alias("__s"))
         ranks = nodes.join(summed, "domain", "left").select(
@@ -206,7 +218,10 @@ def domain_pagerank(
             ).alias("rank_scaled"),
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=True)
+            # lazy: lineage still truncates at each round's checkpoint, but
+            # the whole fixed-iteration loop materializes in the consumer's
+            # single action instead of one eager job per round
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

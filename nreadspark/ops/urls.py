@@ -434,12 +434,30 @@ def _psl_rule_frames(spark, extra_suffixes=(), include_private: bool = True):
     by_k: dict = {}
     for s, (k, x, w, e) in rows.items():
         by_k.setdefault(k, []).append((s, x, w, e))
-    frames = {
-        k: spark.createDataFrame(
-            sorted(v), "suffix string, exact boolean, wild boolean, exc boolean"
+
+    def values_frame(v):
+        # VALUES literal -> LocalTableScan (r9): ``createDataFrame`` parks
+        # even a 50-row table behind an ExistingRDD scan, so every
+        # BroadcastExchange over it schedules a real Spark job to collect
+        # it -- ~5 rule-table broadcasts per domain-tier query was a
+        # measurable slice of each query's wall time.  A LocalRelation
+        # broadcast is built driver-side with no job.  Suffixes come from
+        # the vendored PSL (lowercase idna labels); quotes are escaped
+        # anyway so extra_suffixes can never break the literal.
+        rows_sql = ", ".join(
+            "('{}', {}, {}, {})".format(
+                s.replace("'", "''"),
+                "true" if x else "false",
+                "true" if w else "false",
+                "true" if e else "false",
+            )
+            for s, x, w, e in sorted(v)
         )
-        for k, v in by_k.items()
-    }
+        return spark.sql(
+            f"SELECT * FROM VALUES {rows_sql} AS t(suffix, exact, wild, exc)"
+        )
+
+    frames = {k: values_frame(v) for k, v in by_k.items()}
     _PSL_FRAME_CACHE[key] = frames
     return frames
 
@@ -564,10 +582,19 @@ def tag_blocked_domains(
     spark = df.sparkSession
     if isinstance(blocked_domains, DataFrame):
         bl = blocked_domains.toDF("domain")
+        bl = bl.select(F.lower("domain").alias("domain")).distinct()
     else:
-        bl = spark.createDataFrame([(d,) for d in blocked_domains], "domain string")
-    bl = F.broadcast(bl.select(F.lower("domain").alias("domain")).distinct()
-                     .withColumn("__blocked", F.lit(True)))
+        # literal blocklists fold lowercase+dedup driver-side and ship as
+        # a VALUES LocalRelation (r9): createDataFrame + distinct parked
+        # the broadcast build behind an ExistingRDD scan plus a shuffle --
+        # two scheduled jobs before the membership join could even start
+        doms = sorted({str(d).lower() for d in blocked_domains})
+        if doms:
+            rows_sql = ", ".join("('{}')".format(d.replace("'", "''")) for d in doms)
+            bl = spark.sql(f"SELECT * FROM VALUES {rows_sql} AS t(domain)")
+        else:
+            bl = spark.createDataFrame([], "domain string")
+    bl = F.broadcast(bl.withColumn("__blocked", F.lit(True)))
     tagged = with_registrable_domain(
         df.select("doc_id", url_col), url_col, "domain"
     ).select("doc_id", "domain").join(bl, "domain", "left")
