@@ -375,7 +375,7 @@ def _q_text_lang_id(spark, sf_dir):
     the labeled corpus by the separate evaluation op."""
     from nreadspark.ops.textstats import lang_id_eval
 
-    return lang_id_eval(_table(spark, sf_dir, "documents"))
+    return lang_id_eval(_par(_table(spark, sf_dir, "documents"), spark))
 
 
 def _q_text_fingerprint(spark, sf_dir):
@@ -406,7 +406,7 @@ def _q_text_normalize(spark, sf_dir):
     construction."""
     from nreadspark.ops.normalize import _sloppy_cp1252, normalize_text
 
-    docs = _table(spark, sf_dir, "documents")
+    docs = _par(_table(spark, sf_dir, "documents"), spark)
     # run the ACTUAL corruption on a clean phrase -- both engines plant
     # the same bytes because both sides call this one helper
     moji = _sloppy_cp1252("café – don’t ".encode("utf-8"))
@@ -443,7 +443,7 @@ def _q_text_nfc(spark, sf_dir):
     nothing is shared but the spec."""
     from nreadspark.ops.normalize import nfc_normalize_text
 
-    docs = _par(_table(spark, sf_dir, "documents"), spark)
+    docs = _table(spark, sf_dir, "documents")
     extra = (
         F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit(_NFC_PLANT[0]))
         .when(F.pmod("doc_id", F.lit(4)) == 1, F.lit(_NFC_PLANT[1]))
@@ -686,7 +686,7 @@ def _q_robots_rules(spark, sf_dir):
     residues -- ground truth, not parser-vs-parser."""
     from nreadspark.ops.robots import parse_robots_rules, tag_robots_permissions
 
-    docs = _table(spark, sf_dir, "documents")
+    docs = _par(_table(spark, sf_dir, "documents"), spark)
     dres = F.pmod("doc_id", F.lit(7))
     pres = F.pmod("doc_id", F.lit(5))
     urls = docs.select(
@@ -947,7 +947,7 @@ def _q_text_pii_scrub(spark, sf_dir):
     so pattern drift between engines is impossible by construction."""
     from nreadspark.ops.pii import pii_scrub
 
-    docs = _table(spark, sf_dir, "documents")
+    docs = _par(_table(spark, sf_dir, "documents"), spark)
     extra = (
         F.when(
             F.pmod("doc_id", F.lit(4)) == 0,

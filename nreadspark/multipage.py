@@ -224,18 +224,17 @@ def resolve_chains(extracted, url_col: str = "url", max_pages: int = MAX_PAGES):
         F.col("next_page_url").alias("__nxt_next"),
     )
     for _ in range(max_pages):
-        live = frontier.where(
+        # stop early when no chain continues (driver-side emptiness check on
+        # a tiny frame -- chains are a rarity at corpus scale)
+        frontier = frontier.where(
             F.col("next_page_url").isNotNull()
             & ~F.array_contains(F.col("visited"), F.col("next_page_url"))
         )
-        # one action per round (r9): the continuation filter, the hop join
-        # and the lineage-truncating checkpoint all materialize under the
-        # emptiness count instead of paying a separate isEmpty job first
-        # (truncation still matters: round k would otherwise re-run all
-        # k-1 previous joins when the final union materializes)
+        if frontier.isEmpty():
+            break
         frontier = (
-            live.join(
-                nxt_pages, live.next_page_url == nxt_pages.__nxt_url, "inner"
+            frontier.join(
+                nxt_pages, frontier.next_page_url == nxt_pages.__nxt_url, "inner"
             )
             .select(
                 "root_doc_id",
@@ -244,10 +243,10 @@ def resolve_chains(extracted, url_col: str = "url", max_pages: int = MAX_PAGES):
                 (F.col("page_num") + 1).alias("page_num"),
                 F.array_append("visited", F.col("next_page_url")).alias("visited"),
             )
-            .localCheckpoint(eager=False)
+            # truncate lineage each generation: otherwise round k re-runs
+            # all k-1 previous joins when the final union materializes
+            .localCheckpoint(eager=True)
         )
-        if frontier.count() == 0:
-            break
         assignments.append(frontier.select("root_doc_id", "doc_id", "page_num"))
 
     out = assignments[0]
