@@ -2025,10 +2025,9 @@ def _q_dedup_media_survivors(spark, sf_dir):
     base collapse to the lexically-first ref).  Undecodable / opaque /
     stub rows never pair and survive untouched.  Oracle: recursive-CTE
     transitive closure over the shared-formula pairs."""
-    from nreadspark.ops.dedup import keep_canonical
+    from nreadspark.ops.dedup import keep_canonical_exact
     from nreadspark.ops.images import (
         image_hashes,
-        near_dup_image_pairs,
         synthesize_jpeg_corpus,
         synthesize_mp4_corpus,
         video_keyframe_hashes,
@@ -2039,18 +2038,19 @@ def _q_dedup_media_survivors(spark, sf_dir):
         spark,
         rows=300,
     ).select("doc_id")
-    # eager localCheckpoint for the same reason as dedup_image_survivors:
-    # the frame feeds both the pair join and the node set
-    hdf = (
-        image_hashes(synthesize_jpeg_corpus(docs))
-        .unionByName(video_keyframe_hashes(synthesize_mp4_corpus(docs)))
-        .localCheckpoint(eager=True)
+    hdf = image_hashes(synthesize_jpeg_corpus(docs)).unionByName(
+        video_keyframe_hashes(synthesize_mp4_corpus(docs))
     )
-    pairs = near_dup_image_pairs(hdf, max_hamming=0, which="phash")
-    return keep_canonical(
-        hdf.select("media_ref"), pairs,
-        id_col="media_ref", src_col="ref_a", dst_col="ref_b",
-    )
+    # hamming 0 means the pair graph's transitive closure IS the pHash
+    # equality class, so the pairs -> components -> anti-join chain
+    # collapses to keep_canonical_exact (r9; output proven identical to
+    # the keep_canonical form by the op's pinned test + this oracle's
+    # recursive-CTE closure, which is unchanged)
+    return keep_canonical_exact(
+        hdf.select("media_ref", "phash_hi", "phash_lo"),
+        ["phash_hi", "phash_lo"],
+        id_col="media_ref",
+    ).select("media_ref")
 
 
 def _q_dedup_image_phash(spark, sf_dir):

@@ -1540,6 +1540,47 @@ def keep_canonical(
     return df.join(losers, id_col, "left_anti")
 
 
+def keep_canonical_exact(
+    df: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`keep_canonical` specialized to EXACT-KEY duplicates (r9):
+    when candidate pairs are defined by equality on ``key_cols`` (a
+    perceptual hash compared at hamming 0, an exact fingerprint), the
+    pair graph's transitive closure IS the key's equality class, so the
+    pairs -> connected-components -> anti-join chain collapses to one
+    window: canonical = min ``id_col`` per key group, everything else in
+    the group is dropped.  Rows with any NULL key column never pair
+    (matching the NULL-hash exclusion of every pair emitter here) and
+    survive untouched.
+
+    Provably identical output to ``keep_canonical(df, equality_pairs)``
+    (pinned by test); the win is structural -- ONE window shuffle and one
+    pass over ``df`` instead of the pair join + per-round component loop
+    (an anti-join formulation would also re-run the upstream decode on
+    both sides of its diamond), at any scale."""
+    import functools
+
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must name at least one column")
+    any_null = functools.reduce(
+        lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+    )
+    # NULL-key rows land together in one window group, but the null arm
+    # of the keep-condition short-circuits them to survival before the
+    # group minimum is consulted
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("__canon", F.min(id_col).over(w))
+        .filter(any_null | (F.col(id_col) == F.col("__canon")))
+        .drop("__canon")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-snapshot dedup: flag documents already present in a REFERENCE
 # corpus (the previous training snapshot, a licensed set that must not be

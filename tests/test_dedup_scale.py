@@ -851,3 +851,42 @@ def test_plan_epoch_factors_and_repeat_roundtrip(spark):
         plan_epoch_factors(df, {"en": 1.0}, token_budget=0)
     with pytest.raises(ValueError):
         plan_epoch_factors(df, {"en": -0.1}, token_budget=100)
+
+
+def test_keep_canonical_exact_matches_pair_form(spark):
+    """keep_canonical_exact over equality keys must equal keep_canonical
+    over the explicit equality-pair graph (hamming-0 contract), including
+    NULL-key rows surviving untouched."""
+    from pyspark.sql import functions as F
+
+    from nreadspark.ops.dedup import keep_canonical, keep_canonical_exact
+
+    rows = [
+        ("a", 1, 1), ("b", 1, 1), ("c", 1, 1),      # triple cluster -> keep a
+        ("d", 2, 5), ("e", 2, 5),                   # pair -> keep d
+        ("f", 3, 7),                                # singleton
+        ("g", None, 9), ("h", None, 9),             # NULL key: never pairs
+        ("i", 4, None),                             # NULL half: never pairs
+    ]
+    df = spark.createDataFrame(rows, "ref string, hi bigint, lo bigint")
+    keyed = df.filter(F.col("hi").isNotNull() & F.col("lo").isNotNull())
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.hi") == F.col("b.hi"))
+        & (F.col("a.lo") == F.col("b.lo"))
+        & (F.col("a.ref") < F.col("b.ref")),
+    ).select(F.col("a.ref").alias("ref_a"), F.col("b.ref").alias("ref_b"))
+    want = sorted(
+        r["ref"]
+        for r in keep_canonical(
+            df.select("ref"), pairs, id_col="ref", src_col="ref_a", dst_col="ref_b"
+        ).collect()
+    )
+    got = sorted(
+        r["ref"]
+        for r in keep_canonical_exact(df, ["hi", "lo"], id_col="ref")
+        .select("ref")
+        .collect()
+    )
+    assert got == want == ["a", "d", "f", "g", "h", "i"]
