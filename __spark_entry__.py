@@ -55,32 +55,46 @@ def _par(
     return df
 
 
+def _memo_cols(name: str, builder):
+    """Entry-level twin of :func:`nreadspark.colmemo.memo_cols`: the synth
+    Column trees below depend only on fixed column names and literals, and
+    their py4j construction (~0.1-0.3 s each) otherwise recurs on every
+    query call."""
+    from nreadspark.colmemo import memo_cols
+
+    return memo_cols(("entry", name), builder)
+
+
 def _interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically wrap the plain-text documents table into the
     north-rule interleaved span shape (doc_id, spans) -- JVM-side only."""
     docs = _table(spark, sf_dir, "documents")
-    head = F.concat(
-        F.lit("<html><head><title>Doc "),
-        F.col("doc_id").cast("string"),
-        F.lit(" | Synthetic Corpus</title></head><body><div id='content' class='post'><p>"),
-        F.col("text"),
-        F.lit("</p>"),
-    )
-    para2 = F.concat(F.lit("<p>"), F.col("text"), F.lit(", extended for sibling merge.</p>"))
-    tail = F.lit("</div></body></html>")
-    mk = lambda kind, text, ref, off: F.struct(  # noqa: E731
-        F.lit(kind).alias("kind"),
-        text.alias("text"),
-        ref.alias("media_ref"),
-        F.lit(off).cast("int").alias("offset"),
-    )
-    null_s = F.lit(None).cast("string")
-    spans = F.array(
-        mk("text", head, null_s, 0),
-        mk("image", F.lit(""), F.concat(F.lit("img://doc/"), F.col("doc_id").cast("string")), 1),
-        mk("text", para2, null_s, 2),
-        mk("text", tail, null_s, 3),
-    )
+
+    def build():
+        head = F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" | Synthetic Corpus</title></head><body><div id='content' class='post'><p>"),
+            F.col("text"),
+            F.lit("</p>"),
+        )
+        para2 = F.concat(F.lit("<p>"), F.col("text"), F.lit(", extended for sibling merge.</p>"))
+        tail = F.lit("</div></body></html>")
+        mk = lambda kind, text, ref, off: F.struct(  # noqa: E731
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            ref.alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+        null_s = F.lit(None).cast("string")
+        return F.array(
+            mk("text", head, null_s, 0),
+            mk("image", F.lit(""), F.concat(F.lit("img://doc/"), F.col("doc_id").cast("string")), 1),
+            mk("text", para2, null_s, 2),
+            mk("text", tail, null_s, 3),
+        )
+
+    spans = _memo_cols("interleaved_spans", build)
     return docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
 
 
@@ -516,32 +530,37 @@ def _link_docs(spark, sf_dir):
     host{(doc_id+7)%20}.com, a hub link from every third doc, and a
     relative link that must stay OUT of the domain graph."""
     docs = _par(_table(spark, sf_dir, "documents"), spark)
-    tld = (
-        F.when(F.pmod("doc_id", F.lit(4)) == 0, ".co.uk")
-        .when(F.pmod("doc_id", F.lit(4)) == 1, ".com")
-        .when(F.pmod("doc_id", F.lit(4)) == 2, ".org")
-        .otherwise(".io")
-    )
-    url = F.concat(
-        F.lit("https://sub.host"), F.pmod("doc_id", F.lit(20)).cast("string"),
-        tld, F.lit("/p/"), F.col("doc_id").cast("string"),
-    )
-    hub = F.when(
-        F.pmod("doc_id", F.lit(3)) == 0,
-        F.lit('<a href="https://hub.example.com/">the hub</a>'),
-    ).otherwise(F.lit(""))
-    anchor = (
-        F.when(F.pmod("doc_id", F.lit(3)) == 0, "Next <b>Site</b>")
-        .when(F.pmod("doc_id", F.lit(3)) == 1, "read more")
-        .otherwise("continue reading")
-    )
-    html = F.concat(
-        F.lit('<p><a href="https://host'),
-        F.pmod(F.col("doc_id") + 7, F.lit(20)).cast("string"),
-        F.lit('.com/x">'), anchor, F.lit("</a> "),
-        hub,
-        F.lit(' <a href="/nav">relative nav</a></p>'),
-    )
+
+    def build():
+        tld = (
+            F.when(F.pmod("doc_id", F.lit(4)) == 0, ".co.uk")
+            .when(F.pmod("doc_id", F.lit(4)) == 1, ".com")
+            .when(F.pmod("doc_id", F.lit(4)) == 2, ".org")
+            .otherwise(".io")
+        )
+        url = F.concat(
+            F.lit("https://sub.host"), F.pmod("doc_id", F.lit(20)).cast("string"),
+            tld, F.lit("/p/"), F.col("doc_id").cast("string"),
+        )
+        hub = F.when(
+            F.pmod("doc_id", F.lit(3)) == 0,
+            F.lit('<a href="https://hub.example.com/">the hub</a>'),
+        ).otherwise(F.lit(""))
+        anchor = (
+            F.when(F.pmod("doc_id", F.lit(3)) == 0, "Next <b>Site</b>")
+            .when(F.pmod("doc_id", F.lit(3)) == 1, "read more")
+            .otherwise("continue reading")
+        )
+        html = F.concat(
+            F.lit('<p><a href="https://host'),
+            F.pmod(F.col("doc_id") + 7, F.lit(20)).cast("string"),
+            F.lit('.com/x">'), anchor, F.lit("</a> "),
+            hub,
+            F.lit(' <a href="/nav">relative nav</a></p>'),
+        )
+        return url, html
+
+    url, html = _memo_cols("link_docs", build)
     return docs.select("doc_id", url.alias("url"), html.alias("html"))
 
 
@@ -1056,24 +1075,28 @@ def _q_dedup_url(spark, sf_dir):
     from nreadspark.ops.urls import dedup_by_url
 
     docs = _table(spark, sf_dir, "documents")
-    g = F.pmod("doc_id", F.lit(50)).cast("string")
-    scheme = F.when(F.pmod("doc_id", F.lit(2)) == 0, "HTTP").otherwise("http")
-    host = F.when(
-        F.pmod("doc_id", F.lit(4)) == 0,
-        F.concat(F.lit("WWW.EXAMPLE"), g, F.lit(".COM")),
-    ).otherwise(F.concat(F.lit("www.example"), g, F.lit(".com")))
-    port = F.when(F.pmod("doc_id", F.lit(3)) == 0, ":80").otherwise("")
-    path = F.concat(
-        F.lit("/Articles/"), g, F.when(F.pmod("doc_id", F.lit(4)) == 1, "/").otherwise("")
-    )
-    qbase = F.when(
-        F.pmod("doc_id", F.lit(2)) == 0, F.concat(F.lit("?id="), g, F.lit("&x=1"))
-    ).otherwise(F.concat(F.lit("?x=1&id="), g))
-    junk = F.when(
-        F.pmod("doc_id", F.lit(5)) == 0, "&utm_campaign=c&fbclid=abc"
-    ).otherwise("")
-    frag = F.when(F.pmod("doc_id", F.lit(6)) == 0, "#sec").otherwise("")
-    url = F.concat(scheme, F.lit("://"), host, port, path, qbase, junk, frag)
+
+    def build():
+        g = F.pmod("doc_id", F.lit(50)).cast("string")
+        scheme = F.when(F.pmod("doc_id", F.lit(2)) == 0, "HTTP").otherwise("http")
+        host = F.when(
+            F.pmod("doc_id", F.lit(4)) == 0,
+            F.concat(F.lit("WWW.EXAMPLE"), g, F.lit(".COM")),
+        ).otherwise(F.concat(F.lit("www.example"), g, F.lit(".com")))
+        port = F.when(F.pmod("doc_id", F.lit(3)) == 0, ":80").otherwise("")
+        path = F.concat(
+            F.lit("/Articles/"), g, F.when(F.pmod("doc_id", F.lit(4)) == 1, "/").otherwise("")
+        )
+        qbase = F.when(
+            F.pmod("doc_id", F.lit(2)) == 0, F.concat(F.lit("?id="), g, F.lit("&x=1"))
+        ).otherwise(F.concat(F.lit("?x=1&id="), g))
+        junk = F.when(
+            F.pmod("doc_id", F.lit(5)) == 0, "&utm_campaign=c&fbclid=abc"
+        ).otherwise("")
+        frag = F.when(F.pmod("doc_id", F.lit(6)) == 0, "#sec").otherwise("")
+        return F.concat(scheme, F.lit("://"), host, port, path, qbase, junk, frag)
+
+    url = _memo_cols("dedup_url_messy", build)
     return dedup_by_url(docs.select("doc_id", url.alias("url")))
 
 
@@ -2282,24 +2305,29 @@ def _sitemap_src(spark, sf_dir):
     therefore under oracle test, including the urlkey join downstream.
     All closed-form in doc_id."""
     docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    g = F.pmod("doc_id", F.lit(20)).cast("string")
-    month = F.lpad((F.pmod("doc_id", F.lit(12)) + 1).cast("string"), 2, "0")
-    lastmod = F.when(
-        F.pmod("doc_id", F.lit(7)) == 3, F.lit(None).cast("string")
-    ).otherwise(F.concat(F.lit("2026-"), month, F.lit("-01")))
-    xml_suffix = (
-        F.when(F.pmod("doc_id", F.lit(11)) == 5, F.lit("?a=1&amp;b=2"))
-        .when(F.pmod("doc_id", F.lit(11)) == 8, F.lit("/x&#45;y&#x7e;z"))
-        .otherwise(F.lit(""))
-    )
-    entry = F.concat(
-        F.lit("<url><loc>http://site"), g, F.lit(".com/p"),
-        F.col("doc_id").cast("string"), xml_suffix, F.lit("</loc>"),
-        F.when(lastmod.isNull(), F.lit("")).otherwise(
-            F.concat(F.lit("<lastmod>"), lastmod, F.lit("</lastmod>"))
-        ),
-        F.lit("</url>"),
-    )
+
+    def build():
+        g = F.pmod("doc_id", F.lit(20)).cast("string")
+        month = F.lpad((F.pmod("doc_id", F.lit(12)) + 1).cast("string"), 2, "0")
+        lastmod = F.when(
+            F.pmod("doc_id", F.lit(7)) == 3, F.lit(None).cast("string")
+        ).otherwise(F.concat(F.lit("2026-"), month, F.lit("-01")))
+        xml_suffix = (
+            F.when(F.pmod("doc_id", F.lit(11)) == 5, F.lit("?a=1&amp;b=2"))
+            .when(F.pmod("doc_id", F.lit(11)) == 8, F.lit("/x&#45;y&#x7e;z"))
+            .otherwise(F.lit(""))
+        )
+        entry = F.concat(
+            F.lit("<url><loc>http://site"), g, F.lit(".com/p"),
+            F.col("doc_id").cast("string"), xml_suffix, F.lit("</loc>"),
+            F.when(lastmod.isNull(), F.lit("")).otherwise(
+                F.concat(F.lit("<lastmod>"), lastmod, F.lit("</lastmod>"))
+            ),
+            F.lit("</url>"),
+        )
+        return g, entry
+
+    g, entry = _memo_cols("sitemap_src", build)
     src = docs.select(g.alias("g"), F.struct("doc_id", entry.alias("e")).alias("s"))
     grouped = src.groupBy("g").agg(
         F.array_join(
@@ -2419,31 +2447,35 @@ def _q_url_surt(spark, sf_dir):
     from nreadspark.cdx import surt_key_col
 
     docs = _table(spark, sf_dir, "documents")
-    g = F.pmod("doc_id", F.lit(50)).cast("string")
-    scheme = F.when(F.pmod("doc_id", F.lit(2)) == 0, "HTTP").otherwise("http")
-    host = (
-        F.when(
-            F.pmod("doc_id", F.lit(4)) == 0,
-            F.concat(F.lit("WWW.EXAMPLE"), g, F.lit(".COM")),
+
+    def build():
+        g = F.pmod("doc_id", F.lit(50)).cast("string")
+        scheme = F.when(F.pmod("doc_id", F.lit(2)) == 0, "HTTP").otherwise("http")
+        host = (
+            F.when(
+                F.pmod("doc_id", F.lit(4)) == 0,
+                F.concat(F.lit("WWW.EXAMPLE"), g, F.lit(".COM")),
+            )
+            .when(
+                F.pmod("doc_id", F.lit(4)) == 1,
+                F.concat(F.lit("example"), g, F.lit(".com")),
+            )
+            .otherwise(F.concat(F.lit("www.example"), g, F.lit(".com")))
         )
-        .when(
-            F.pmod("doc_id", F.lit(4)) == 1,
-            F.concat(F.lit("example"), g, F.lit(".com")),
+        port = F.when(F.pmod("doc_id", F.lit(3)) == 0, ":80").otherwise("")
+        path = F.concat(
+            F.lit("/Articles/"), g, F.when(F.pmod("doc_id", F.lit(4)) == 1, "/").otherwise("")
         )
-        .otherwise(F.concat(F.lit("www.example"), g, F.lit(".com")))
-    )
-    port = F.when(F.pmod("doc_id", F.lit(3)) == 0, ":80").otherwise("")
-    path = F.concat(
-        F.lit("/Articles/"), g, F.when(F.pmod("doc_id", F.lit(4)) == 1, "/").otherwise("")
-    )
-    qbase = F.when(
-        F.pmod("doc_id", F.lit(2)) == 0, F.concat(F.lit("?id="), g, F.lit("&x=1"))
-    ).otherwise(F.concat(F.lit("?x=1&id="), g))
-    junk = F.when(
-        F.pmod("doc_id", F.lit(5)) == 0, "&utm_campaign=c&fbclid=abc"
-    ).otherwise("")
-    frag = F.when(F.pmod("doc_id", F.lit(6)) == 0, "#sec").otherwise("")
-    url = F.concat(scheme, F.lit("://"), host, port, path, qbase, junk, frag)
+        qbase = F.when(
+            F.pmod("doc_id", F.lit(2)) == 0, F.concat(F.lit("?id="), g, F.lit("&x=1"))
+        ).otherwise(F.concat(F.lit("?x=1&id="), g))
+        junk = F.when(
+            F.pmod("doc_id", F.lit(5)) == 0, "&utm_campaign=c&fbclid=abc"
+        ).otherwise("")
+        frag = F.when(F.pmod("doc_id", F.lit(6)) == 0, "#sec").otherwise("")
+        return F.concat(scheme, F.lit("://"), host, port, path, qbase, junk, frag)
+
+    url = _memo_cols("url_surt_messy", build)
     return surt_key_col(docs.select("doc_id", url.alias("url"))).select(
         "doc_id", "urlkey"
     )

@@ -127,69 +127,89 @@ def surt_key_col(df: DataFrame, url_col: str = "url", out_col: str = "urlkey") -
     codegen string surgery with each parsing layer staged as a child
     projection (the re-inlined single-Column form re-runs the authority
     chain per layer; see ``ops.urls.with_canonical_url``)."""
-    url = F.col(url_col)
-    df = df.withColumn(
-        "__sk_scheme",
-        F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1)),
-    )
-    df = df.withColumn(
-        "__sk_rest", F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", "")
-    )
-    df = df.withColumn("__sk_auth", F.regexp_extract("__sk_rest", r"^([^/?#]*)", 1))
-    df = df.withColumn(
-        "__sk_tail",
-        F.col("__sk_rest").substr(F.length("__sk_auth") + 1, F.length("__sk_rest")),
-    )
-    df = df.withColumn(
-        "__sk_host0",
-        F.lower(F.regexp_extract("__sk_auth", r"^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)", 1)),
-    )
-    df = df.withColumn(
-        "__sk_host", F.regexp_replace("__sk_host0", r"^www\.", "")
-    )
-    df = df.withColumn("__sk_port0", F.regexp_extract("__sk_auth", r":([0-9]+)$", 1))
-    default_port = (
-        F.when(F.col("__sk_scheme") == "http", "80")
-        .when(F.col("__sk_scheme") == "https", "443")
-        .otherwise("")
-    )
-    df = df.withColumn(
-        "__sk_port",
-        F.when(F.col("__sk_port0") == default_port, F.lit("")).otherwise(
-            F.col("__sk_port0")
-        ),
-    )
-    df = df.withColumn(
-        "__sk_tailnf", F.lower(F.regexp_extract("__sk_tail", r"^([^#]*)", 1))
-    )
-    df = df.withColumn(
-        "__sk_path0",
-        F.regexp_replace(F.regexp_extract("__sk_tailnf", r"^([^?]*)", 1), r"/+$", ""),
-    )
-    df = df.withColumn("__sk_query", F.regexp_extract("__sk_tailnf", r"\?(.*)", 1))
+    from .colmemo import memo_cols
 
-    def keep(p):
-        key = F.element_at(F.split(p, "="), 1)
-        tracking = key.isin(*sorted(TRACKING_PARAMS)) | key.startswith("utm_")
-        return (F.length(p) > 0) & ~tracking
+    def build():
+        url = F.col(url_col)
+        staged = {
+            "__sk_scheme": F.lower(
+                F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1)
+            ),
+            "__sk_rest": F.regexp_replace(
+                url, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://", ""
+            ),
+        }
+        staged2 = {
+            "__sk_auth": F.regexp_extract("__sk_rest", r"^([^/?#]*)", 1),
+        }
+        staged3 = {
+            "__sk_tail": F.col("__sk_rest").substr(
+                F.length("__sk_auth") + 1, F.length("__sk_rest")
+            ),
+            "__sk_host0": F.lower(
+                F.regexp_extract("__sk_auth", r"^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)", 1)
+            ),
+            "__sk_port0": F.regexp_extract("__sk_auth", r":([0-9]+)$", 1),
+        }
+        default_port = (
+            F.when(F.col("__sk_scheme") == "http", "80")
+            .when(F.col("__sk_scheme") == "https", "443")
+            .otherwise("")
+        )
+        staged4 = {
+            "__sk_host": F.regexp_replace("__sk_host0", r"^www\.", ""),
+            "__sk_port": F.when(
+                F.col("__sk_port0") == default_port, F.lit("")
+            ).otherwise(F.col("__sk_port0")),
+            "__sk_tailnf": F.lower(F.regexp_extract("__sk_tail", r"^([^#]*)", 1)),
+        }
+        staged5 = {
+            "__sk_path0": F.regexp_replace(
+                F.regexp_extract("__sk_tailnf", r"^([^?]*)", 1), r"/+$", ""
+            ),
+            "__sk_query": F.regexp_extract("__sk_tailnf", r"\?(.*)", 1),
+        }
 
-    q = F.array_join(
-        F.sort_array(F.filter(F.split("__sk_query", "&"), keep)), "&"
+        def keep(p):
+            key = F.element_at(F.split(p, "="), 1)
+            tracking = key.isin(*sorted(TRACKING_PARAMS)) | key.startswith("utm_")
+            return (F.length(p) > 0) & ~tracking
+
+        q = F.array_join(
+            F.sort_array(F.filter(F.split("__sk_query", "&"), keep)), "&"
+        )
+        rev = F.when(
+            F.col("__sk_host").startswith("["), F.col("__sk_host")
+        ).otherwise(F.array_join(F.reverse(F.split("__sk_host", r"\.")), ","))
+        key = F.concat(
+            rev,
+            F.when(
+                F.col("__sk_port") != "", F.concat(F.lit(":"), F.col("__sk_port"))
+            ).otherwise(F.lit("")),
+            F.lit(")"),
+            F.when(F.col("__sk_path0") == "", F.lit("/")).otherwise(
+                F.col("__sk_path0")
+            ),
+            F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        )
+        final = F.when(
+            url.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+"), key
+        ).otherwise(url)
+        return (staged, staged2, staged3, staged4, staged5, final)
+
+    # the whole staged-column bundle is a pure function of url_col --
+    # memoized per SparkContext (colmemo); the withColumns batches also
+    # cut the per-withColumn analyzer passes the old 12-call chain paid
+    staged, staged2, staged3, staged4, staged5, final = memo_cols(
+        ("surt_key", url_col), build
     )
-    rev = F.when(
-        F.col("__sk_host").startswith("["), F.col("__sk_host")
-    ).otherwise(F.array_join(F.reverse(F.split("__sk_host", r"\.")), ","))
-    key = F.concat(
-        rev,
-        F.when(F.col("__sk_port") != "", F.concat(F.lit(":"), F.col("__sk_port"))).otherwise(
-            F.lit("")
-        ),
-        F.lit(")"),
-        F.when(F.col("__sk_path0") == "", F.lit("/")).otherwise(F.col("__sk_path0")),
-        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
-    )
-    out = df.withColumn(
-        out_col, F.when(url.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+"), key).otherwise(url)
+    out = (
+        df.withColumns(staged)
+        .withColumns(staged2)
+        .withColumns(staged3)
+        .withColumns(staged4)
+        .withColumns(staged5)
+        .withColumn(out_col, final)
     )
     return out.drop(*[c for c in out.columns if c.startswith("__sk_")])
 

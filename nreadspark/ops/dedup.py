@@ -224,36 +224,48 @@ def minhash_signatures(
     (first 8 hex chars of md5, SQL-replicable so an external engine like
     DuckDB can reproduce the exact signatures for correctness oracles).
     Both fold to 31 bits so a*h+b stays inside a signed 64-bit long."""
-    seeds = _seeds(n_hashes, salt=k)
+    from ..colmemo import memo_cols
+
     with_shingles = tokenize(df, text_col).withColumn(
         "__shingles", shingles_col("__tokens", k)
     )
 
-    # hash each shingle ONCE (folded to 31 bits so a*h+b stays inside
-    # a signed 64-bit long under ANSI mode), then take the min of each affine
-    # permutation over the precomputed hash array: one pass of expensive
-    # hashing + n_hashes cheap passes, instead of n_hashes * hashing
-    if hash_fn == "md5":
-        hashed = F.transform(
-            "__shingles",
-            lambda s: F.pmod(
-                F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
-                F.lit(1 << 31),
-            ),
+    def build():
+        # hash each shingle ONCE (folded to 31 bits so a*h+b stays inside
+        # a signed 64-bit long under ANSI mode), then take the min of each
+        # affine permutation over the precomputed hash array: one pass of
+        # expensive hashing + n_hashes cheap passes, instead of
+        # n_hashes * hashing
+        seeds = _seeds(n_hashes, salt=k)
+        if hash_fn == "md5":
+            hashed = F.transform(
+                "__shingles",
+                lambda s: F.pmod(
+                    F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+                    F.lit(1 << 31),
+                ),
+            )
+        else:
+            hashed = F.transform(
+                "__shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31))
+            )
+
+        def perm(a: int, b: int):
+            # closure factory: pyspark introspects lambda arity, so the
+            # coefficients must be captured here, not as default args.
+            # a, b are already reduced into [1, p) / [0, p) by _seeds; the
+            # product is < 2^62, safely inside a signed 64-bit long
+            return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_PRIME))
+
+        sig = F.array(
+            *[F.array_min(F.transform("__h31", perm(a, b))) for (a, b) in seeds]
         )
-    else:
-        hashed = F.transform("__shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+        return hashed, sig
 
-    def perm(a: int, b: int):
-        # closure factory: pyspark introspects lambda arity, so the
-        # coefficients must be captured here, not as default args.
-        # a, b are already reduced into [1, p) / [0, p) by _seeds; the
-        # product is < 2^62, safely inside a signed 64-bit long
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_PRIME))
-
-    sig = F.array(
-        *[F.array_min(F.transform("__h31", perm(a, b))) for (a, b) in seeds]
-    )
+    # the (hashed, sig) pair is a pure function of (k, n_hashes, hash_fn)
+    # over the fixed staged names __shingles/__h31 -- ~0.3 s of py4j tree
+    # construction per build, memoized per SparkContext (colmemo)
+    hashed, sig = memo_cols(("minhash_sig", k, n_hashes, hash_fn), build)
     return with_shingles.withColumn("__h31", hashed).select(
         "doc_id", sig.alias("signature")
     )
@@ -263,21 +275,29 @@ def _banded_signatures(
     df: DataFrame, text_col: str, k: int, n_hashes: int, n_bands: int, hash_fn: str
 ) -> DataFrame:
     """(doc_id, band, band_key): one row per (doc, band)."""
-    rows_per_band = n_hashes // n_bands
+    from ..colmemo import memo_cols
+
     sigs = minhash_signatures(df, text_col, k, n_hashes, hash_fn)
-    return sigs.select(
-        "doc_id",
-        F.posexplode(
+
+    def build():
+        rows_per_band = n_hashes // n_bands
+        return F.posexplode(
             F.array(
                 *[
                     F.concat_ws(
-                        ":", *[F.col("signature")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                        ":",
+                        *[
+                            F.col("signature")[i]
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
                     )
                     for b in range(n_bands)
                 ]
             )
-        ).alias("band", "band_key"),
-    )
+        )
+
+    banded = memo_cols(("minhash_bands", n_hashes, n_bands), build)
+    return sigs.select("doc_id", banded.alias("band", "band_key"))
 
 
 def minhash_lsh_candidates(
