@@ -705,7 +705,7 @@ def _q_robots_rules(spark, sf_dir):
     residues -- ground truth, not parser-vs-parser."""
     from nreadspark.ops.robots import parse_robots_rules, tag_robots_permissions
 
-    docs = _par(_table(spark, sf_dir, "documents"), spark)
+    docs = _table(spark, sf_dir, "documents")
     dres = F.pmod("doc_id", F.lit(7))
     pres = F.pmod("doc_id", F.lit(5))
     urls = docs.select(

@@ -1531,6 +1531,13 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds "
             "(pathological graph?); raise max_iter or pass strict=False"
         )
+    if len(round_frames) == 2:
+        # single-round convergence (the common case: the graph fit one
+        # AQE-coalesced partition): `total` IS the round's mapping, which
+        # is already an eager checkpoint -- re-materializing it would only
+        # copy the blocks.  Release the (empty) quotient check frame.
+        _release_local_checkpoint(round_frames[1])
+        return total
     # materialize the composed labels so every per-round checkpoint can be
     # released now (the caller gets a self-contained frame, same contract
     # as before)

@@ -176,6 +176,9 @@ def _train_ivf_centroids(corpus, n_lists, sample_size, id_col, vec_col, iters=8)
     import numpy as np
     from pyspark.sql import functions as F
 
+    # Arrow-path collect (r9): .collect() ships 2048x64 doubles through
+    # the py4j pickle socket (~0.2 s of pure serialization); toPandas
+    # rides the session's Arrow transfer instead
     sample = (
         corpus.select(
             F.col(vec_col).cast("array<double>").alias("v"),
@@ -184,16 +187,17 @@ def _train_ivf_centroids(corpus, n_lists, sample_size, id_col, vec_col, iters=8)
         .where(F.col("v").isNotNull())
         .orderBy("h")
         .limit(sample_size)
-        .collect()
+        .toPandas()["v"]
+        .tolist()
     )
     # guard against ragged/corrupt vectors: train on the MODAL dimension
     # (max() would let a single over-long garbage vector discard every
     # valid one and empty the downstream results)
     from collections import Counter
 
-    dim_counts = Counter(len(r["v"]) for r in sample)
+    dim_counts = Counter(len(v) for v in sample)
     modal_dim = dim_counts.most_common(1)[0][0] if dim_counts else 0
-    vecs = [r["v"] for r in sample if len(r["v"]) == modal_dim and modal_dim > 0]
+    vecs = [v for v in sample if len(v) == modal_dim and modal_dim > 0]
     if not vecs:
         raise ValueError(
             "IVF centroid training needs a non-empty corpus sample with "

@@ -526,4 +526,11 @@ def configure_session_defaults(builder):
         builder.config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.adaptive.enabled", "true")
+        # NOT set here although it looked promising on paper (r9):
+        # spark.sql.adaptive.coalescePartitions.parallelismFirst=false
+        # (strictly size-based AQE coalescing) measured consistently
+        # ~0.4s WORSE across an interleaved A/B of the 12 shuffle-heavy
+        # queries -- at shuffle.partitions=cores the default floor does
+        # not over-fragment, and collapsing tiny shuffles to 1 partition
+        # loses more parallelism than its task-dispatch savings return.
     )
