@@ -2361,6 +2361,20 @@ def _q_sitemap_entries(spark, sf_dir):
     return sitemap_entries(_sitemap_src(spark, sf_dir))
 
 
+def _build_caps_cols():
+    """Shared capture-synth columns for crawl_refresh/crawl_plan
+    (memoized via _memo_cols: identical trees were built per call)."""
+    cap_month = F.lpad(
+        (F.pmod(F.col("doc_id") + 6, F.lit(12)) + 1).cast("string"), 2, "0"
+    )
+    key = F.concat(
+        F.lit("com,site"), F.pmod("doc_id", F.lit(20)).cast("string"),
+        F.lit(")/p"), F.col("doc_id").cast("string"), _decoded_url_suffix(),
+    )
+    ts = F.concat(F.lit("2026"), cap_month, F.lit("01000000"))
+    return key, ts
+
+
 def _q_crawl_refresh(spark, sf_dir):
     """Crawl-refresh planning (r6): declared sitemap inventory joined
     against the latest CDX capture per urlkey; fetch = new OR declared
@@ -2374,16 +2388,8 @@ def _q_crawl_refresh(spark, sf_dir):
     docs = _table(spark, sf_dir, "documents").filter(
         (F.col("doc_id") < 500) & (F.pmod("doc_id", F.lit(3)) != 1)
     )
-    cap_month = F.lpad(
-        (F.pmod(F.col("doc_id") + 6, F.lit(12)) + 1).cast("string"), 2, "0"
-    )
-    caps = docs.select(
-        F.concat(
-            F.lit("com,site"), F.pmod("doc_id", F.lit(20)).cast("string"),
-            F.lit(")/p"), F.col("doc_id").cast("string"), _decoded_url_suffix(),
-        ).alias("urlkey"),
-        F.concat(F.lit("2026"), cap_month, F.lit("01000000")).alias("timestamp"),
-    )
+    caps_key, caps_ts = _memo_cols("cdx_caps", _build_caps_cols)
+    caps = docs.select(caps_key.alias("urlkey"), caps_ts.alias("timestamp"))
     return plan_refresh(ents, caps)
 
 
@@ -2402,16 +2408,8 @@ def _q_crawl_plan(spark, sf_dir):
     docs = _table(spark, sf_dir, "documents").filter(
         (F.col("doc_id") < 500) & (F.pmod("doc_id", F.lit(3)) != 1)
     )
-    cap_month = F.lpad(
-        (F.pmod(F.col("doc_id") + 6, F.lit(12)) + 1).cast("string"), 2, "0"
-    )
-    caps = docs.select(
-        F.concat(
-            F.lit("com,site"), F.pmod("doc_id", F.lit(20)).cast("string"),
-            F.lit(")/p"), F.col("doc_id").cast("string"), _decoded_url_suffix(),
-        ).alias("urlkey"),
-        F.concat(F.lit("2026"), cap_month, F.lit("01000000")).alias("timestamp"),
-    )
+    caps_key, caps_ts = _memo_cols("cdx_caps", _build_caps_cols)
+    caps = docs.select(caps_key.alias("urlkey"), caps_ts.alias("timestamp"))
     plan = plan_refresh(ents, caps)
     # robots: every site disallows /p1* but re-allows /p12* (longest match)
     sites = spark.range(20).select(

@@ -144,3 +144,28 @@ def test_release_all_caches_reaches_other_threads_scopes(spark):
     assert release_caches() == 0  # invisible to this thread's scope
     assert release_all_caches() >= 1
     assert not _is_cached(leaked["df"])
+
+
+def test_colmemo_memoizes_and_evicts(spark):
+    """memo_cols returns the SAME Column object for a key within one
+    SparkContext and rebuilds after the app id changes (stale py4j refs
+    must never be served across a relaunch -- ADVICE r7 rule)."""
+    from pyspark.sql import functions as F
+
+    from nreadspark import colmemo
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return F.lit(42)
+
+    a = colmemo.memo_cols(("t_memo",), build)
+    b = colmemo.memo_cols(("t_memo",), build)
+    assert a is b and len(calls) == 1
+    # simulate a relaunched context by forging a stale entry: it must be
+    # evicted when a different app id builds
+    stale_key = ("app-gone", "t_stale")
+    colmemo._MEMO[stale_key] = "stale"
+    colmemo.memo_cols(("t_other",), build)
+    assert stale_key not in colmemo._MEMO
