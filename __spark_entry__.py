@@ -1644,11 +1644,7 @@ def _q_pdf_extract(spark, sf_dir):
 
     from nreadspark.pdf import extract_pdf, make_pdf
 
-    docs = _par(
-        _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
-        spark,
-        rows=200,
-    )
+    docs = _table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     src = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
 
     def synth(it):
@@ -2240,12 +2236,10 @@ def _q_wet_text(spark, sf_dir):
 
     from nreadspark.warc import build_warc_record, wet_text
 
-    docs = _par(
+    docs = (
         _table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 400)
-        .select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
-        spark,
-        rows=400,
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
     )
 
     def to_wet(it):
