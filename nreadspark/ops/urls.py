@@ -446,7 +446,7 @@ def _psl_rule_frames(spark, extra_suffixes=(), include_private: bool = True):
         # anyway so extra_suffixes can never break the literal.
         rows_sql = ", ".join(
             "('{}', {}, {}, {})".format(
-                s.replace("'", "''"),
+                s.replace("\\", "\\\\").replace("'", "''"),
                 "true" if x else "false",
                 "true" if w else "false",
                 "true" if e else "false",
@@ -590,7 +590,10 @@ def tag_blocked_domains(
         # two scheduled jobs before the membership join could even start
         doms = sorted({str(d).lower() for d in blocked_domains})
         if doms:
-            rows_sql = ", ".join("('{}')".format(d.replace("'", "''")) for d in doms)
+            rows_sql = ", ".join(
+                "('{}')".format(d.replace("\\", "\\\\").replace("'", "''"))
+                for d in doms
+            )
             bl = spark.sql(f"SELECT * FROM VALUES {rows_sql} AS t(domain)")
         else:
             bl = spark.createDataFrame([], "domain string")
