@@ -2411,9 +2411,12 @@ def _q_crawl_plan(spark, sf_dir):
         F.lit("User-agent: *\nDisallow: /p1\nAllow: /p12\n").alias("robots_txt"),
     )
     rules = parse_robots_rules(sites)
-    plan = plan.withColumn(
-        "domain", F.split_part(F.col("urlkey"), F.lit(")"), F.lit(1))
-    ).withColumn("path", F.substring_index(F.col("urlkey"), ")", -1))
+    plan = plan.withColumns(
+        {
+            "domain": F.split_part(F.col("urlkey"), F.lit(")"), F.lit(1)),
+            "path": F.substring_index(F.col("urlkey"), ")", -1),
+        }
+    )
     gated = (
         tag_robots_permissions(plan, rules, "domain", "path")
         .filter(F.col("allowed"))

@@ -233,17 +233,18 @@ def parse_robots_rules(
     # comments strip first (inline or whole-line), then trim; \r from CRLF
     # transfers dies with the trim
     clean = F.trim(F.regexp_replace(F.col("__rb_raw"), "#.*", ""))
+    # one staged projection instead of three withColumn analyzer passes
     lines = (
-        lines.withColumn("__rb_line", clean)
-        .withColumn(
-            "field",
-            F.lower(F.trim(F.regexp_extract("__rb_line", "^([^:]+):", 1))),
-        )
-        .withColumn(
-            "value", F.trim(F.regexp_extract("__rb_line", "^[^:]+:(.*)", 1))
+        lines.select("domain", "__rb_pos", clean.alias("__rb_line"))
+        .select(
+            "domain",
+            "__rb_pos",
+            F.lower(F.trim(F.regexp_extract("__rb_line", "^([^:]+):", 1))).alias(
+                "field"
+            ),
+            F.trim(F.regexp_extract("__rb_line", "^[^:]+:(.*)", 1)).alias("value"),
         )
         .filter(F.col("field").isin("user-agent", *_RULE_FIELDS))
-        .select("domain", "__rb_pos", "field", "value")
     )
     w = Window.partitionBy("domain").orderBy("__rb_pos")
     # a group starts at a user-agent line not preceded by another
