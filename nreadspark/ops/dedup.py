@@ -1597,10 +1597,13 @@ def keep_canonical_exact(
     any_null = functools.reduce(
         lambda a, b: a | b, [F.col(k).isNull() for k in keys]
     )
-    # NULL-key rows land together in one window group, but the null arm
-    # of the keep-condition short-circuits them to survival before the
-    # group minimum is consulted
-    w = Window.partitionBy(*keys)
+    # NULL-key rows must not share one window partition (at corpus scale
+    # the undecodable tier is a plurality of rows -- a single (NULL, ...)
+    # group would be a skew bomb): they get their own id as a singleton
+    # disambiguator key, keyed rows a constant.  The null arm of the
+    # keep-condition still short-circuits them to survival.
+    disamb = F.when(any_null, F.col(id_col).cast("string")).otherwise(F.lit(None))
+    w = Window.partitionBy(*keys, disamb)
     return (
         df.withColumn("__canon", F.min(id_col).over(w))
         .filter(any_null | (F.col(id_col) == F.col("__canon")))
